@@ -1,0 +1,50 @@
+"""Counter-based RNG streams for wavefront rendering.
+
+Replaces the reference's per-thread `SmallRng` sampler clones
+(src/samplers/independent.rs) with a TPU-native scheme: a *scalar* threefry key
+plus a dimension counter. Each `next` call derives key ⊕ counter and generates
+one uniform per wavefront lane in a single vectorized draw — no per-lane key
+storage, deterministic for a given seed, and trivially jit/shard_map friendly.
+"""
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class RngStream:
+    key: Any      # raw uint32[2] threefry key
+    counter: Any  # scalar int32 dimension counter
+
+
+def make_stream(seed_or_key) -> RngStream:
+    if isinstance(seed_or_key, int):
+        key = jax.random.PRNGKey(seed_or_key)
+    else:
+        key = seed_or_key
+    return RngStream(key=key, counter=jnp.int32(0))
+
+
+def _derived(stream: RngStream):
+    return jax.random.fold_in(stream.key, stream.counter)
+
+
+def stream_next(stream: RngStream, shape=()) -> Tuple[Any, RngStream]:
+    """One uniform in [0,1) per lane; `shape` is the wavefront shape."""
+    u = jax.random.uniform(_derived(stream), shape, dtype=jnp.float32)
+    return u, stream.replace(counter=stream.counter + 1)
+
+
+def stream_next2d(stream: RngStream, shape=()) -> Tuple[Any, RngStream]:
+    """Two uniforms per lane, shaped [*shape, 2]."""
+    u = jax.random.uniform(_derived(stream), tuple(shape) + (2,), dtype=jnp.float32)
+    return u, stream.replace(counter=stream.counter + 1)
+
+
+def stream_fold(stream: RngStream, data) -> RngStream:
+    """Derive an independent sub-stream (e.g. per sample-pass or per device)."""
+    return RngStream(key=jax.random.fold_in(stream.key, data), counter=jnp.int32(0))

@@ -1,0 +1,58 @@
+"""Batched 3-vector / color helpers.
+
+All geometry/transport math is float32 arrays with a trailing dimension of 3.
+Mirrors the small-vector surface of the reference's `Color` + cgmath usage
+(reference: src/structure.rs:104-381).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# Rec.709 luminance weights (reference: src/structure.rs:173-177)
+_LUM = jnp.asarray([0.212671, 0.715160, 0.072169], dtype=jnp.float32)
+
+
+def dot(a, b):
+    return jnp.sum(a * b, axis=-1)
+
+
+def cross(a, b):
+    return jnp.cross(a, b)
+
+
+def length2(v):
+    return jnp.sum(v * v, axis=-1)
+
+
+def length(v):
+    return jnp.sqrt(length2(v))
+
+
+def normalize(v, eps: float = 0.0):
+    n = length(v)[..., None]
+    if eps > 0.0:
+        n = jnp.maximum(n, eps)
+    return v / n
+
+
+def safe_sqrt(x):
+    return jnp.sqrt(jnp.maximum(x, 0.0))
+
+
+def luminance(c):
+    return jnp.sum(c * _LUM, axis=-1)
+
+
+def channel_max(c):
+    return jnp.max(c, axis=-1)
+
+
+def reflect_local(d):
+    """Mirror reflection about the local +z axis (reference: src/bsdfs/mod.rs reflect)."""
+    return jnp.stack([-d[..., 0], -d[..., 1], d[..., 2]], axis=-1)
+
+
+def face_forward(n, d):
+    """Flip n so that dot(n, d) >= 0."""
+    s = jnp.where(dot(n, d) < 0.0, -1.0, 1.0)
+    return n * s[..., None]

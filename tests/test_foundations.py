@@ -1,0 +1,166 @@
+"""Unit tests for math foundations: frames, warps, distributions, rng, image I/O.
+
+Oracle strategy per SURVEY.md §4: closed-form checks (pdfs integrate to 1,
+sample/pdf consistency) since the reference ships no unit tests of its own.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rustlight_tpu.utils import (
+    make_frame, to_world, to_local, warps,
+    build_distribution_1d, sample_discrete_1d, pdf_discrete_1d,
+    build_distribution_2d, sample_continuous_2d,
+    make_stream, stream_next, stream_next2d,
+)
+from rustlight_tpu.utils import image as rimage
+
+
+def _rand_dirs(n, seed=0):
+    u = jax.random.uniform(jax.random.PRNGKey(seed), (n, 2))
+    return warps.sample_uniform_sphere(u)
+
+
+class TestFrame:
+    def test_orthonormal(self):
+        n = _rand_dirs(1024)
+        t, b, nn = make_frame(n)
+        for v in (t, b):
+            np.testing.assert_allclose(np.sum(np.asarray(v) ** 2, -1), 1.0, atol=1e-5)
+        np.testing.assert_allclose(np.sum(np.asarray(t) * np.asarray(b), -1), 0.0, atol=1e-5)
+        np.testing.assert_allclose(np.sum(np.asarray(t) * np.asarray(n), -1), 0.0, atol=1e-5)
+        # right-handed: t x b = n
+        np.testing.assert_allclose(np.cross(t, b), np.asarray(n), atol=1e-5)
+
+    def test_roundtrip(self):
+        n = _rand_dirs(256, 1)
+        v = _rand_dirs(256, 2)
+        f = make_frame(n)
+        np.testing.assert_allclose(np.asarray(to_world(f, to_local(f, v))), np.asarray(v), atol=1e-5)
+
+    def test_z_maps_to_normal(self):
+        n = _rand_dirs(64, 3)
+        f = make_frame(n)
+        z = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (64, 1))
+        np.testing.assert_allclose(np.asarray(to_world(f, z)), np.asarray(n), atol=1e-6)
+
+
+class TestWarps:
+    def test_cosine_hemisphere_distribution(self):
+        u = jax.random.uniform(jax.random.PRNGKey(0), (200_000, 2))
+        d = warps.cosine_sample_hemisphere(u)
+        d = np.asarray(d)
+        assert (d[:, 2] >= 0).all()
+        np.testing.assert_allclose(np.sum(d * d, -1), 1.0, atol=1e-4)
+        # E[cos theta] under pdf cos/pi is 2/3
+        np.testing.assert_allclose(d[:, 2].mean(), 2.0 / 3.0, atol=3e-3)
+
+    def test_uniform_sphere_mean_zero(self):
+        d = np.asarray(_rand_dirs(200_000))
+        np.testing.assert_allclose(d.mean(0), 0.0, atol=5e-3)
+        np.testing.assert_allclose(np.sum(d * d, -1), 1.0, atol=1e-4)
+
+    def test_concentric_disk_in_unit_disk(self):
+        u = jax.random.uniform(jax.random.PRNGKey(1), (10_000, 2))
+        p = np.asarray(warps.concentric_sample_disk(u))
+        assert (np.sum(p * p, -1) <= 1.0 + 1e-6).all()
+        # uniform on disk: E[r^2] = 1/2
+        np.testing.assert_allclose(np.sum(p * p, -1).mean(), 0.5, atol=5e-3)
+
+    def test_degenerate_origin(self):
+        p = warps.concentric_sample_disk(jnp.array([[0.5, 0.5]]))
+        np.testing.assert_allclose(np.asarray(p), 0.0)
+
+    def test_triangle_uniform(self):
+        u = jax.random.uniform(jax.random.PRNGKey(2), (100_000, 2))
+        b = np.asarray(warps.uniform_sample_triangle(u))
+        assert (b >= 0).all() and (b.sum(-1) <= 1 + 1e-6).all()
+        np.testing.assert_allclose(b.mean(0), 1.0 / 3.0, atol=3e-3)
+
+    def test_spherical_roundtrip(self):
+        d = _rand_dirs(1000, 5)
+        th, ph = warps.to_spherical_coordinates(d)
+        d2 = warps.from_spherical_coordinates(th, ph)
+        np.testing.assert_allclose(np.asarray(d2), np.asarray(d), atol=1e-5)
+
+
+class TestDistribution1D:
+    def test_cdf_shape_and_pdf(self):
+        f = jnp.array([1.0, 3.0, 0.0, 4.0])
+        d = build_distribution_1d(f)
+        assert d.cdf.shape == (5,)
+        np.testing.assert_allclose(float(d.cdf[0]), 0.0)
+        np.testing.assert_allclose(float(d.cdf[-1]), 1.0)
+        pdf = np.asarray(pdf_discrete_1d(d, jnp.arange(4)))
+        np.testing.assert_allclose(pdf, np.array([1, 3, 0, 4]) / 8.0, atol=1e-6)
+
+    def test_sampling_frequencies(self):
+        f = jnp.array([1.0, 3.0, 0.0, 4.0])
+        d = build_distribution_1d(f)
+        u = jax.random.uniform(jax.random.PRNGKey(0), (100_000,))
+        idx = np.asarray(sample_discrete_1d(d, u))
+        freq = np.bincount(idx, minlength=4) / len(idx)
+        np.testing.assert_allclose(freq, np.array([1, 3, 0, 4]) / 8.0, atol=5e-3)
+
+    def test_func_int_matches_reference_convention(self):
+        # reference: func_int = sum(f)/n before normalization
+        f = jnp.array([2.0, 4.0])
+        d = build_distribution_1d(f)
+        np.testing.assert_allclose(float(d.func_int), 3.0)
+
+
+class TestDistribution2D:
+    def test_sampling_density(self):
+        f = jnp.array([[1.0, 0.0], [1.0, 2.0]])
+        d2 = build_distribution_2d(f)
+        uv = jax.random.uniform(jax.random.PRNGKey(0), (200_000, 2))
+        xy = np.asarray(sample_continuous_2d(d2, uv))
+        xi = np.clip(xy[:, 0].astype(int), 0, 1)
+        yi = np.clip(xy[:, 1].astype(int), 0, 1)
+        counts = np.zeros((2, 2))
+        np.add.at(counts, (yi, xi), 1)
+        counts /= counts.sum()
+        np.testing.assert_allclose(counts, np.array([[1, 0], [1, 2]]) / 4.0, atol=5e-3)
+
+
+class TestRng:
+    def test_deterministic(self):
+        s = make_stream(42)
+        u1, s1 = stream_next(s, (16,))
+        u2, _ = stream_next(make_stream(42), (16,))
+        np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
+        u3, _ = stream_next(s1, (16,))
+        assert not np.allclose(np.asarray(u1), np.asarray(u3))
+
+    def test_2d_shape(self):
+        u, _ = stream_next2d(make_stream(0), (8, 4))
+        assert u.shape == (8, 4, 2)
+        assert ((np.asarray(u) >= 0) & (np.asarray(u) < 1)).all()
+
+
+class TestImageIO:
+    def test_pfm_roundtrip(self, tmp_path):
+        img = np.random.rand(13, 17, 3).astype(np.float32)
+        p = tmp_path / "x.pfm"
+        rimage.write_pfm(p, img)
+        np.testing.assert_allclose(rimage.read_pfm(p), img, atol=0)
+
+    def test_exr_roundtrip(self, tmp_path):
+        img = np.random.rand(9, 11, 3).astype(np.float32) * 10.0
+        p = tmp_path / "x.exr"
+        rimage.write_exr(p, img)
+        np.testing.assert_allclose(rimage.read_exr(p), img, atol=0)
+
+    def test_exr_half_roundtrip(self, tmp_path):
+        img = np.random.rand(4, 5, 3).astype(np.float32)
+        p = tmp_path / "h.exr"
+        rimage.write_exr(p, img, half=True)
+        np.testing.assert_allclose(rimage.read_exr(p), img, atol=2e-3)
+
+    def test_ldr_roundtrip(self, tmp_path):
+        img = np.random.rand(8, 8, 3).astype(np.float32)
+        p = tmp_path / "x.png"
+        rimage.write_ldr(p, img)
+        back = rimage.read_ldr(p)
+        np.testing.assert_allclose(back, img, atol=2e-2)
