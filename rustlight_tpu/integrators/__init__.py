@@ -1,0 +1,4 @@
+from .common import Integrator, render, mis_power, mis_balance
+from .ao import IntegratorAO
+from .direct import IntegratorDirect
+from .path import IntegratorPathTracing, STRATEGY_ALL, STRATEGY_BSDF, STRATEGY_EMITTER

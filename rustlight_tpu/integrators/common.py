@@ -1,0 +1,101 @@
+"""Integrator framework: MC render driver over the wavefront.
+
+The reference's `compute_mc` (src/integrators/mod.rs:403-450) tiles the image
+into 16x16 blocks with per-block RNG clones under rayon. The TPU version has
+no blocks: one jitted pass evaluates *every pixel of a batch* for one sample
+index, the spp loop runs on host (keeping each device launch bounded), and the
+film accumulates on device. Sharding across chips happens in
+parallel/render.py by slicing the pixel batch over a mesh axis.
+"""
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..scene.scene import SceneData
+from ..utils.film import Film
+from ..utils.rng import RngStream, make_stream, stream_fold
+
+
+def mis_power(pdf_a, pdf_b):
+    """Power heuristic beta=2 with zero/NaN guards (reference mis_weight,
+    src/integrators/mod.rs:462-478)."""
+    a2 = pdf_a * pdf_a
+    b2 = pdf_b * pdf_b
+    w = a2 / jnp.maximum(a2 + b2, 1e-30)
+    w = jnp.where(jnp.isfinite(pdf_a) & jnp.isfinite(pdf_b), w, 0.0)
+    return jnp.where(pdf_a > 0.0, w, 0.0)
+
+
+def mis_balance(pdf_a, pdf_b):
+    """Balance heuristic (the path tracer's per-strategy MIS,
+    src/integrators/explicit/path.rs:77-106)."""
+    w = pdf_a / jnp.maximum(pdf_a + pdf_b, 1e-30)
+    w = jnp.where(jnp.isfinite(pdf_a) & jnp.isfinite(pdf_b), w, 0.0)
+    return jnp.where(pdf_a > 0.0, w, 0.0)
+
+
+class Integrator:
+    """Base: an integrator is `Lo(scene, pix, stream) -> [n, 3]` radiance."""
+
+    #: extra AOV names beyond "primal"
+    aovs = ()
+
+    def compute_pixel(self, scene: SceneData, pix, stream: RngStream):
+        raise NotImplementedError
+
+    # hook for meta-integrators (avg): does averaging make sense?
+    averaging = True
+
+
+def _pixel_grid(width, height):
+    ys, xs = np.mgrid[0:height, 0:width]
+    return np.stack([xs.ravel(), ys.ravel()], -1).astype(np.int32)
+
+
+def render(scene: SceneData, integrator: Integrator, spp: int, seed: int = 0,
+           spp_per_pass: int = 8, verbose: bool = False) -> Film:
+    """Monte Carlo render: returns the averaged film.
+
+    The spp loop is `lax.scan`-batched in chunks of `spp_per_pass` so a single
+    device launch amortizes dispatch latency (one compiled program regardless
+    of total spp)."""
+    cam = scene.camera
+    w, h = cam.width, cam.height
+    pix = jnp.asarray(_pixel_grid(w, h))
+    chunk = max(1, min(spp_per_pass, spp))
+
+    @jax.jit
+    def run_chunk(scene_, start_idx):
+        def one(acc, s):
+            stream = stream_fold(make_stream(seed), start_idx + s)
+            li = integrator.compute_pixel(scene_, pix, stream)
+            # guard invalid splats (reference accumulate_safe, mod.rs:160-175)
+            ok = jnp.all(jnp.isfinite(li), axis=-1) & jnp.all(li >= 0.0, axis=-1)
+            return acc + jnp.where(ok[:, None], li, 0.0), None
+        acc, _ = jax.lax.scan(one, jnp.zeros((h * w, 3), jnp.float32),
+                              jnp.arange(chunk, dtype=jnp.int32))
+        return acc
+
+    acc = jnp.zeros((h * w, 3), jnp.float32)
+    t0 = time.time()
+    done = 0
+    while done < spp:
+        n_here = min(chunk, spp - done)  # trailing partial chunk reuses program
+        acc = acc + run_chunk(scene, jnp.int32(done))
+        done += chunk
+    acc.block_until_ready()
+    spp_actual = done
+    if verbose:
+        dt = time.time() - t0
+        print(f"render: {spp_actual} spp in {dt:.2f}s "
+              f"({w*h*spp_actual/max(dt,1e-9)/1e6:.2f} Msamples/s)")
+
+    film = Film(w, h)
+    film.buffers["primal"] = np.asarray(acc.reshape(h, w, 3) / spp_actual)
+    return film

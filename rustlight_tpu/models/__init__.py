@@ -1,0 +1,2 @@
+from .cbox import cornell_box
+from .presets import simple_sphere_scene, furnace_scene

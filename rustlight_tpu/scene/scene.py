@@ -1,0 +1,152 @@
+"""Scene container: host-side description -> one device pytree.
+
+The reference `Scene` (src/scene.rs:16-131) owns meshes/camera/emitters/volume
+and `build_emitters()` wires the sampling structures. Here `Scene.compile()`
+flattens everything into `SceneData` — a single pytree of dense arrays that
+every integrator JIT-closes over. No object graph survives on device.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, List, NamedTuple, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..bsdfs import MaterialDesc, MaterialTable, build_material_table
+from ..utils.frame import make_frame, to_local
+from .camera import Camera
+from .emitters import EmitterTables, build_emitter_tables
+from .geometry import GeometryTables, TriMesh, build_geometry_tables, scene_bounds
+from .volume import HomogeneousVolume
+
+
+@struct.dataclass
+class SceneData:
+    camera: Camera
+    geom: GeometryTables
+    materials: MaterialTable
+    emitters: EmitterTables
+    volume: Optional[HomogeneousVolume]
+
+
+@dataclass
+class Scene:
+    """Host-side scene under construction."""
+    camera: Camera = None
+    meshes: List[TriMesh] = field(default_factory=list)
+    materials: List[MaterialDesc] = field(default_factory=list)
+    point_lights: List[Tuple] = field(default_factory=list)        # (pos, intensity)
+    directional_lights: List[Tuple] = field(default_factory=list)  # (dir, intensity)
+    env_constant: Optional[np.ndarray] = None
+    env_image: Optional[np.ndarray] = None
+    textures: Optional[np.ndarray] = None
+    volume: Optional[HomogeneousVolume] = None
+
+    def add_material(self, desc: MaterialDesc) -> int:
+        self.materials.append(desc)
+        return len(self.materials) - 1
+
+    def add_mesh(self, mesh: TriMesh) -> int:
+        self.meshes.append(mesh)
+        return len(self.meshes) - 1
+
+    def compile(self) -> SceneData:
+        if not self.materials:
+            self.materials = [MaterialDesc()]
+        # emitter ids per mesh (dense numbering over emissive meshes)
+        mesh_emitter_id, next_id = [], 0
+        for m in self.meshes:
+            if m.is_light:
+                mesh_emitter_id.append(next_id)
+                next_id += 1
+            else:
+                mesh_emitter_id.append(-1)
+
+        geom = build_geometry_tables(self.meshes, mesh_emitter_id)
+        _, _, center, radius = scene_bounds(self.meshes)
+        # reference includes the camera position in the scene bounds
+        if self.camera is not None:
+            cam_p = np.asarray(self.camera.position)
+            radius = max(radius, float(np.linalg.norm(cam_p - center)))
+        emitters = build_emitter_tables(
+            self.meshes, mesh_emitter_id, geom.n_pad,
+            points=self.point_lights,
+            directionals=self.directional_lights,
+            env_constant=self.env_constant,
+            env_image=self.env_image,
+            bsphere_center=center, bsphere_radius=radius,
+        )
+        materials = build_material_table(self.materials, textures=self.textures)
+        return SceneData(camera=self.camera, geom=geom, materials=materials,
+                         emitters=emitters, volume=self.volume)
+
+
+class Hit(NamedTuple):
+    """Wavefront intersection record (reference Intersection,
+    src/structure.rs:931-1060), SoA over lanes."""
+    valid: Any   # [n] bool
+    t: Any       # [n]
+    tri: Any     # [n] int32
+    p: Any       # [n, 3]
+    n_g: Any     # [n, 3] geometric normal (possibly flipped two-sided)
+    n_s: Any     # [n, 3] shading normal
+    uv: Any      # [n, 2]
+    frame: Any   # (t, b, n) shading frame
+    wi: Any      # [n, 3] local incoming (toward previous vertex)
+    mat: Any     # [n] int32 material id
+    is_light: Any  # [n] bool
+
+
+def fill_hit(scene: SceneData, o, d, rh, use_shading_normals: bool = True) -> Hit:
+    """Build the full intersection record from a RayHit.
+
+    Mirrors fill_intersection (src/structure.rs:965-1059): barycentric
+    normal/uv interpolation, shading-normal alignment with n_g, two-sided flip
+    for non-light two-sided materials.
+    """
+    g = scene.geom
+    tri = jnp.maximum(rh.tri, 0)
+    b0 = 1.0 - rh.u - rh.v
+
+    n_g = jnp.take(g.n_g, tri, axis=0)
+    vn = jnp.take(g.vn, tri, axis=0)                     # [n, 3, 3]
+    n_s_raw = (vn[:, 0] * b0[:, None] + vn[:, 1] * rh.u[:, None]
+               + vn[:, 2] * rh.v[:, None])
+    has_n = jnp.take(g.has_normals, tri) & use_shading_normals
+    # flip n_g toward interpolated shading normal
+    flip_g = jnp.sum(n_g * n_s_raw, axis=-1) < 0.0
+    n_g = jnp.where((has_n & flip_g)[:, None], -n_g, n_g)
+    l2 = jnp.sum(n_s_raw * n_s_raw, axis=-1, keepdims=True)
+    n_s = jnp.where(l2 > 0.0, n_s_raw / jnp.sqrt(jnp.maximum(l2, 1e-30)), n_g)
+    n_s = jnp.where(has_n[:, None], n_s, n_g)
+
+    vuv = jnp.take(g.vuv, tri, axis=0)
+    uv = (vuv[:, 0] * b0[:, None] + vuv[:, 1] * rh.u[:, None]
+          + vuv[:, 2] * rh.v[:, None])
+
+    mat = jnp.take(g.mat_id, tri)
+    is_light = jnp.take(g.emitter_id, tri) >= 0
+    two_sided = jnp.take(scene.materials.two_sided, mat)
+    backface = jnp.sum(d * n_s, axis=-1) > 0.0
+    do_flip = two_sided & (~is_light) & backface
+    n_s = jnp.where(do_flip[:, None], -n_s, n_s)
+    n_g = jnp.where(do_flip[:, None], -n_g, n_g)
+
+    p = o + d * rh.t[:, None]
+    frame = make_frame(n_s)
+    wi = to_local(frame, -d)
+    return Hit(valid=rh.hit, t=rh.t, tri=rh.tri, p=p, n_g=n_g, n_s=n_s, uv=uv,
+               frame=frame, wi=wi, mat=mat, is_light=is_light)
+
+
+def offset_ray_origin(p, n_g, d):
+    """Self-intersection-safe ray origin: offset p along +-n_g by a
+    magnitude-relative epsilon (the robust version of the reference's
+    `spawn_ray` absolute-tnear hack, src/structure.rs:717-731 — an absolute
+    1e-4 breaks down at Cornell-box scale in f32)."""
+    scale = jnp.max(jnp.abs(p), axis=-1)
+    eps = (1e-4 + 2e-5 * scale)[..., None]
+    sign = jnp.where(jnp.sum(n_g * d, axis=-1) >= 0.0, 1.0, -1.0)[..., None]
+    return p + n_g * eps * sign
