@@ -1,0 +1,140 @@
+"""Headline benchmark: cbox path tracing throughput on the local chip.
+
+Prints ONE JSON line: Mrays/s (primary + bounce + shadow rays / wall-clock)
+for the BASELINE config (cbox, path integrator, 128 spp).
+
+vs_baseline is measured against the BASELINE.json target of >= 100 Mrays/s
+aggregate on a v5e-8, i.e. 12.5 Mrays/s per chip.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from rustlight_tpu.models import cornell_box
+    from rustlight_tpu.integrators import IntegratorPathTracing
+    from rustlight_tpu.integrators.common import _pixel_grid
+    from rustlight_tpu.utils.rng import make_stream, stream_fold
+
+    width = height = 512
+    spp = 128
+    max_depth = 6
+    scene = cornell_box(width, height).compile()
+    integ = IntegratorPathTracing(max_depth=max_depth)
+    pix = jnp.asarray(_pixel_grid(width, height))
+
+    # ray counting: instrument one pass to count traced rays exactly
+    # (primary+bounce rays = one trace per live lane per bounce; shadow rays =
+    # one visibility ray per NEE-eligible lane per bounce)
+    chunk = 16
+
+    @jax.jit
+    def run_chunk(scene_, pix_, start):
+        def one(s, acc):
+            stream = stream_fold(make_stream(0), start + s)
+            li = integ.compute_pixel(scene_, pix_, stream)
+            return acc + li
+        return jax.lax.fori_loop(0, chunk, one,
+                                 jnp.zeros((pix_.shape[0], 3), jnp.float32))
+
+    # warm up / compile
+    run_chunk(scene, pix, jnp.int32(0)).block_until_ready()
+
+    t0 = time.time()
+    acc = jnp.zeros((pix.shape[0], 3), jnp.float32)
+    done = 0
+    while done < spp:
+        acc = acc + run_chunk(scene, pix, jnp.int32(done))
+        done += chunk
+    acc.block_until_ready()
+    dt = time.time() - t0
+
+    # Count rays on a measurement pass (host-side estimate of live lanes per
+    # bounce from the same RNG stream: re-run a counting variant once).
+    from rustlight_tpu.accel import intersect_rays
+    from rustlight_tpu.scene import generate_rays, fill_hit
+    from rustlight_tpu.bsdfs import bsdf_sample, bsdf_is_smooth
+    from rustlight_tpu.utils.rng import stream_next, stream_next2d
+
+    # statistical ray count: expected rays/sample-pass measured from one pass
+    # with the path tracer's own RR/termination behavior.
+    n = pix.shape[0]
+
+    @jax.jit
+    def count_rays(scene_, pix_):
+        from rustlight_tpu.integrators.path import _PathState
+        import jax.numpy as jnp
+
+        stream = stream_fold(make_stream(0), 0)
+        u_pix, stream = stream_next2d(stream, (n,))
+        o, d = generate_rays(scene_.camera, pix_.astype(jnp.float32) + u_pix)
+        # emulate the loop cheaply: count = sum over bounces of alive lanes*2
+        # (trace + shadow) — run the real integrator with counting
+        total = jnp.zeros((), jnp.float32)
+        li = integ.compute_pixel(scene_, pix_, stream_fold(make_stream(0), 0))
+        return li
+
+    # Analytic count: per pass, bounce b has alive_b lanes; measure via a
+    # dedicated light-weight loop.
+    @jax.jit
+    def alive_per_bounce(scene_, pix_):
+        from rustlight_tpu.utils.rng import make_stream as mk
+        stream = stream_fold(make_stream(0), 0)
+        u_pix, stream = stream_next2d(stream, (n,))
+        o, d = generate_rays(scene_.camera, pix_.astype(jnp.float32) + u_pix)
+        from rustlight_tpu.scene.scene import offset_ray_origin
+        from rustlight_tpu.utils.frame import to_world
+        from rustlight_tpu.utils.vec import channel_max
+
+        def body(carry, _):
+            o, d, alive, thr, stream, rays = carry
+            rh = intersect_rays(scene_.geom, o, d)
+            hit = fill_hit(scene_, o, d, rh)
+            lane = alive & hit.valid
+            rays = rays + jnp.sum(alive) + jnp.sum(lane)  # trace + shadow
+            u_sel, stream = stream_next(stream, (n,))
+            u_pos, stream = stream_next2d(stream, (n,))
+            u_b, stream = stream_next2d(stream, (n,))
+            bs = bsdf_sample(scene_.materials, hit.mat, hit.uv, hit.wi, u_b)
+            thr = thr * bs.weight
+            u_rr, stream = stream_next(stream, (n,))
+            rr_p = jnp.minimum(channel_max(thr), 0.95)
+            keep = u_rr < rr_p
+            alive = lane & bs.valid & keep
+            thr = thr / jnp.maximum(rr_p, 1e-8)[:, None]
+            d2 = to_world(hit.frame, bs.wo)
+            o2 = offset_ray_origin(hit.p, hit.n_g, d2)
+            return (o2, d2, alive, thr, stream, rays), None
+
+        init = (o, d, jnp.ones(n, bool), jnp.ones((n, 3)), stream,
+                jnp.zeros((), jnp.float32))
+        (o, d, alive, thr, stream, rays), _ = jax.lax.scan(
+            body, init, None, length=max_depth)
+        return rays
+
+    rays_per_pass = float(alive_per_bounce(scene, pix))
+    total_rays = rays_per_pass * spp
+    mrays = total_rays / dt / 1e6
+
+    print(json.dumps({
+        "metric": "cbox_path_128spp_throughput",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s/chip",
+        "vs_baseline": round(mrays / 12.5, 3),
+        "detail": {
+            "resolution": f"{width}x{height}",
+            "spp": spp,
+            "wall_s": round(dt, 3),
+            "rays_per_pass": int(rays_per_pass),
+            "mean_radiance": float(np.asarray(acc).mean() / spp),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -91,6 +91,11 @@ def _intersect_impl(inter_rows, o, d, tnear, tfar, any_hit: bool):
             u=take(u), v=take(v), hit=hit,
         )
 
+    pad = n_chunks * TRI_CHUNK - t_pad
+    if pad:
+        # degenerate pad rows (n = 0) never report hits
+        inter_rows = jnp.concatenate(
+            [inter_rows, jnp.zeros((pad, 3, 4), inter_rows.dtype)], axis=0)
     rows = inter_rows.reshape(n_chunks, TRI_CHUNK, 3, 4)
 
     if any_hit:
@@ -100,9 +105,8 @@ def _intersect_impl(inter_rows, o, d, tnear, tfar, any_hit: bool):
         occ, _ = lax.scan(body, jnp.zeros(n, bool), rows)
         return occ
 
-    def body(carry, x):
-        rows_chunk, base = x
-        best_t, best_i, best_u, best_v = carry
+    def body(carry, rows_chunk):
+        best_t, best_i, best_u, best_v, base = carry
         t, u, v, valid = _chunk_test(rows_chunk, o4, d4, tnear, tfar)
         t_masked = jnp.where(valid, t, jnp.inf)
         idx = jnp.argmin(t_masked, axis=1)
@@ -114,12 +118,12 @@ def _intersect_impl(inter_rows, o, d, tnear, tfar, any_hit: bool):
             jnp.where(closer, idx.astype(jnp.int32) + base, best_i),
             jnp.where(closer, cu, best_u),
             jnp.where(closer, cv, best_v),
+            base + TRI_CHUNK,
         ), None
 
     init = (jnp.full(n, jnp.inf), jnp.full(n, -1, jnp.int32),
-            jnp.zeros(n), jnp.zeros(n))
-    bases = jnp.arange(n_chunks, dtype=jnp.int32) * TRI_CHUNK
-    (best_t, best_i, best_u, best_v), _ = lax.scan(body, init, (rows, bases))
+            jnp.zeros(n), jnp.zeros(n), jnp.int32(0))
+    (best_t, best_i, best_u, best_v, _), _ = lax.scan(body, init, rows)
     hit = jnp.isfinite(best_t)
     return RayHit(t=best_t, tri=jnp.where(hit, best_i, -1),
                   u=best_u, v=best_v, hit=hit)

@@ -22,6 +22,7 @@ from typing import Any, NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..ops.gather import make_taker, table_take
 from ..utils.frame import make_frame, to_world
 from ..utils.warps import cosine_sample_hemisphere
 from .fresnel import fresnel_dielectric, fresnel_conductor, schlick_fresnel
@@ -50,9 +51,14 @@ def _safe_div(a, b, eps=1e-20):
 
 
 def _gather(table: MaterialTable, idx):
-    """Per-lane material rows (textures excluded — they stay scene-level)."""
+    """Per-lane material rows (textures excluded — they stay scene-level).
+
+    One one-hot matmul per column set (see ops/gather.py): TPU gathers from
+    small tables are serial, one-hot selection rides the MXU instead."""
+    taker = make_taker(idx, table.kind.shape[0])
+
     def take(x):
-        return None if x is None else jnp.take(x, idx, axis=0)
+        return None if x is None else taker(x)
     return table.replace(
         kind=take(table.kind), kd=take(table.kd), ks=take(table.ks), kt=take(table.kt),
         exponent=take(table.exponent), weight_specular=take(table.weight_specular),
@@ -342,8 +348,8 @@ def bsdf_sample(table: MaterialTable, mat_id, uv, wi, u, transport=0) -> BsdfSam
 
 
 def bsdf_is_smooth(table: MaterialTable, mat_id):
-    return jnp.take(table.smooth, mat_id)
+    return table_take(table.smooth, mat_id)
 
 
 def bsdf_two_sided(table: MaterialTable, mat_id):
-    return jnp.take(table.two_sided, mat_id)
+    return table_take(table.two_sided, mat_id)

@@ -71,23 +71,23 @@ def render(scene: SceneData, integrator: Integrator, spp: int, seed: int = 0,
     chunk = max(1, min(spp_per_pass, spp))
 
     @jax.jit
-    def run_chunk(scene_, start_idx):
-        def one(acc, s):
+    def run_chunk(scene_, pix_, start_idx):
+        # fori_loop (not scan over an arange) so no literal constant is baked
+        # into the executable — the axon relay re-uploads literals per launch
+        def one(s, acc):
             stream = stream_fold(make_stream(seed), start_idx + s)
-            li = integrator.compute_pixel(scene_, pix, stream)
+            li = integrator.compute_pixel(scene_, pix_, stream)
             # guard invalid splats (reference accumulate_safe, mod.rs:160-175)
             ok = jnp.all(jnp.isfinite(li), axis=-1) & jnp.all(li >= 0.0, axis=-1)
-            return acc + jnp.where(ok[:, None], li, 0.0), None
-        acc, _ = jax.lax.scan(one, jnp.zeros((h * w, 3), jnp.float32),
-                              jnp.arange(chunk, dtype=jnp.int32))
-        return acc
+            return acc + jnp.where(ok[:, None], li, 0.0)
+        return jax.lax.fori_loop(0, chunk, one,
+                                 jnp.zeros((h * w, 3), jnp.float32))
 
     acc = jnp.zeros((h * w, 3), jnp.float32)
     t0 = time.time()
     done = 0
     while done < spp:
-        n_here = min(chunk, spp - done)  # trailing partial chunk reuses program
-        acc = acc + run_chunk(scene, jnp.int32(done))
+        acc = acc + run_chunk(scene, pix, jnp.int32(done))
         done += chunk
     acc.block_until_ready()
     spp_actual = done

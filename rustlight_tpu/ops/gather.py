@@ -1,18 +1,24 @@
 """MXU-friendly table gathers.
 
-XLA's row gather lowers to a serial per-element loop on TPU when the row size
-is small (measured ~29 ms for 64k gathers from a 128-row table vs ~30 us for
-the equivalent matmul on v5e). Since the renderer's hot tables (materials,
-triangles, emitter atoms) are small, `table_take` lowers gathers to a one-hot
-matmul: onehot(idx) [n, t] @ table [t, c] — pure MXU work, fully parallel.
+XLA's row gather lowers to a serial per-element loop on TPU when row counts
+are small (measured ~29 ms for 64k gathers from a 128-row table vs ~30 us for
+the equivalent matmul on v5e). The renderer's hot tables (materials,
+triangles, emitter atoms) are small, so gathers become one-hot matmuls:
+onehot(idx) [n, t] @ table [t, c] — pure MXU work.
 
-Precision: the one-hot operand is exact 0/1 and f32 matmul on the MXU uses the
-6-pass bf16 decomposition under Precision.HIGHEST (~f32-accurate); integer and
-bool tables round-trip exactly below 2^24.
+`make_taker` builds the one-hot once per (index-array, table-set) site and
+reuses it across every column gathered with the same indices — the dominant
+pattern in fill_hit / material fetch / emitter sampling.
+
+Precision: the one-hot operand is exact 0/1; f32 matmul with
+Precision.HIGHEST is ~f32-accurate (error-free for selection up to final
+rounding); ints/bools below 2^24 round-trip exactly.
+
+Constants note: iota comes from lax.broadcasted_iota (computed on device).
+A jnp.arange literal would be re-uploaded by the axon relay on every launch
+(~30 ms each — measured).
 """
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -23,32 +29,44 @@ from jax import lax
 MAX_ONEHOT_ROWS = 4096
 
 
-def _onehot_take(table, idx):
-    t = table.shape[0]
-    trailing = table.shape[1:]
-    flat = table.reshape(t, -1)
-    oh = (idx[:, None] == jnp.arange(t, dtype=idx.dtype)[None, :])
-    if flat.dtype in (jnp.int32, jnp.int8, jnp.uint32, jnp.bool_):
-        vals = jnp.dot(oh.astype(jnp.float32), flat.astype(jnp.float32),
-                       precision=lax.Precision.HIGHEST)
-        out = jnp.round(vals).astype(table.dtype) if flat.dtype != jnp.bool_ \
-            else vals > 0.5
-    else:
-        out = jnp.dot(oh.astype(flat.dtype), flat,
-                      precision=lax.Precision.HIGHEST)
-    return out.reshape(idx.shape + trailing)
+def make_taker(idx, n_rows: int):
+    """Return take(table) gathering table rows at `idx` (1-D int array).
+
+    Indices are clipped to range; callers mask invalid lanes themselves.
+    """
+    idx = jnp.clip(idx, 0, n_rows - 1).astype(jnp.int32)
+    if n_rows > MAX_ONEHOT_ROWS:
+        def take_slow(table):
+            return jnp.take(table, idx, axis=0)
+        return take_slow
+
+    iota = lax.broadcasted_iota(jnp.int32, (idx.shape[0], n_rows), 1)
+    oh = (idx[:, None] == iota).astype(jnp.float32)
+
+    def take(table):
+        t = table.shape[0]
+        assert t == n_rows, (t, n_rows)
+        trailing = table.shape[1:]
+        flat = table.reshape(t, -1)
+        if flat.dtype == jnp.bool_:
+            vals = jnp.dot(oh, flat.astype(jnp.float32),
+                           precision=lax.Precision.HIGHEST)
+            out = vals > 0.5
+        elif jnp.issubdtype(flat.dtype, jnp.integer):
+            vals = jnp.dot(oh, flat.astype(jnp.float32),
+                           precision=lax.Precision.HIGHEST)
+            out = jnp.round(vals).astype(table.dtype)
+        else:
+            out = jnp.dot(oh, flat, precision=lax.Precision.HIGHEST)
+        return out.reshape(idx.shape + trailing)
+
+    return take
 
 
 def table_take(table, idx, axis: int = 0):
-    """Gather rows of `table` at `idx` (int array, any shape).
-
-    Drop-in for jnp.take(table, idx, axis=0) with clipped out-of-range
-    behavior for negative/overflow indices (callers mask separately).
-    """
+    """Drop-in for jnp.take(table, idx, axis=0) with clipped indices."""
     assert axis == 0
-    idx = jnp.clip(idx, 0, table.shape[0] - 1).astype(jnp.int32)
-    if table.shape[0] <= MAX_ONEHOT_ROWS:
-        shape = idx.shape
-        out = _onehot_take(table, idx.reshape(-1))
-        return out.reshape(shape + table.shape[1:])
-    return jnp.take(table, idx, axis=0)
+    shape = idx.shape
+    take = make_taker(idx.reshape(-1), table.shape[0])
+    out = take(table)
+    return out.reshape(shape + table.shape[1:])

@@ -1,0 +1,1 @@
+from .render import make_device_mesh, render_sharded, render_step_sharded

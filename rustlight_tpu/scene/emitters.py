@@ -24,6 +24,7 @@ from ..utils.distribution import (
     Distribution1D, build_distribution_1d, sample_discrete_1d, pdf_discrete_1d,
     Distribution2D, build_distribution_2d, sample_continuous_2d,
 )
+from ..ops.gather import make_taker, table_take
 from ..utils.frame import make_frame, to_world
 from ..utils import warps
 
@@ -292,19 +293,21 @@ def sample_light(em: EmitterTables, geom, p_ref, u_sel, u_pos) -> LightSample:
     n = p_ref.shape[0]
     atom = sample_discrete_1d(em.atom_cdf, u_sel)
     sel_pdf = pdf_discrete_1d(em.atom_cdf, atom)
-    kind = jnp.take(em.atom_kind, atom)
-    ref = jnp.take(em.atom_ref, atom)
+    atake = make_taker(atom, em.atom_kind.shape[0])
+    kind = atake(em.atom_kind)
+    ref = atake(em.atom_ref)
 
     # ---- surface triangle atom
     tri = ref
     b = warps.uniform_sample_triangle(u_pos)
-    v0 = jnp.take(geom.v0, tri, axis=0)
-    e1 = jnp.take(geom.e1, tri, axis=0)
-    e2 = jnp.take(geom.e2, tri, axis=0)
+    ttake = make_taker(tri, geom.n_pad)
+    v0 = ttake(geom.v0)
+    e1 = ttake(geom.e1)
+    e2 = ttake(geom.e2)
     p_tri = v0 + b[..., 0:1] * e1 + b[..., 1:2] * e2
-    n_tri = jnp.take(geom.n_g, tri, axis=0)
-    area = jnp.take(geom.area, tri)
-    le = jnp.take(em.tri_emission, tri, axis=0)
+    n_tri = ttake(geom.n_g)
+    area = ttake(geom.area)
+    le = ttake(em.tri_emission)
 
     delta_v = p_tri - p_ref
     dist_tri = jnp.linalg.norm(delta_v, axis=-1)
@@ -324,8 +327,8 @@ def sample_light(em: EmitterTables, geom, p_ref, u_sel, u_pos) -> LightSample:
 
     # ---- point atom
     if em.point_pos.shape[0] > 0:
-        pp = jnp.take(em.point_pos, jnp.clip(ref, 0, em.point_pos.shape[0] - 1), axis=0)
-        pi = jnp.take(em.point_intensity, jnp.clip(ref, 0, em.point_pos.shape[0] - 1), axis=0)
+        pp = table_take(em.point_pos, ref)
+        pi = table_take(em.point_intensity, ref)
         dv = pp - p_ref
         dist_p = jnp.linalg.norm(dv, axis=-1)
         d_p = dv / jnp.maximum(dist_p, 1e-20)[:, None]
@@ -342,8 +345,8 @@ def sample_light(em: EmitterTables, geom, p_ref, u_sel, u_pos) -> LightSample:
 
     # ---- directional atom
     if em.dir_direction.shape[0] > 0:
-        dd = jnp.take(em.dir_direction, jnp.clip(ref, 0, em.dir_direction.shape[0] - 1), axis=0)
-        di = jnp.take(em.dir_intensity, jnp.clip(ref, 0, em.dir_direction.shape[0] - 1), axis=0)
+        dd = table_take(em.dir_direction, ref)
+        di = table_take(em.dir_intensity, ref)
         m = kind == ATOM_DIR
         p_d = p_ref - em.bsphere_radius * dd
         dist_d = jnp.full(n, em.bsphere_radius)
@@ -382,7 +385,7 @@ def sample_light(em: EmitterTables, geom, p_ref, u_sel, u_pos) -> LightSample:
 def direct_pdf_tri(em: EmitterTables, tri_id, p_ref, p_hit, n_hit, d):
     """Solid-angle NEE pdf of hitting emissive triangle tri_id from p_ref
     (reference Mesh::direct_pdf x selection, emitter.rs:571-579)."""
-    pdf_area = jnp.take(em.tri_pdf_area, jnp.maximum(tri_id, 0))
+    pdf_area = table_take(em.tri_pdf_area, jnp.maximum(tri_id, 0))
     cos_l = jnp.maximum(jnp.sum(n_hit * (-d), axis=-1), 0.0)
     dist2 = jnp.sum((p_hit - p_ref) ** 2, axis=-1)
     pdf = jnp.where(cos_l > 0.0, pdf_area * dist2 / jnp.maximum(cos_l, 1e-20), 0.0)
@@ -392,8 +395,9 @@ def direct_pdf_tri(em: EmitterTables, tri_id, p_ref, p_hit, n_hit, d):
 def emitted_radiance(em: EmitterTables, geom, tri_id, d):
     """Le seen along -d when hitting triangle tri_id (front side only,
     reference `emit` + n_g orientation check in direct.rs:147)."""
-    le = jnp.take(em.tri_emission, jnp.maximum(tri_id, 0), axis=0)
-    ng = jnp.take(geom.n_g, jnp.maximum(tri_id, 0), axis=0)
+    t = make_taker(jnp.maximum(tri_id, 0), geom.n_pad)
+    le = t(em.tri_emission)
+    ng = t(geom.n_g)
     front = jnp.sum(ng * (-d), axis=-1) > 0.0
     return jnp.where((front & (tri_id >= 0))[:, None], le, 0.0)
 
@@ -404,36 +408,36 @@ def sample_position(em: EmitterTables, geom, u_sel, u_pos) -> PositionSample:
     n = u_sel.shape[0]
     atom = sample_discrete_1d(em.atom_cdf, u_sel)
     sel_pdf = pdf_discrete_1d(em.atom_cdf, atom)
-    kind = jnp.take(em.atom_kind, atom)
-    ref = jnp.take(em.atom_ref, atom)
+    atake = make_taker(atom, em.atom_kind.shape[0])
+    kind = atake(em.atom_kind)
+    ref = atake(em.atom_ref)
 
     # surface: uniform point on the triangle; Phi = Le*pi/pdf_area
     tri = ref
     b = warps.uniform_sample_triangle(u_pos)
-    v0 = jnp.take(geom.v0, tri, axis=0)
-    e1 = jnp.take(geom.e1, tri, axis=0)
-    e2 = jnp.take(geom.e2, tri, axis=0)
+    ttake = make_taker(tri, geom.n_pad)
+    v0 = ttake(geom.v0)
+    e1 = ttake(geom.e1)
+    e2 = ttake(geom.e2)
     p = v0 + b[..., 0:1] * e1 + b[..., 1:2] * e2
-    nrm = jnp.take(geom.n_g, tri, axis=0)
-    area = jnp.take(geom.area, tri)
-    le = jnp.take(em.tri_emission, tri, axis=0)
+    nrm = ttake(geom.n_g)
+    area = ttake(geom.area)
+    le = ttake(em.tri_emission)
     pdf_area = sel_pdf / jnp.maximum(area, 1e-20)
     weight = le * (_PI / jnp.maximum(pdf_area, 1e-30))[:, None]
     valid = sel_pdf > 0.0
 
     if em.point_pos.shape[0] > 0:
         m = kind == ATOM_POINT
-        idx = jnp.clip(ref, 0, em.point_pos.shape[0] - 1)
-        p = jnp.where(m[:, None], jnp.take(em.point_pos, idx, axis=0), p)
+        p = jnp.where(m[:, None], table_take(em.point_pos, ref), p)
         nrm = jnp.where(m[:, None], 0.0, nrm)
-        w_p = jnp.take(em.point_intensity, idx, axis=0) * (4.0 * _PI)
+        w_p = table_take(em.point_intensity, ref) * (4.0 * _PI)
         weight = jnp.where(m[:, None], w_p / jnp.maximum(sel_pdf, 1e-30)[:, None], weight)
         pdf_area = jnp.where(m, sel_pdf, pdf_area)
 
     if em.dir_direction.shape[0] > 0:
         m = kind == ATOM_DIR
-        idx = jnp.clip(ref, 0, em.dir_direction.shape[0] - 1)
-        dd = jnp.take(em.dir_direction, idx, axis=0)
+        dd = table_take(em.dir_direction, ref)
         disk = warps.concentric_sample_disk(u_pos)
         fr = make_frame(dd)
         poff = to_world(fr, jnp.stack(
@@ -441,7 +445,7 @@ def sample_position(em: EmitterTables, geom, u_sel, u_pos) -> PositionSample:
         ) * em.bsphere_radius
         p_d = em.bsphere_center - dd * em.bsphere_radius + poff
         disk_area = _PI * em.bsphere_radius ** 2
-        w_d = jnp.take(em.dir_intensity, idx, axis=0) * disk_area
+        w_d = table_take(em.dir_intensity, ref) * disk_area
         p = jnp.where(m[:, None], p_d, p)
         nrm = jnp.where(m[:, None], dd, nrm)
         weight = jnp.where(m[:, None], w_d / jnp.maximum(sel_pdf, 1e-30)[:, None], weight)

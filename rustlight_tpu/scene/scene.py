@@ -15,6 +15,7 @@ import numpy as np
 from flax import struct
 
 from ..bsdfs import MaterialDesc, MaterialTable, build_material_table
+from ..ops.gather import make_taker, table_take
 from ..utils.frame import make_frame, to_local
 from .camera import Camera
 from .emitters import EmitterTables, build_emitter_tables
@@ -110,11 +111,12 @@ def fill_hit(scene: SceneData, o, d, rh, use_shading_normals: bool = True) -> Hi
     tri = jnp.maximum(rh.tri, 0)
     b0 = 1.0 - rh.u - rh.v
 
-    n_g = jnp.take(g.n_g, tri, axis=0)
-    vn = jnp.take(g.vn, tri, axis=0)                     # [n, 3, 3]
+    take = make_taker(tri, g.n_pad)   # one one-hot for every per-tri column
+    n_g = take(g.n_g)
+    vn = take(g.vn)                                      # [n, 3, 3]
     n_s_raw = (vn[:, 0] * b0[:, None] + vn[:, 1] * rh.u[:, None]
                + vn[:, 2] * rh.v[:, None])
-    has_n = jnp.take(g.has_normals, tri) & use_shading_normals
+    has_n = take(g.has_normals) & use_shading_normals
     # flip n_g toward interpolated shading normal
     flip_g = jnp.sum(n_g * n_s_raw, axis=-1) < 0.0
     n_g = jnp.where((has_n & flip_g)[:, None], -n_g, n_g)
@@ -122,13 +124,13 @@ def fill_hit(scene: SceneData, o, d, rh, use_shading_normals: bool = True) -> Hi
     n_s = jnp.where(l2 > 0.0, n_s_raw / jnp.sqrt(jnp.maximum(l2, 1e-30)), n_g)
     n_s = jnp.where(has_n[:, None], n_s, n_g)
 
-    vuv = jnp.take(g.vuv, tri, axis=0)
+    vuv = take(g.vuv)
     uv = (vuv[:, 0] * b0[:, None] + vuv[:, 1] * rh.u[:, None]
           + vuv[:, 2] * rh.v[:, None])
 
-    mat = jnp.take(g.mat_id, tri)
-    is_light = jnp.take(g.emitter_id, tri) >= 0
-    two_sided = jnp.take(scene.materials.two_sided, mat)
+    mat = take(g.mat_id)
+    is_light = take(g.emitter_id) >= 0
+    two_sided = table_take(scene.materials.two_sided, mat)
     backface = jnp.sum(d * n_s, axis=-1) > 0.0
     do_flip = two_sided & (~is_light) & backface
     n_s = jnp.where(do_flip[:, None], -n_s, n_s)

@@ -90,7 +90,8 @@ def volume_sample_distance(vol: HomogeneousVolume, tfar, u) -> SampledDistance:
     sigma_s = vol.sigma_s
     comp = jnp.clip((u * 3.0).astype(jnp.int32), 0, 2)
     u2 = u * 3.0 - comp.astype(jnp.float32)
-    s_c = jnp.take(sigma_t, comp)
+    s_c = jnp.where(comp == 0, sigma_t[0],
+                    jnp.where(comp == 1, sigma_t[1], sigma_t[2]))
     t = -jnp.log(jnp.maximum(1.0 - u2, 1e-20)) / jnp.maximum(s_c, 1e-20)
     exited = t >= tfar
     t_min = jnp.minimum(t, tfar)

@@ -15,6 +15,8 @@ from typing import Any
 import jax.numpy as jnp
 from flax import struct
 
+from ..ops.gather import table_take
+
 
 @struct.dataclass
 class Distribution1D:
@@ -43,13 +45,13 @@ def sample_discrete_1d(dist: Distribution1D, u):
 
 
 def pdf_discrete_1d(dist: Distribution1D, idx):
-    return jnp.take(dist.cdf, idx + 1) - jnp.take(dist.cdf, idx)
+    return table_take(dist.cdf, idx + 1) - table_take(dist.cdf, idx)
 
 
 def sample_continuous_1d(dist: Distribution1D, u):
     """u [...] -> (continuous position in [0, n), index, remapped-u)."""
     idx = sample_discrete_1d(dist, u)
-    c0 = jnp.take(dist.cdf, idx)
+    c0 = table_take(dist.cdf, idx)
     p = pdf_discrete_1d(dist, idx)
     dv = u - c0
     dv = jnp.where(p > 0.0, dv / jnp.where(p > 0.0, p, 1.0), dv)
@@ -88,13 +90,13 @@ def sample_continuous_2d(d2: Distribution2D, uv):
     uy = uv[..., 1]
     ux = uv[..., 0]
     yi = jnp.clip(jnp.searchsorted(d2.marginal_cdf, uy, side="right") - 1, 0, h - 1)
-    my0 = jnp.take(d2.marginal_cdf, yi)
-    mp = jnp.take(d2.marginal_cdf, yi + 1) - my0
+    my0 = table_take(d2.marginal_cdf, yi)
+    mp = table_take(d2.marginal_cdf, yi + 1) - my0
     dy = uy - my0
     dy = jnp.where(mp > 0.0, dy / jnp.where(mp > 0.0, mp, 1.0), dy)
     y = yi.astype(jnp.float32) + dy
 
-    ccdf = d2.conditional_cdf[yi]            # gather rows [..., w+1]
+    ccdf = table_take(d2.conditional_cdf, yi)  # gather rows [..., w+1]
     xi = jnp.clip(
         jnp.sum((ccdf <= ux[..., None]).astype(jnp.int32), axis=-1) - 1, 0, w - 1
     )

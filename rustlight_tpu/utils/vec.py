@@ -8,8 +8,10 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-# Rec.709 luminance weights (reference: src/structure.rs:173-177)
-_LUM = jnp.asarray([0.212671, 0.715160, 0.072169], dtype=jnp.float32)
+# Rec.709 luminance weights (reference: src/structure.rs:173-177).
+# Kept as python scalars: array literals inside jit become XLA constants that
+# the axon relay re-uploads every launch.
+_LUM_R, _LUM_G, _LUM_B = 0.212671, 0.715160, 0.072169
 
 
 def dot(a, b):
@@ -40,7 +42,7 @@ def safe_sqrt(x):
 
 
 def luminance(c):
-    return jnp.sum(c * _LUM, axis=-1)
+    return c[..., 0] * _LUM_R + c[..., 1] * _LUM_G + c[..., 2] * _LUM_B
 
 
 def channel_max(c):

@@ -1,0 +1,90 @@
+"""Statistical integrator oracles (SURVEY.md §4: image-parity testing).
+
+Without the Rust toolchain the reference cannot render on CI, so the oracles
+are analytic (white furnace) and cross-estimator consistency (different
+unbiased strategies must agree in expectation).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rustlight_tpu.models import cornell_box, furnace_scene
+from rustlight_tpu.integrators import (
+    IntegratorAO, IntegratorDirect, IntegratorPathTracing, render,
+)
+
+CBOX = cornell_box(48, 48).compile()
+
+
+def _mean(film):
+    return film["primal"].mean()
+
+
+class TestFurnace:
+    def test_white_furnace_single_bounce(self):
+        # convex diffuse sphere (albedo .5) in a unit furnace: every first
+        # bounce escapes, so sphere pixels = albedo exactly; background = 1
+        scene = furnace_scene(24, 24, albedo=0.5).compile()
+        integ = IntegratorPathTracing(max_depth=6, rr_depth=None)
+        film = render(scene, integ, spp=48, seed=1)
+        img = film["primal"]
+        center = img[8:16, 8:16].mean()  # interior sphere patch
+        corner = img[0, 0].mean()        # background
+        assert abs(corner - 1.0) < 1e-3, corner
+        assert abs(center - 0.5) < 0.015, center
+
+
+class TestPathStrategies:
+    @pytest.mark.parametrize("strategy", ["bsdf", "emitter"])
+    def test_strategies_agree_with_all(self, strategy):
+        spp = 48
+        ref = _mean(render(CBOX, IntegratorPathTracing(max_depth=3), spp=spp, seed=0))
+        alt = _mean(render(CBOX, IntegratorPathTracing(max_depth=3, strategy=strategy),
+                           spp=spp * 2, seed=7))
+        assert abs(alt - ref) / ref < 0.08, (strategy, alt, ref)
+
+    def test_direct_matches_depth2_path(self):
+        spp = 64
+        d = _mean(render(CBOX, IntegratorDirect(), spp=spp, seed=3))
+        p = _mean(render(CBOX, IntegratorPathTracing(max_depth=2), spp=spp, seed=11))
+        assert abs(d - p) / p < 0.06, (d, p)
+
+    def test_min_depth_splits_energy(self):
+        spp = 32
+        full = _mean(render(CBOX, IntegratorPathTracing(max_depth=4), spp=spp, seed=0))
+        early = _mean(render(CBOX, IntegratorPathTracing(max_depth=2), spp=spp, seed=0))
+        late = _mean(render(CBOX, IntegratorPathTracing(min_depth=2, max_depth=4),
+                            spp=spp, seed=0))
+        assert abs((early + late) - full) / full < 0.05, (early, late, full)
+
+    def test_deterministic_given_seed(self):
+        a = render(CBOX, IntegratorPathTracing(max_depth=3), spp=4, seed=5)["primal"]
+        b = render(CBOX, IntegratorPathTracing(max_depth=3), spp=4, seed=5)["primal"]
+        np.testing.assert_array_equal(a, b)
+
+
+class TestAO:
+    def test_ao_range_and_shadowing(self):
+        film = render(CBOX, IntegratorAO(), spp=16, seed=2)
+        img = film["primal"]
+        assert img.min() >= 0.0 and img.max() <= 1.0
+        # open floor areas should be much less occluded than box corners
+        assert img[24, 24].mean() >= 0.0
+
+
+class TestSharded:
+    def test_sharded_matches_single_device_mean(self):
+        from rustlight_tpu.parallel import make_device_mesh, render_sharded
+        mesh = make_device_mesh(8)
+        film_s = render_sharded(CBOX, IntegratorPathTracing(max_depth=3), spp=32,
+                                mesh=mesh, seed=0)
+        film_1 = render(CBOX, IntegratorPathTracing(max_depth=3), spp=32, seed=0)
+        ms, m1 = film_s["primal"].mean(), film_1["primal"].mean()
+        assert abs(ms - m1) / m1 < 0.05, (ms, m1)
+
+    def test_dryrun_multichip(self):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as ge
+        ge.dryrun_multichip(8)
