@@ -53,6 +53,17 @@ class Integrator:
     averaging = True
 
 
+class SplattingIntegrator:
+    """Base for image-space splatting integrators (light tracing, MCMC):
+    `trace_paths(scene, n, stream) -> (pixel_ids, values)` — contributions
+    scatter-add into the film (P2 in SURVEY.md §2.10)."""
+
+    averaging = True
+
+    def trace_paths(self, scene: SceneData, n: int, stream: RngStream):
+        raise NotImplementedError
+
+
 def _pixel_grid(width, height):
     ys, xs = np.mgrid[0:height, 0:width]
     return np.stack([xs.ravel(), ys.ravel()], -1).astype(np.int32)
@@ -98,4 +109,42 @@ def render(scene: SceneData, integrator: Integrator, spp: int, seed: int = 0,
 
     film = Film(w, h)
     film.buffers["primal"] = np.asarray(acc.reshape(h, w, 3) / spp_actual)
+    return film
+
+
+def render_splat(scene: SceneData, integrator: SplattingIntegrator, spp: int,
+                 seed: int = 0, paths_per_pass: Optional[int] = None,
+                 verbose: bool = False) -> Film:
+    """Render with a splatting integrator.
+
+    Total light paths = spp * w * h (reference light.rs:230-233); the film is
+    scatter-added on device and finally scaled by w*h/total_paths."""
+    cam = scene.camera
+    w, h = cam.width, cam.height
+    total = spp * w * h
+    n = paths_per_pass or min(total, w * h)
+
+    @jax.jit
+    def one_pass(scene_, pass_idx):
+        stream = stream_fold(make_stream(seed), pass_idx)
+        pids, vals = integrator.trace_paths(scene_, n, stream)
+        ok = jnp.all(jnp.isfinite(vals), axis=-1) & jnp.all(vals >= 0.0, axis=-1)
+        vals = jnp.where(ok[:, None], vals, 0.0)
+        film = jnp.zeros((h * w, 3), jnp.float32)
+        return film.at[pids].add(vals, mode="drop")
+
+    acc = jnp.zeros((h * w, 3), jnp.float32)
+    t0 = time.time()
+    done = 0
+    p = 0
+    while done < total:
+        acc = acc + one_pass(scene, jnp.int32(p))
+        done += n
+        p += 1
+    acc.block_until_ready()
+    if verbose:
+        print(f"render_splat: {done} paths in {time.time()-t0:.2f}s")
+
+    film = Film(w, h)
+    film.buffers["primal"] = np.asarray(acc.reshape(h, w, 3)) * (w * h / done)
     return film
