@@ -20,5 +20,24 @@ Layout (mirrors the reference's layer map, SURVEY.md §1):
 
 __version__ = "0.1.0"
 
+# Persistent XLA compilation cache: render programs are large and this
+# environment's (remote) compiles are slow; caching drops warm-up from minutes
+# to seconds. Opt out with RUSTLIGHT_TPU_NO_COMPILE_CACHE=1.
+import os as _os
+
+if not _os.environ.get("RUSTLIGHT_TPU_NO_COMPILE_CACHE"):
+    try:
+        import jax as _jax
+        # separate cache per backend: AOT CPU executables are machine-specific
+        _plat = _os.environ.get("JAX_PLATFORMS", "dev") or "dev"
+        _cache_dir = _os.environ.get(
+            "RUSTLIGHT_TPU_COMPILE_CACHE",
+            _os.path.expanduser(f"~/.jax_cache_{_plat.split(',')[0]}"))
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
 EPSILON = 1e-4  # ray epsilon, mirrors reference src/lib.rs:50-53
 ONE_MINUS_EPSILON = 1.0 - 1e-7

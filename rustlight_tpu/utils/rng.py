@@ -48,3 +48,55 @@ def stream_next2d(stream: RngStream, shape=()) -> Tuple[Any, RngStream]:
 def stream_fold(stream: RngStream, data) -> RngStream:
     """Derive an independent sub-stream (e.g. per sample-pass or per device)."""
     return RngStream(key=jax.random.fold_in(stream.key, data), counter=jnp.int32(0))
+
+
+@struct.dataclass
+class ArrayStream:
+    """Primary-sample-space stream: dimensions read from an explicit array.
+
+    The TPU-native replacement for the reference's lazily-mutated replay
+    sampler (src/samplers/mcmc.rs:69-221): every MCMC chain keeps a dense
+    [n_dims] vector of primary samples; all chains advance in lockstep and a
+    `stream_next` reads one column. Reading past n_dims wraps with a decorrelating
+    hash-like reindex (matches the reference's fallback to fresh uniforms only
+    in effect: wavefront integrators consume a fixed dimension count, so the
+    wrap is a safety net)."""
+    values: Any   # [n, d]
+    counter: Any  # scalar int32
+
+
+def make_array_stream(values) -> ArrayStream:
+    return ArrayStream(values=values, counter=jnp.int32(0))
+
+
+def _array_col(stream: ArrayStream, offset):
+    d = stream.values.shape[1]
+    idx = jnp.remainder(stream.counter + offset, d)
+    return jax.lax.dynamic_index_in_dim(stream.values, idx, axis=1, keepdims=False)
+
+
+def astream_next(stream: ArrayStream, shape=()):
+    u = _array_col(stream, 0)
+    return u, stream.replace(counter=stream.counter + 1)
+
+
+def astream_next2d(stream: ArrayStream, shape=()):
+    u = jnp.stack([_array_col(stream, 0), _array_col(stream, 1)], axis=-1)
+    return u, stream.replace(counter=stream.counter + 2)
+
+
+# polymorphic front-ends: integrators call these regardless of stream type
+_orig_stream_next = stream_next
+_orig_stream_next2d = stream_next2d
+
+
+def stream_next(stream, shape=()):  # noqa: F811
+    if isinstance(stream, ArrayStream):
+        return astream_next(stream, shape)
+    return _orig_stream_next(stream, shape)
+
+
+def stream_next2d(stream, shape=()):  # noqa: F811
+    if isinstance(stream, ArrayStream):
+        return astream_next2d(stream, shape)
+    return _orig_stream_next2d(stream, shape)

@@ -1,0 +1,34 @@
+"""MCMC integrator tests: PSSMLT consistency with the plain path tracer."""
+import numpy as np
+
+from rustlight_tpu.models import cornell_box
+from rustlight_tpu.integrators import IntegratorPathTracing, render
+from rustlight_tpu.integrators.mcmc import IntegratorPSSMLT
+from rustlight_tpu.samplers import kelemen_mutate
+import jax
+import jax.numpy as jnp
+
+
+class TestKelemen:
+    def test_range_and_locality(self):
+        v = jax.random.uniform(jax.random.PRNGKey(0), (10000,))
+        r = jax.random.uniform(jax.random.PRNGKey(1), (10000,))
+        vp = np.asarray(kelemen_mutate(v, r))
+        assert (vp >= 0).all() and (vp < 1).all()
+        # most mutations are small (s2 = 1/64 scale)
+        delta = np.abs(vp - np.asarray(v))
+        delta = np.minimum(delta, 1 - delta)  # wrap distance
+        assert np.median(delta) < 0.01
+        assert delta.max() <= 1.0 / 64.0 + 1e-6
+
+
+class TestPSSMLT:
+    def test_mean_converges_to_path_tracer(self):
+        sc = cornell_box(32, 32).compile()
+        inner = IntegratorPathTracing(max_depth=4, hard_cap=4)
+        mlt = IntegratorPSSMLT(inner, nb_samples_norm=8192, nb_chains=2048)
+        film = mlt.render(sc, spp=64, seed=0)
+        ref = render(sc, inner, spp=32, seed=1)
+        m, r = film["primal"].mean(), ref["primal"].mean()
+        assert abs(m - r) / r < 0.15, (m, r)
+        assert film["primal"].min() >= 0.0
