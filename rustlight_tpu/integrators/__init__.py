@@ -4,3 +4,5 @@ from .ao import IntegratorAO
 from .direct import IntegratorDirect
 from .path import IntegratorPathTracing, STRATEGY_ALL, STRATEGY_BSDF, STRATEGY_EMITTER
 from .light import IntegratorLightTracing
+from .vpl import IntegratorVPL
+from .meta import IntegratorAverage, IntegratorEqualTime

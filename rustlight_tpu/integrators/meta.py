@@ -1,0 +1,101 @@
+"""Meta-integrators: pass averaging and equal-time rendering.
+
+Reference: src/integrators/avg.rs (running average across passes, optional
+timeout, per-iteration dumps + `<out>_time.csv` timeline) and
+src/integrators/equal_time.rs (repeat passes until a wall-clock budget,
+report achieved spp).
+"""
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from ..utils.film import Film
+from .common import Integrator, SplattingIntegrator, render, render_splat
+
+
+def _render_once(scene, integrator, spp, seed):
+    if isinstance(integrator, SplattingIntegrator):
+        return render_splat(scene, integrator, spp, seed=seed)
+    if hasattr(integrator, "render"):           # self-driving (MCMC)
+        return integrator.render(scene, spp, seed=seed)
+    return render(scene, integrator, spp, seed=seed)
+
+
+class IntegratorAverage:
+    """Average repeated passes; `timeout_s=None` runs `nb_passes` passes,
+    otherwise loops until the wall-clock budget (reference `-a`)."""
+
+    def __init__(self, integrator, spp_per_pass: int = 1,
+                 nb_passes: Optional[int] = None,
+                 timeout_s: Optional[float] = None,
+                 dump_base: Optional[str] = None):
+        assert nb_passes is not None or timeout_s is not None
+        self.integrator = integrator
+        self.spp_per_pass = spp_per_pass
+        self.nb_passes = nb_passes
+        self.timeout_s = timeout_s
+        self.dump_base = dump_base
+
+    def render(self, scene, seed: int = 0, verbose: bool = False) -> Film:
+        t0 = time.time()
+        avg: Optional[Film] = None
+        timeline = []
+        it = 0
+        averaging = getattr(self.integrator, "averaging", True)
+        while True:
+            film = _render_once(scene, self.integrator, self.spp_per_pass,
+                                seed + it)
+            if avg is None or not averaging:
+                avg = film
+            else:
+                avg.average_with(film, it)
+            it += 1
+            timeline.append((time.time() - t0, it))
+            if self.dump_base:
+                avg.save(f"{self.dump_base}_{it}.pfm")
+            if self.timeout_s is not None:
+                if time.time() - t0 >= self.timeout_s:
+                    break
+            elif it >= self.nb_passes:
+                break
+        if self.dump_base:
+            # per-pass cumulative time CSV (avg.rs:97-106)
+            with open(f"{self.dump_base}_time.csv", "w") as f:
+                for t, i in timeline:
+                    f.write(f"{t},{i}\n")
+        if verbose:
+            print(f"avg: {it} passes in {time.time()-t0:.2f}s")
+        return avg
+
+
+class IntegratorEqualTime:
+    """Render passes until `target_s` elapsed; reports achieved spp
+    (reference `-e`)."""
+
+    def __init__(self, integrator, target_s: float, spp_per_pass: int = 1):
+        self.integrator = integrator
+        self.target_s = target_s
+        self.spp_per_pass = spp_per_pass
+        self.achieved_spp = 0
+
+    def render(self, scene, seed: int = 0, verbose: bool = False) -> Film:
+        t0 = time.time()
+        acc: Optional[Film] = None
+        passes = 0
+        while time.time() - t0 < self.target_s or passes == 0:
+            film = _render_once(scene, self.integrator, self.spp_per_pass,
+                                seed + passes)
+            if acc is None:
+                acc = film
+            else:
+                acc.average_with(film, passes)
+            passes += 1
+        self.achieved_spp = passes * self.spp_per_pass
+        if verbose:
+            print(f"equal_time: achieved {self.achieved_spp} spp "
+                  f"in {time.time()-t0:.2f}s")
+        return acc

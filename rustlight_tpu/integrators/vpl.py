@@ -1,0 +1,238 @@
+"""Virtual point lights (instant radiosity).
+
+Reference: src/integrators/explicit/vpl.rs — phase 1 shoots light paths and
+deposits Emitter/Surface(/Volume) VPLs; phase 2 gathers every VPL at every
+shading point.
+
+TPU redesign (P7 in SURVEY.md §2.10): the shoot pass is a light-path
+wavefront depositing VPLs into fixed [paths, bounces] slots; the gather pass
+is a *dense pairwise* [pixels x VPL-chunk] evaluation — visibility rays and
+BSDF products over the full cartesian product, scanned over VPL chunks.
+That shape (every pixel against every light) is exactly what the MXU wants.
+
+`clamping_factor` is declared but never applied in the reference
+(vpl.rs:20); here it optionally clamps the 1/dist^2 geometry term
+(dist^2 >= clamping_factor) — leave None for reference behavior.
+"""
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..accel import intersect_rays, visible
+from ..bsdfs import bsdf_eval, bsdf_sample, bsdf_is_smooth
+from ..bsdfs.table import TRANSPORT_IMPORTANCE, TRANSPORT_RADIANCE
+from ..scene import (
+    fill_hit, generate_rays, sample_position, sample_emission_direction,
+    emitted_radiance, env_radiance,
+)
+from ..scene.emitters import ATOM_TRI, ATOM_DIR
+from ..scene.scene import offset_ray_origin
+from ..utils.frame import to_world, to_local, make_frame
+from ..utils.rng import stream_next, stream_next2d, stream_fold, make_stream
+from ..utils.vec import channel_max, normalize
+from .common import Integrator
+
+_PI = jnp.pi
+
+VPL_NONE = 0
+VPL_EMITTER = 1
+VPL_EMITTER_INF = 2
+VPL_SURFACE = 3
+
+
+class VplSet(NamedTuple):
+    kind: Any      # [v] int32
+    pos: Any       # [v, 3]
+    n: Any         # [v, 3] (emitter normal / shading normal; direction for inf)
+    frame_t: Any   # [v, 3]
+    frame_b: Any   # [v, 3]
+    wi: Any        # [v, 3] local incoming at surface VPLs
+    uv: Any        # [v, 2]
+    mat: Any       # [v] int32
+    radiance: Any  # [v, 3] accumulated flux
+    norm: Any      # scalar 1/paths_shot
+
+
+class IntegratorVPL(Integrator):
+    def __init__(self, nb_vpl: int = 128, max_depth: Optional[int] = None,
+                 rr_depth: Optional[int] = 0,
+                 clamping_factor: Optional[float] = None,
+                 vpl_chunk: int = 16, hard_cap: int = 8):
+        self.nb_vpl = nb_vpl
+        self.max_depth = max_depth
+        self.rr_depth = rr_depth
+        self.clamping = clamping_factor
+        self.vpl_chunk = vpl_chunk
+        self.cap = hard_cap if max_depth is None else min(hard_cap, max_depth)
+
+    # ------------------------------------------------------------ shoot pass
+    def generate_vpls(self, scene, stream) -> VplSet:
+        """Shoot ceil(nb_vpl/(cap+1)) light paths, depositing one VPL slot per
+        vertex. Bounces use Transport::Radiance (vpl.rs:317)."""
+        n = max(1, self.nb_vpl // (self.cap + 1))
+        u_sel, stream = stream_next(stream, (n,))
+        u_pos, stream = stream_next2d(stream, (n,))
+        ps = sample_position(scene.emitters, scene.geom, u_sel, u_pos)
+        flux = ps.weight
+
+        zero3 = jnp.zeros((n, 3), jnp.float32)
+        # slot 0: emitter VPL
+        is_inf = ps.kind == ATOM_DIR
+        kind0 = jnp.where(ps.valid,
+                          jnp.where(is_inf, VPL_EMITTER_INF, VPL_EMITTER),
+                          VPL_NONE)
+        slot0 = dict(kind=kind0, pos=ps.p, n=ps.n, frame_t=zero3, frame_b=zero3,
+                     wi=zero3, uv=jnp.zeros((n, 2)), mat=jnp.zeros(n, jnp.int32),
+                     radiance=flux)
+
+        u_dir, stream = stream_next2d(stream, (n,))
+        d, pdf_dir, w_dir = sample_emission_direction(scene.emitters, ps, u_dir)
+        throughput = flux * w_dir
+        o = offset_ray_origin(ps.p, ps.n, d)
+        alive = ps.valid & (pdf_dir > 0.0)
+
+        def body(carry, k):
+            o, d, throughput, alive, stream = carry
+            rh = intersect_rays(scene.geom, o, d)
+            hit = fill_hit(scene, o, d, rh)
+            lane = alive & hit.valid
+            smooth = bsdf_is_smooth(scene.materials, hit.mat)
+            t, b, nn = hit.frame
+            deposit = lane & (~smooth)
+            slot = dict(
+                kind=jnp.where(deposit, VPL_SURFACE, VPL_NONE),
+                pos=hit.p, n=hit.n_s, frame_t=t, frame_b=b, wi=hit.wi,
+                uv=hit.uv, mat=hit.mat, radiance=throughput)
+
+            u_b, stream = stream_next2d(stream, (n,))
+            bs = bsdf_sample(scene.materials, hit.mat, hit.uv, hit.wi, u_b,
+                             TRANSPORT_RADIANCE)
+            new_thr = throughput * bs.weight
+            u_rr, stream = stream_next(stream, (n,))
+            if self.rr_depth is None:
+                keep = jnp.ones(n, bool); rr_w = jnp.ones(n)
+            else:
+                do_rr = (k + 1) >= self.rr_depth
+                rr_p = jnp.minimum(channel_max(new_thr), 0.95)
+                keep = jnp.where(do_rr, u_rr < rr_p, True)
+                rr_w = jnp.where(do_rr & keep, 1.0 / jnp.maximum(rr_p, 1e-8), 1.0)
+            new_thr = new_thr * rr_w[:, None]
+            expand = (self.max_depth is None) | (k + 1 < (self.max_depth or 0))
+            alive_new = lane & bs.valid & keep & jnp.asarray(expand) \
+                & (channel_max(new_thr) > 0.0)
+            d_new = to_world(hit.frame, bs.wo)
+            o_new = offset_ray_origin(hit.p, hit.n_g, d_new)
+            return ((jnp.where(alive_new[:, None], o_new, o),
+                     jnp.where(alive_new[:, None], d_new, d),
+                     jnp.where(alive_new[:, None], new_thr, throughput),
+                     alive_new, stream), slot)
+
+        ks = lax.broadcasted_iota(jnp.int32, (self.cap,), 0)
+        _, slots = lax.scan(body, (o, d, throughput, alive, stream), ks)
+
+        def cat(key):
+            return jnp.concatenate([slot0[key][None], slots[key]], 0).reshape(
+                (self.cap + 1) * n, *slot0[key].shape[1:])
+
+        return VplSet(kind=cat("kind"), pos=cat("pos"), n=cat("n"),
+                      frame_t=cat("frame_t"), frame_b=cat("frame_b"),
+                      wi=cat("wi"), uv=cat("uv"), mat=cat("mat"),
+                      radiance=cat("radiance"),
+                      norm=jnp.float32(1.0 / n))
+
+    # ----------------------------------------------------------- gather pass
+    def _gather_surface(self, scene, hit, front, vpls: VplSet):
+        n = hit.p.shape[0]
+        vc = self.vpl_chunk
+        v_total = vpls.kind.shape[0]
+        n_chunks = (v_total + vc - 1) // vc
+        pad = n_chunks * vc - v_total
+
+        def padv(x):
+            if pad == 0:
+                return x
+            return jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], 0)
+
+        fields = vpls._asdict()
+        fields.pop("norm")
+        chunks = {k: padv(v).reshape(n_chunks, vc, *v.shape[1:])
+                  for k, v in fields.items()}
+
+        smooth = bsdf_is_smooth(scene.materials, hit.mat)
+
+        def body(acc, chunk):
+            # pairwise [n, vc] -> flattened [n*vc]
+            def bc_p(x):   # pixel-side broadcast
+                return jnp.repeat(x, vc, axis=0)
+            def bc_v(x):   # vpl-side broadcast
+                return jnp.tile(x, (n,) + (1,) * (x.ndim - 1))
+
+            p_pix = bc_p(hit.p)
+            n_pix = bc_p(hit.n_g)
+            delta = bc_v(chunk['pos']) - p_pix
+            dist2 = jnp.sum(delta * delta, axis=-1)
+            dist = jnp.sqrt(jnp.maximum(dist2, 1e-20))
+            dir_ = delta / dist[:, None]
+            kind = bc_v(chunk['kind'])
+            inf_vpl = kind == VPL_EMITTER_INF
+            dir_ = jnp.where(inf_vpl[:, None], -bc_v(chunk['n']), dir_)
+
+            # shading-point BSDF (Transport::Importance)
+            frame_pix = (bc_p(hit.frame[0]), bc_p(hit.frame[1]), bc_p(hit.frame[2]))
+            wo_loc = jnp.stack([jnp.sum(dir_ * frame_pix[0], -1),
+                                jnp.sum(dir_ * frame_pix[1], -1),
+                                jnp.sum(dir_ * frame_pix[2], -1)], -1)
+            f_pix = bsdf_eval(scene.materials, bc_p(hit.mat), bc_p(hit.uv),
+                              bc_p(hit.wi), wo_loc, TRANSPORT_IMPORTANCE)
+
+            # VPL-side emission toward the shading point
+            # emitter VPL: Le * cos / pi ; surface VPL: f(wi, -dir) Radiance
+            cos_e = jnp.maximum(jnp.sum(bc_v(chunk['n']) * (-dir_), -1), 0.0)
+            rad_emit = bc_v(chunk['radiance']) * (cos_e / _PI)[:, None]
+            md = jnp.stack([jnp.sum(-dir_ * bc_v(chunk['frame_t']), -1),
+                            jnp.sum(-dir_ * bc_v(chunk['frame_b']), -1),
+                            jnp.sum(-dir_ * bc_v(chunk['n']), -1)], -1)
+            f_vpl = bsdf_eval(scene.materials, bc_v(chunk['mat']), bc_v(chunk['uv']),
+                              bc_v(chunk['wi']), md, TRANSPORT_RADIANCE)
+            rad_surf = bc_v(chunk['radiance']) * f_vpl
+
+            g = 1.0 / jnp.maximum(dist2, self.clamping or 1e-20)
+            contrib = jnp.where(
+                (kind == VPL_SURFACE)[:, None], rad_surf * g[:, None],
+                jnp.where((kind == VPL_EMITTER)[:, None], rad_emit * g[:, None],
+                          jnp.where(inf_vpl[:, None], bc_v(chunk['radiance']), 0.0)))
+            contrib = contrib * f_pix
+
+            # visibility
+            o_shadow = offset_ray_origin(p_pix, n_pix, dir_)
+            target = jnp.where(inf_vpl[:, None],
+                               p_pix + dir_ * 1e7, bc_v(chunk['pos']))
+            vis = visible(scene.geom, o_shadow, target)
+            ok = (bc_p(front & (~smooth)) & vis & (kind != VPL_NONE))
+            contrib = jnp.where(ok[:, None], contrib, 0.0)
+            return acc + contrib.reshape(n, vc, 3).sum(axis=1), None
+
+        li, _ = lax.scan(body, jnp.zeros((n, 3), jnp.float32), chunks)
+        return li * vpls.norm
+
+    def compute_pixel(self, scene, pix, stream):
+        n = pix.shape[0]
+        vpls = self.generate_vpls(scene, stream_fold(stream, 999))
+        u_pix, stream = stream_next2d(stream, (n,))
+        o, d = generate_rays(scene.camera, pix.astype(jnp.float32) + u_pix)
+        rh = intersect_rays(scene.geom, o, d)
+        hit = fill_hit(scene, o, d, rh)
+
+        li = jnp.zeros((n, 3), jnp.float32)
+        esc = ~hit.valid
+        li = li + jnp.where(esc[:, None], env_radiance(scene.emitters, d), 0.0)
+        front = hit.valid & (hit.wi[..., 2] > 0.0)
+        li = li + jnp.where(front[:, None],
+                            emitted_radiance(scene.emitters, scene.geom, hit.tri, d),
+                            0.0)
+        li = li + self._gather_surface(scene, hit, front, vpls)
+        return li
