@@ -33,6 +33,9 @@ from ..scene import (
     env_radiance, env_direction_pdf,
 )
 from ..scene.scene import offset_ray_origin
+from ..scene.volume import (
+    volume_sample_distance, phase_eval, phase_sample, transmittance,
+)
 from ..utils.frame import to_world, to_local
 from ..utils.rng import stream_next, stream_next2d
 from ..utils.vec import channel_max, dot
@@ -95,12 +98,28 @@ class IntegratorPathTracing(Integrator):
         def cond(s):
             return (s.k < self.hard_cap) & jnp.any(s.alive)
 
+        has_med = scene.volume is not None
+
         def body(s):
             k = s.k
             stream = s.stream
             rh = intersect_rays(scene.geom, s.o, s.d)
             hit = fill_hit(scene, s.o, s.d, rh)
-            lane_hit = s.alive & hit.valid
+
+            # ---- medium: free-flight sampling along the segment
+            if has_med:
+                u_med, stream = stream_next(stream, (n,))
+                tfar = jnp.where(rh.hit, rh.t, 1e8)
+                sd = volume_sample_distance(scene.volume, tfar, u_med)
+                scattered = s.alive & (~sd.exited)
+                thr = s.throughput * sd.w
+                p_scatter = s.o + s.d * sd.t[:, None]
+            else:
+                scattered = jnp.zeros(n, bool)
+                thr = s.throughput
+                p_scatter = s.o
+
+            lane_hit = s.alive & hit.valid & (~scattered)
 
             # ---- emission picked up through the BSDF/sensor edge (k+1 edges)
             min_ok = k >= self.min_depth
@@ -111,12 +130,12 @@ class IntegratorPathTracing(Integrator):
                 s.prev_delta | (~s.prev_nee) | (~jnp.asarray(mis_on)),
                 1.0, mis_balance(s.prev_pdf, pdf_light))
             senses = keep_bsdf_hits | (k == 0)  # sensor edge always contributes
-            contrib = s.throughput * le * w_hit[:, None]
+            contrib = thr * le * w_hit[:, None]
             add = lane_hit & min_ok & senses
             radiance = s.radiance + jnp.where(add[:, None], contrib, 0.0)
 
             # ---- escaped rays: environment light
-            esc = s.alive & (~hit.valid)
+            esc = s.alive & (~hit.valid) & (~scattered)
             if scene.emitters.has_env:
                 le_env = env_radiance(scene.emitters, s.d)
                 pdf_env = env_direction_pdf(scene.emitters, s.d)
@@ -125,38 +144,71 @@ class IntegratorPathTracing(Integrator):
                     1.0, mis_balance(s.prev_pdf, pdf_env))
                 radiance = radiance + jnp.where(
                     (esc & min_ok & senses)[:, None],
-                    s.throughput * le_env * w_env[:, None], 0.0)
+                    thr * le_env * w_env[:, None], 0.0)
 
             smooth = bsdf_is_smooth(scene.materials, hit.mat)
+            # single_scattering: surface vertices contribute nothing further
+            # (reference path.rs:120-124) — their lanes die after the emission
+            if self.single_scattering:
+                lane_surface = jnp.zeros(n, bool)
+            else:
+                lane_surface = lane_hit
+            vertex = lane_surface | scattered
             can_expand = (self.max_depth is None) | (k + 1 < (self.max_depth or 0))
-            can_expand = jnp.asarray(can_expand) & lane_hit
+            can_expand = jnp.asarray(can_expand) & vertex
+
+            p_v = jnp.where(scattered[:, None], p_scatter, hit.p)
 
             # ---- NEE (light strategy), path of k+2 edges
             u_sel, stream = stream_next(stream, (n,))
             u_pos, stream = stream_next2d(stream, (n,))
             if use_nee:
-                ls = sample_light(scene.emitters, scene.geom, hit.p, u_sel, u_pos)
-                p_shadow = offset_ray_origin(hit.p, hit.n_g, ls.d)
+                ls = sample_light(scene.emitters, scene.geom, p_v, u_sel, u_pos)
                 wo_l = to_local(hit.frame, ls.d)
-                f = bsdf_eval(scene.materials, hit.mat, hit.uv, hit.wi, wo_l,
-                              TRANSPORT_IMPORTANCE)
+                f_s = bsdf_eval(scene.materials, hit.mat, hit.uv, hit.wi, wo_l,
+                                TRANSPORT_IMPORTANCE)
+                pdf_s = bsdf_pdf(scene.materials, hit.mat, hit.uv, hit.wi, wo_l,
+                                 TRANSPORT_IMPORTANCE)
+                if has_med:
+                    g = scene.volume.phase_g
+                    ph = phase_eval(g, -s.d, ls.d)
+                    f = jnp.where(scattered[:, None], ph[:, None], f_s)
+                    pdf_other = jnp.where(scattered, ph, pdf_s)
+                    tr_sh = transmittance(scene.volume, ls.dist)
+                else:
+                    f = f_s
+                    pdf_other = pdf_s
+                    tr_sh = 1.0
+                p_shadow = jnp.where(
+                    scattered[:, None], p_v,
+                    offset_ray_origin(hit.p, hit.n_g, ls.d))
                 vis = visible(scene.geom, p_shadow, ls.p)
-                pdf_bsdf_l = bsdf_pdf(scene.materials, hit.mat, hit.uv, hit.wi, wo_l,
-                                      TRANSPORT_IMPORTANCE)
                 w_nee = jnp.where(
                     ls.is_delta | (~jnp.asarray(mis_on)),
-                    1.0, mis_balance(ls.pdf, pdf_bsdf_l))
-                nee_ok = (can_expand & (~smooth) & ls.valid & vis
-                          & ((k + 1) >= self.min_depth))
+                    1.0, mis_balance(ls.pdf, pdf_other))
+                nee_ok = (can_expand & (scattered | (lane_surface & (~smooth)))
+                          & ls.valid & vis & ((k + 1) >= self.min_depth))
                 radiance = radiance + jnp.where(
                     nee_ok[:, None],
-                    s.throughput * f * ls.weight * w_nee[:, None], 0.0)
+                    thr * f * tr_sh * ls.weight * w_nee[:, None], 0.0)
 
-            # ---- BSDF bounce (directional strategy)
+            # ---- directional bounce: BSDF at surfaces, phase in the medium
             u_bsdf, stream = stream_next2d(stream, (n,))
             bs = bsdf_sample(scene.materials, hit.mat, hit.uv, hit.wi, u_bsdf,
                              TRANSPORT_IMPORTANCE)
-            throughput = s.throughput * bs.weight
+            wo_world = to_world(hit.frame, bs.wo)
+            weight = bs.weight
+            pdf_dir = bs.pdf
+            is_delta = bs.is_delta
+            valid_dir = bs.valid
+            if has_med:
+                d_ph, w_ph, pdf_ph = phase_sample(scene.volume.phase_g, -s.d, u_bsdf)
+                wo_world = jnp.where(scattered[:, None], d_ph, wo_world)
+                weight = jnp.where(scattered[:, None], w_ph, weight)
+                pdf_dir = jnp.where(scattered, pdf_ph, pdf_dir)
+                is_delta = jnp.where(scattered, False, is_delta)
+                valid_dir = jnp.where(scattered, pdf_ph > 0.0, valid_dir)
+            throughput = thr * weight
 
             # Russian roulette (directional.rs:77-87)
             u_rr, stream = stream_next(stream, (n,))
@@ -170,21 +222,22 @@ class IntegratorPathTracing(Integrator):
                 rr_w = jnp.where(do_rr & rr_keep, 1.0 / jnp.maximum(rr_p, 1e-8), 1.0)
             throughput = throughput * rr_w[:, None]
 
-            alive = (can_expand & bs.valid & rr_keep
+            alive = (can_expand & valid_dir & rr_keep
                      & (channel_max(throughput) > 0.0))
-            d_new = to_world(hit.frame, bs.wo)
-            o_new = offset_ray_origin(hit.p, hit.n_g, d_new)
+            o_new = jnp.where(scattered[:, None], p_v,
+                              offset_ray_origin(hit.p, hit.n_g, wo_world))
 
+            nee_possible = jnp.asarray(use_nee) & (scattered | (~smooth))
             return _PathState(
                 k=k + 1, stream=stream,
                 o=jnp.where(alive[:, None], o_new, s.o),
-                d=jnp.where(alive[:, None], d_new, s.d),
+                d=jnp.where(alive[:, None], wo_world, s.d),
                 throughput=jnp.where(alive[:, None], throughput, s.throughput),
                 radiance=radiance,
                 alive=alive,
-                prev_pdf=jnp.where(alive, bs.pdf, s.prev_pdf),
-                prev_delta=jnp.where(alive, bs.is_delta, s.prev_delta),
-                prev_nee=jnp.where(alive, jnp.asarray(use_nee) & (~smooth), s.prev_nee),
+                prev_pdf=jnp.where(alive, pdf_dir, s.prev_pdf),
+                prev_delta=jnp.where(alive, is_delta, s.prev_delta),
+                prev_nee=jnp.where(alive, nee_possible, s.prev_nee),
             )
 
         final = lax.while_loop(cond, body, state)
