@@ -1,1 +1,2 @@
 from .pssmlt import IntegratorPSSMLT
+from .erpt import IntegratorERPT

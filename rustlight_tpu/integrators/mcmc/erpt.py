@@ -1,0 +1,138 @@
+"""Energy-redistribution path tracing (ERPT).
+
+Reference: src/integrators/mcmc/erpt.rs — per pixel, `nb_mc` exploration
+samples; each contributive sample spawns a Poisson-ish number of small-step
+MCMC chains (floor(mean + u)) that redistribute its energy under the
+equal-deposit rule w0 = b / (chains_per_pixel * chain_samples).
+
+TPU adaptation (P5 in SURVEY.md §2.10): chain spawning is data-dependent, so
+the wavefront uses fixed-budget *weighted* spawning: each exploration lane
+runs at most one chain, spawned with probability p = min(1, mean_chains) and
+deposit weight scaled by mean_chains / p — identical expectation, fully
+static shapes. The optional image-plane stratification with random-number
+remapping (erpt.rs:209-226) is mirrored exactly.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...samplers.pss import kelemen_mutate
+from ...utils.film import Film
+from ...utils.rng import make_stream, stream_fold, ArrayStream
+from .pssmlt import _uniform
+
+
+class IntegratorERPT:
+    averaging = True
+
+    def __init__(self, integrator, nb_mc: int = 1, chain_samples: int = 100,
+                 stratified: bool = True, nb_samples_norm: int = 65536,
+                 pss_dims: Optional[int] = None):
+        self.integrator = integrator
+        self.nb_mc = nb_mc
+        self.chain_samples = chain_samples
+        self.stratified = stratified
+        self.nb_samples_norm = nb_samples_norm
+        cap = getattr(integrator, "hard_cap", 16)
+        self.pss_dims = pss_dims or (4 + 6 * cap)
+
+    def _sample_fn(self, scene, u):
+        cam = scene.camera
+        x = jnp.clip((u[:, 0] * cam.width).astype(jnp.int32), 0, cam.width - 1)
+        y = jnp.clip((u[:, 1] * cam.height).astype(jnp.int32), 0, cam.height - 1)
+        pix = jnp.stack([x, y], axis=-1)
+        stream = ArrayStream(values=u, counter=jnp.int32(2))
+        li = self.integrator.compute_pixel(scene, pix, stream)
+        li = jnp.where(jnp.all(jnp.isfinite(li), -1, keepdims=True), li, 0.0)
+        return y * cam.width + x, li, jnp.mean(li, axis=-1)
+
+    def render(self, scene, spp: int, seed: int = 0, verbose: bool = False) -> Film:
+        cam = scene.camera
+        w, h = cam.width, cam.height
+        n = w * h
+        d = self.pss_dims
+        base = make_stream(seed)
+        spp_mcmc = max(1, spp - self.nb_mc)
+        chains_per_pixel = spp_mcmc / self.chain_samples
+
+        # normalization constant b (average_lum, mcmc/mod.rs:105-118)
+        @jax.jit
+        def norm_batch(scene_, i):
+            u, _ = _uniform(stream_fold(base, 900 + i), (n, d))
+            _, _, tf = self._sample_fn(scene_, u)
+            return jnp.mean(tf)
+        n_b = max(1, self.nb_samples_norm // n)
+        b = float(np.mean([float(norm_batch(scene, jnp.int32(i)))
+                           for i in range(n_b)]))
+        if b <= 0:
+            raise RuntimeError("ERPT normalization is zero")
+
+        px = jnp.remainder(
+            jax.lax.broadcasted_iota(jnp.int32, (n,), 0), w).astype(jnp.float32)
+        py = (jax.lax.broadcasted_iota(jnp.int32, (n,), 0) // w).astype(jnp.float32)
+
+        @jax.jit
+        def mc_round(scene_, round_idx):
+            stream = stream_fold(base, round_idx)
+            u, stream = _uniform(stream, (n, d))
+            if self.stratified:
+                # force the exploration pixel to the lane's own pixel, keeping
+                # the draw as sub-pixel position — the same remapping the
+                # reference applies before spawning chains (erpt.rs:209-226)
+                u = u.at[:, 0].set((u[:, 0] + px) / w)
+                u = u.at[:, 1].set((u[:, 1] + py) / h)
+            pid0, col0, tf0 = self._sample_fn(scene_, u)
+
+            mean_chains = (tf0 / b) * (chains_per_pixel / self.nb_mc)
+            u_spawn, stream = _uniform(stream, (n,))
+            p_spawn = jnp.clip(mean_chains, 0.0, 1.0)
+            spawn = (u_spawn < p_spawn) & (tf0 > 0.0)
+            w_spawn = jnp.where(p_spawn > 0, mean_chains / jnp.maximum(p_spawn, 1e-20), 0.0)
+            w0 = (b / (chains_per_pixel * self.chain_samples)) * w_spawn
+
+            def step(s, carry):
+                uv, tf, pid, col, wgt, film, stream = carry
+                um, stream = _uniform(stream, (n, d))
+                ua, stream = _uniform(stream, (n,))
+                u_prop = kelemen_mutate(uv, um)           # small steps only
+                pid_p, col_p, tf_p = self._sample_fn(scene_, u_prop)
+                a = jnp.minimum(1.0, tf_p / jnp.maximum(tf, 1e-30))
+                a = jnp.where(tf_p > 0.0, a, 0.0)
+                w_cur = wgt + (1.0 - a)
+                accept = ua < a
+                spl_pid = jnp.where(accept, pid, pid_p)
+                spl_col = jnp.where(accept[:, None], col, col_p)
+                spl_tf = jnp.where(accept, tf, tf_p)
+                spl_w = jnp.where(accept, w_cur, a)
+                val = spl_col * (w0 * spl_w / jnp.maximum(spl_tf, 1e-30))[:, None]
+                val = jnp.where((spawn & (spl_tf > 0.0))[:, None], val, 0.0)
+                film = film.at[spl_pid].add(val, mode="drop")
+                return (jnp.where(accept[:, None], u_prop, uv),
+                        jnp.where(accept, tf_p, tf),
+                        jnp.where(accept, pid_p, pid),
+                        jnp.where(accept[:, None], col_p, col),
+                        jnp.where(accept, a, w_cur), film, stream)
+
+            film = jnp.zeros((n, 3), jnp.float32)
+            wgt = jnp.zeros((n,), jnp.float32)
+            uv, tf, pid, col, wgt, film, stream = jax.lax.fori_loop(
+                0, self.chain_samples, step,
+                (u, tf0, pid0, col0, wgt, film, stream))
+            # flush
+            val = col * (w0 * wgt / jnp.maximum(tf, 1e-30))[:, None]
+            val = jnp.where((spawn & (tf > 0.0))[:, None], val, 0.0)
+            film = film.at[pid].add(val, mode="drop")
+            return film
+
+        acc = jnp.zeros((n, 3), jnp.float32)
+        for r in range(self.nb_mc):
+            acc = acc + mc_round(scene, jnp.int32(r))
+        acc.block_until_ready()
+
+        film = Film(w, h)
+        film.buffers["primal"] = np.asarray(acc).reshape(h, w, 3)
+        return film
