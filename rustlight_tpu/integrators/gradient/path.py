@@ -1,0 +1,161 @@
+"""Gradient-domain path tracing, random-replay shift mapping.
+
+Reference: src/integrators/gradient/explicit.rs + shiftmapping/random_replay.rs
+— the base path renders pixel p with a recorded random sequence; the four
+offset pixels re-render with the *same* sequence; each shift contributes
+  base 0.5*L_b, offset 0.5*L_o, gradient 0.5*(L_o - L_b)
+with primal[p] += main, primal[p+off] += offset, gradient buffers signed by
+direction, and a final 0.25 primal scale (explicit.rs:127-199).
+
+On the wavefront, "replaying the random sequence" is free: the PSS vector is
+an explicit array (ArrayStream), so the offset paths simply reuse it — the
+natural TPU form of the shift. `min_survival` implements the adaptive path
+survival (explicit.rs:246-257) as a weighted evaluation instead of a skip.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...utils.film import Film
+from ...utils.rng import make_stream, stream_fold, ArrayStream
+from ...utils.vec import luminance
+from ..common import _pixel_grid
+from ..path import IntegratorPathTracing
+from .recons import (
+    uniform_poisson_reconstruction, weighted_poisson_reconstruction,
+    bagging_poisson_reconstruction,
+)
+
+# (dy, dx) offsets and their gradient buffer/sign (gradient/mod.rs:31-42)
+_OFFSETS = [(1, 0, "y", +1), (-1, 0, "y", -1), (0, 1, "x", +1), (0, -1, "x", -1)]
+
+
+def _uniform(stream, shape):
+    u = jax.random.uniform(jax.random.fold_in(stream.key, stream.counter),
+                           shape, dtype=jnp.float32)
+    return u, stream.replace(counter=stream.counter + 1)
+
+
+class IntegratorGradientPath:
+    averaging = True
+
+    def __init__(self, max_depth: Optional[int] = None,
+                 recons: str = "uniform", recons_iterations: int = 50,
+                 min_survival: Optional[float] = None,
+                 nb_buffers: Optional[int] = None,
+                 hard_cap: int = 8, pss_dims: Optional[int] = None):
+        self.max_depth = max_depth
+        self.recons = recons
+        self.iterations = recons_iterations
+        self.min_survival = min_survival
+        # reference: rr disabled inside GDPT paths (explicit.rs:226)
+        self.inner = IntegratorPathTracing(max_depth=max_depth, rr_depth=None,
+                                           hard_cap=hard_cap)
+        self.pss_dims = pss_dims or (2 + 6 * self.inner.hard_cap)
+        if nb_buffers is None:
+            nb_buffers = {"uniform": 1, "weighted": 2, "bagging": 4}[recons]
+        self.nb_buffers = nb_buffers
+
+    def _eval(self, scene, pix, u):
+        stream = ArrayStream(values=u, counter=jnp.int32(0))
+        li = self.inner.compute_pixel(scene, pix, stream)
+        return jnp.where(jnp.all(jnp.isfinite(li), -1, keepdims=True), li, 0.0)
+
+    def render(self, scene, spp: int, seed: int = 0, verbose: bool = False) -> Film:
+        cam = scene.camera
+        w, h = cam.width, cam.height
+        n = w * h
+        d = self.pss_dims
+        base = make_stream(seed)
+        pix = jnp.asarray(_pixel_grid(w, h))
+        px = pix[:, 0]
+        py = pix[:, 1]
+        pid = py * w + px
+
+        @jax.jit
+        def one_pass(scene_, s):
+            stream = stream_fold(base, s)
+            u, stream = _uniform(stream, (n, d))
+            lb = self._eval(scene_, pix, u)
+
+            if self.min_survival is not None:
+                u_s, stream = _uniform(stream, (n,))
+                prob = jnp.clip(luminance(lb) / 0.1, self.min_survival, 1.0)
+                keep = (prob >= 1.0) | (u_s < prob)
+                w_surv = jnp.where(keep, 1.0 / prob, 0.0)
+            else:
+                w_surv = jnp.ones(n, jnp.float32)
+
+            primal = jnp.zeros((n, 3), jnp.float32)
+            gxb = jnp.zeros((n, 3), jnp.float32)
+            gyb = jnp.zeros((n, 3), jnp.float32)
+            for (dy, dx, axis, sign) in _OFFSETS:
+                ox = px + dx
+                oy = py + dy
+                inside = (ox >= 0) & (ox < w) & (oy >= 0) & (oy < h)
+                opix = jnp.stack([jnp.clip(ox, 0, w - 1),
+                                  jnp.clip(oy, 0, h - 1)], -1)
+                lo = self._eval(scene_, opix, u)
+                main = 0.5 * lb * w_surv[:, None]
+                offv = 0.5 * lo * w_surv[:, None]
+                grad = 0.5 * (lo - lb) * w_surv[:, None]
+                opid = jnp.clip(oy, 0, h - 1) * w + jnp.clip(ox, 0, w - 1)
+                primal = primal.at[pid].add(jnp.where(inside[:, None], main, 0.0))
+                primal = primal.at[opid].add(jnp.where(inside[:, None], offv, 0.0))
+                gbuf = gxb if axis == "x" else gyb
+                if sign > 0:
+                    gbuf = gbuf.at[pid].add(jnp.where(inside[:, None], grad, 0.0))
+                else:
+                    gbuf = gbuf.at[opid].add(jnp.where(inside[:, None], -grad, 0.0))
+                if axis == "x":
+                    gxb = gbuf
+                else:
+                    gyb = gbuf
+            return primal * 0.25, gxb, gyb
+
+        nb = self.nb_buffers
+        primal_acc = np.zeros((nb, h * w, 3), np.float32)
+        gx_acc = np.zeros((nb, h * w, 3), np.float32)
+        gy_acc = np.zeros((nb, h * w, 3), np.float32)
+        counts = np.zeros(nb, np.int64)
+        for s in range(spp):
+            p_, gx_, gy_ = one_pass(scene, jnp.int32(s))
+            b = s % nb
+            primal_acc[b] += np.asarray(p_)
+            gx_acc[b] += np.asarray(gx_)
+            gy_acc[b] += np.asarray(gy_)
+            counts[b] += 1
+        counts = np.maximum(counts, 1)[:, None, None]
+        primal_acc /= counts
+        gx_acc /= counts
+        gy_acc /= counts
+
+        shape = (nb, h, w, 3)
+        ps = jnp.asarray(primal_acc.reshape(shape))
+        gxs = jnp.asarray(gx_acc.reshape(shape))
+        gys = jnp.asarray(gy_acc.reshape(shape))
+
+        film = Film(w, h)
+        film.buffers["primal_raw"] = np.asarray(ps.mean(0))
+        film.buffers["gradient_x"] = np.asarray(gxs.mean(0))
+        film.buffers["gradient_y"] = np.asarray(gys.mean(0))
+
+        if self.recons == "uniform":
+            out = uniform_poisson_reconstruction(
+                ps.mean(0), gxs.mean(0), gys.mean(0), iterations=self.iterations)
+        elif self.recons == "weighted":
+            out = weighted_poisson_reconstruction(
+                ps, gxs, gys, iterations=self.iterations)
+        elif self.recons == "bagging":
+            out, var, relerr = bagging_poisson_reconstruction(
+                ps, gxs, gys, iterations=self.iterations)
+            film.buffers["primal_variance"] = np.asarray(var)
+            film.buffers["relerr"] = np.asarray(relerr)
+        else:
+            raise ValueError(self.recons)
+        film.buffers["primal"] = np.asarray(out)
+        return film
