@@ -6,3 +6,4 @@ from .path import IntegratorPathTracing, STRATEGY_ALL, STRATEGY_BSDF, STRATEGY_E
 from .light import IntegratorLightTracing
 from .vpl import IntegratorVPL
 from .meta import IntegratorAverage, IntegratorEqualTime
+from .vol_primitives import IntegratorVolPrimitives
