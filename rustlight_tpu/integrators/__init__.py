@@ -7,3 +7,4 @@ from .light import IntegratorLightTracing
 from .vpl import IntegratorVPL
 from .meta import IntegratorAverage, IntegratorEqualTime
 from .vol_primitives import IntegratorVolPrimitives
+from .point_normal import IntegratorPointNormal
