@@ -1,0 +1,149 @@
+"""Scene loader tests: OBJ/MTL, PLY (ascii+binary), PBRT, Mitsuba XML."""
+import struct
+import textwrap
+
+import numpy as np
+import pytest
+
+from rustlight_tpu.scene.loaders import load_scene
+from rustlight_tpu.scene.loaders.obj import load_obj
+from rustlight_tpu.scene.loaders.ply import load_ply
+from rustlight_tpu.integrators import IntegratorPathTracing, render
+
+
+def test_obj_with_mtl(tmp_path):
+    (tmp_path / "box.mtl").write_text(textwrap.dedent("""\
+        newmtl red
+        Kd 0.8 0.1 0.1
+        newmtl lamp
+        Kd 0 0 0
+        Ke 5 5 5
+    """))
+    (tmp_path / "box.obj").write_text(textwrap.dedent("""\
+        mtllib box.mtl
+        v 0 0 0
+        v 1 0 0
+        v 1 1 0
+        v 0 1 0
+        vn 0 0 1
+        vt 0 0
+        vt 1 0
+        vt 1 1
+        vt 0 1
+        usemtl red
+        f 1/1/1 2/2/1 3/3/1 4/4/1
+        usemtl lamp
+        f 1/1/1 3/3/1 2/2/1
+    """))
+    meshes, mats, tex = load_obj(tmp_path / "box.obj")
+    assert len(meshes) == 2
+    red = next(m for m in meshes if "red" in m.name)
+    lamp = next(m for m in meshes if "lamp" in m.name)
+    assert red.n_triangles == 2   # quad fan
+    assert lamp.is_light
+    np.testing.assert_allclose(mats[red.material - 0].kd, (0.8, 0.1, 0.1))
+    assert red.uvs is not None and red.normals is not None
+
+
+def test_ply_ascii(tmp_path):
+    (tmp_path / "t.ply").write_text(textwrap.dedent("""\
+        ply
+        format ascii 1.0
+        element vertex 3
+        property float x
+        property float y
+        property float z
+        element face 1
+        property list uchar int vertex_indices
+        end_header
+        0 0 0
+        1 0 0
+        0 1 0
+        3 0 1 2
+    """))
+    m = load_ply(tmp_path / "t.ply")
+    assert m.n_triangles == 1
+    np.testing.assert_allclose(m.triangle_areas(), [0.5])
+
+
+def test_ply_binary(tmp_path):
+    header = (b"ply\nformat binary_little_endian 1.0\n"
+              b"element vertex 4\n"
+              b"property float x\nproperty float y\nproperty float z\n"
+              b"element face 2\n"
+              b"property list uchar int vertex_indices\nend_header\n")
+    verts = struct.pack("<12f", 0, 0, 0, 1, 0, 0, 1, 1, 0, 0, 1, 0)
+    faces = struct.pack("<B3i", 3, 0, 1, 2) + struct.pack("<B3i", 3, 0, 2, 3)
+    (tmp_path / "q.ply").write_bytes(header + verts + faces)
+    m = load_ply(tmp_path / "q.ply")
+    assert m.n_triangles == 2
+    np.testing.assert_allclose(m.total_area(), 1.0)
+
+
+def test_pbrt_scene(tmp_path):
+    (tmp_path / "s.pbrt").write_text(textwrap.dedent("""\
+        LookAt 0 1 -4  0 1 0  0 1 0
+        Camera "perspective" "float fov" [45]
+        Film "image" "integer xresolution" [32] "integer yresolution" [32]
+        WorldBegin
+        AttributeBegin
+          AreaLightSource "diffuse" "rgb L" [10 10 10]
+          Shape "trianglemesh"
+            "point P" [-0.5 1.9 -0.5  0.5 1.9 -0.5  0.5 1.9 0.5  -0.5 1.9 0.5]
+            "integer indices" [0 1 2 0 2 3]
+        AttributeEnd
+        Material "matte" "rgb Kd" [0.7 0.7 0.7]
+        Shape "trianglemesh"
+          "point P" [-5 0 -5  5 0 -5  5 0 5  -5 0 5]
+          "integer indices" [0 1 2 0 2 3]
+        WorldEnd
+    """))
+    scene = load_scene(tmp_path / "s.pbrt")
+    assert scene.camera.width == 32
+    assert len(scene.meshes) == 2
+    assert any(m.is_light for m in scene.meshes)
+    sd = scene.compile()
+    film = render(sd, IntegratorPathTracing(max_depth=3, hard_cap=3), spp=4)
+    assert film["primal"].mean() > 0.0
+
+
+def test_mitsuba_scene(tmp_path):
+    (tmp_path / "s.xml").write_text(textwrap.dedent("""\
+        <scene version="0.6.0">
+          <sensor type="perspective">
+            <float name="fov" value="45"/>
+            <string name="fovAxis" value="x"/>
+            <transform name="toWorld">
+              <lookat origin="0, 1, -4" target="0, 1, 0" up="0, 1, 0"/>
+            </transform>
+            <film type="hdrfilm">
+              <integer name="width" value="24"/>
+              <integer name="height" value="24"/>
+            </film>
+          </sensor>
+          <bsdf type="diffuse" id="white">
+            <rgb name="reflectance" value="0.7, 0.7, 0.7"/>
+          </bsdf>
+          <shape type="rectangle">
+            <transform name="toWorld">
+              <rotate x="1" angle="-90"/>
+              <scale value="5"/>
+            </transform>
+            <ref id="white"/>
+          </shape>
+          <shape type="sphere">
+            <point name="center" x="0" y="1.8" z="0"/>
+            <float name="radius" value="0.2"/>
+            <ref id="white"/>
+            <emitter type="area">
+              <rgb name="radiance" value="8, 8, 8"/>
+            </emitter>
+          </shape>
+        </scene>
+    """))
+    scene = load_scene(tmp_path / "s.xml")
+    assert scene.camera.width == 24
+    assert any(m.is_light for m in scene.meshes)
+    sd = scene.compile()
+    film = render(sd, IntegratorPathTracing(max_depth=3, hard_cap=3), spp=4)
+    assert film["primal"].mean() > 0.0
