@@ -1,0 +1,270 @@
+"""Command-line renderer mirroring the reference CLI (examples/cli.rs).
+
+Global flags: scene file, -n/--nbsamples, -a/--average ('inf' supported),
+-t/--threads (maps to device count), -r/--random-number-generator,
+-s/--scale-image, -e/--equal-time, -o/--output, -m/--medium "s[:a[:g]]",
+-l/--log, -x/--xtra-options {ats,no-shading,hvs-light,texture-light};
+one subcommand per integrator with the reference's own flags.
+
+Usage: python -m rustlight_tpu.cli scene.xml -n 64 -o out.exr path -m 8
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+
+
+def _inf_or(s, conv=int):
+    """'inf' sentinel parsing (reference match_infinity, cli.rs:31-39)."""
+    if s is None or s == "inf":
+        return None
+    return conv(s)
+
+
+def _add_path_length(p):
+    p.add_argument("-m", "--max-depth", default="inf")
+    p.add_argument("-n", "--min-depth", default="0")
+    p.add_argument("-r", "--rr-depth", default="0")
+
+
+def _add_recons(p):
+    p.add_argument("-i", "--iterations", type=int, default=50)
+    p.add_argument("--strategy-recons", default="uniform",
+                   choices=["uniform", "weighted", "bagging"])
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="rustlight_tpu",
+                                 description=__doc__.splitlines()[0])
+    ap.add_argument("scene", help="scene file (.pbrt/.xml/.obj) or builtin 'cbox'")
+    ap.add_argument("-n", "--nbsamples", type=int, default=1)
+    ap.add_argument("-a", "--average", default=None,
+                    help="averaging passes or time budget ('inf' / '10s')")
+    ap.add_argument("-t", "--threads", type=int, default=None,
+                    help="device count to shard over (default: all)")
+    ap.add_argument("-r", "--random-number-generator", default="independent",
+                    help="independent[:seed] | stratified")
+    ap.add_argument("-s", "--scale-image", type=float, default=1.0)
+    ap.add_argument("-e", "--equal-time", type=float, default=None)
+    ap.add_argument("-o", "--output", default="out.pfm")
+    ap.add_argument("-m", "--medium", default="0.0",
+                    help="sigma_s[:sigma_a[:g]] for an infinite homogeneous medium")
+    ap.add_argument("-l", "--log", default=None)
+    ap.add_argument("-x", "--xtra-options", action="append", default=[],
+                    choices=["ats", "no-shading", "hvs-light", "texture-light"])
+
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("ao")
+    p.add_argument("-d", "--distance", default="1.0")
+    p.add_argument("-c", "--normal-correction", action="store_true")
+
+    p = sub.add_parser("direct")
+    p.add_argument("-b", "--nb-bsdf-samples", type=int, default=1)
+    p.add_argument("-l", "--nb-light-samples", type=int, default=1)
+
+    p = sub.add_parser("path")
+    _add_path_length(p)
+    p.add_argument("-x", "--single-scattering", action="store_true")
+    p.add_argument("-s", "--strategy", default="all",
+                   choices=["all", "bsdf", "emitter"])
+
+    p = sub.add_parser("light-tracing", aliases=["light"])
+    _add_path_length(p)
+    p.add_argument("-s", "--strategy", default="all",
+                   choices=["all", "surface", "volume"])
+
+    p = sub.add_parser("vpl")
+    _add_path_length(p)
+    p.add_argument("-b", "--clamping", type=float, default=0.0)
+    p.add_argument("-n2", "--nb-vpl", type=int, default=128)
+
+    p = sub.add_parser("vol-primitivies", aliases=["vol-primitives"])
+    _add_path_length(p)
+    p.add_argument("-n2", "--nb-primitive", type=int, default=128)
+    p.add_argument("-p", "--primitives", default="BRE",
+                   choices=["BRE", "Beams", "Planes", "VRL",
+                            "bre", "beams", "planes", "vrl"])
+
+    p = sub.add_parser("point-normal")
+    p.add_argument("-k", "--splitting", type=float, default=None)
+    p.add_argument("-x", "--use-mis", action="store_true")
+    p.add_argument("-s", "--strategy", default="tr_ex")
+
+    p = sub.add_parser("gradient-path")
+    _add_path_length(p)
+    _add_recons(p)
+
+    p = sub.add_parser("gradient-path-explicit")
+    _add_path_length(p)
+    _add_recons(p)
+    p.add_argument("--min-survival", type=float, default=1.0)
+
+    p = sub.add_parser("pssmlt")
+    _add_path_length(p)
+    p.add_argument("-s", "--strategy", default="all")
+    p.add_argument("-p", "--large-prob", type=float, default=0.3)
+    p.add_argument("-b", "--nb-samples-norm", type=int, default=100000)
+
+    p = sub.add_parser("erpt")
+    _add_path_length(p)
+    p.add_argument("-k", "--stratified", action="store_true")
+    p.add_argument("-s", "--strategy", default="all")
+    p.add_argument("-e2", "--nb-mc", type=int, default=1)
+    p.add_argument("-c", "--chain-samples", type=int, default=100)
+
+    p = sub.add_parser("smcmc")
+    _add_path_length(p)
+    p.add_argument("-s", "--strategy", default="all")
+    p.add_argument("-p", "--large-prob", type=float, default=0.3)
+    p.add_argument("--recons-smcmc", default="irls")
+    p.add_argument("--init", default="mcmc")
+    return ap
+
+
+def load_scene_arg(args):
+    from .models import cornell_box
+    from .scene.loaders import load_scene
+
+    if args.scene == "cbox":
+        scene = cornell_box()
+    else:
+        scene = load_scene(args.scene)
+    # image scale -s (reference Camera::scale_image): the sample-space mapping
+    # is resolution independent, so only the pixel grid changes
+    if args.scale_image != 1.0:
+        cam = scene.camera
+        scene.camera = cam.replace(
+            width=int(cam.width * args.scale_image),
+            height=int(cam.height * args.scale_image))
+    # medium -m sigma_s[:sigma_a[:g]]
+    parts = str(args.medium).split(":")
+    sigma_s = float(parts[0])
+    if sigma_s > 0.0:
+        from .scene import make_volume
+        sigma_a = float(parts[1]) if len(parts) > 1 else 0.0
+        g = float(parts[2]) if len(parts) > 2 else 0.0
+        scene.volume = make_volume(sigma_s=(sigma_s,) * 3,
+                                   sigma_a=(sigma_a,) * 3, g=g)
+    return scene
+
+
+def build_integrator(args):
+    from . import integrators as I
+
+    cmd = args.command
+    if cmd == "ao":
+        return I.IntegratorAO(max_distance=_inf_or(args.distance, float),
+                              normal_correction=args.normal_correction)
+    if cmd == "direct":
+        return I.IntegratorDirect(args.nb_bsdf_samples, args.nb_light_samples)
+    pl = dict(
+        min_depth=_inf_or(getattr(args, "min_depth", "0")),
+        max_depth=_inf_or(getattr(args, "max_depth", "inf")),
+        rr_depth=_inf_or(getattr(args, "rr_depth", "0")),
+    )
+    if cmd == "path":
+        return I.IntegratorPathTracing(strategy=args.strategy,
+                                       single_scattering=args.single_scattering,
+                                       **pl)
+    if cmd in ("light-tracing", "light"):
+        return I.IntegratorLightTracing(
+            max_depth=pl["max_depth"], min_depth=pl["min_depth"],
+            rr_depth=pl["rr_depth"],
+            render_surface=args.strategy in ("all", "surface"),
+            render_volume=args.strategy in ("all", "volume"))
+    if cmd == "vpl":
+        return I.IntegratorVPL(nb_vpl=args.nb_vpl, max_depth=pl["max_depth"],
+                               rr_depth=pl["rr_depth"],
+                               clamping_factor=args.clamping or None)
+    if cmd in ("vol-primitivies", "vol-primitives"):
+        return I.IntegratorVolPrimitives(
+            nb_primitive=args.nb_primitive, max_depth=pl["max_depth"],
+            rr_depth=pl["rr_depth"], primitives=args.primitives.lower())
+    if cmd == "point-normal":
+        strategies = {
+            "tr_ex": ("tr", "equiangular"),
+            "tr": ("tr",),
+            "ex": ("equiangular",),
+            "ex_clamp": ("eq_clamp",),
+            "all": ("tr", "equiangular", "eq_clamp"),
+        }.get(args.strategy, ("tr", "equiangular"))
+        return I.IntegratorPointNormal(strategies=strategies,
+                                       splitting=args.splitting)
+    if cmd == "gradient-path" or cmd == "gradient-path-explicit":
+        from .integrators.gradient import IntegratorGradientPath
+        return IntegratorGradientPath(
+            max_depth=pl["max_depth"], recons=args.strategy_recons,
+            recons_iterations=args.iterations,
+            min_survival=(getattr(args, "min_survival", None)
+                          if cmd.endswith("explicit") else None))
+    if cmd == "pssmlt":
+        from .integrators.mcmc import IntegratorPSSMLT
+        inner = I.IntegratorPathTracing(strategy=args.strategy, **pl)
+        return IntegratorPSSMLT(inner, large_prob=args.large_prob,
+                                nb_samples_norm=args.nb_samples_norm)
+    if cmd == "erpt":
+        from .integrators.mcmc import IntegratorERPT
+        inner = I.IntegratorPathTracing(strategy=args.strategy, **pl)
+        return IntegratorERPT(inner, nb_mc=args.nb_mc,
+                              chain_samples=args.chain_samples,
+                              stratified=args.stratified)
+    if cmd == "smcmc":
+        from .integrators.mcmc import IntegratorSMCMC
+        inner = I.IntegratorPathTracing(strategy=args.strategy, **pl)
+        return IntegratorSMCMC(inner, large_prob=args.large_prob)
+    raise SystemExit(f"unknown command {cmd}")
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(
+        level=logging.INFO, stream=sys.stderr,
+        format="%(levelname)s %(module)s - %(message)s",
+        **({"filename": args.log} if args.log else {}))
+    log = logging.getLogger("rustlight_tpu")
+
+    t0 = time.time()
+    scene = load_scene_arg(args)
+    sd = scene.compile()
+    log.info("Scene compiled: %d triangles", sd.geom.n_tris)
+
+    integrator = build_integrator(args)
+    from .integrators import render, render_splat, SplattingIntegrator
+    from .integrators.meta import IntegratorAverage, IntegratorEqualTime, _render_once
+
+    seed = 0
+    rng = args.random_number_generator
+    if rng.startswith("independent:"):
+        seed = int(rng.split(":")[1])
+
+    t1 = time.time()
+    if args.equal_time is not None:
+        meta = IntegratorEqualTime(integrator, target_s=args.equal_time,
+                                   spp_per_pass=args.nbsamples)
+        film = meta.render(sd, seed=seed, verbose=True)
+        log.info("Achieved spp: %d", meta.achieved_spp)
+    elif args.average is not None:
+        if args.average == "inf":
+            raise SystemExit("use -a <seconds>s or -a <passes>")
+        if args.average.endswith("s"):
+            meta = IntegratorAverage(integrator, spp_per_pass=args.nbsamples,
+                                     timeout_s=float(args.average[:-1]),
+                                     dump_base=args.output.rsplit(".", 1)[0])
+        else:
+            meta = IntegratorAverage(integrator, spp_per_pass=args.nbsamples,
+                                     nb_passes=int(args.average),
+                                     dump_base=args.output.rsplit(".", 1)[0])
+        film = meta.render(sd, seed=seed, verbose=True)
+    else:
+        film = _render_once(sd, integrator, args.nbsamples, seed)
+    log.info("Elapsed Integrator: %.3fs", time.time() - t1)
+
+    film.save(args.output)
+    log.info("Wrote %s (total %.3fs)", args.output, time.time() - t0)
+
+
+if __name__ == "__main__":
+    main()
