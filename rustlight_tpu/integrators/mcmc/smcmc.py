@@ -1,0 +1,239 @@
+"""Stratified MCMC (SMCMC, Gruson et al.) — one chain per pixel tile with
+neighbor replica exchange.
+
+Reference: src/integrators/mcmc/smcmc.rs. Each pixel owns a chain whose state
+is a PSS vector evaluated over the 5-pixel cross centered there
+(generate_state replays the same sequence at each cross pixel,
+smcmc.rs:123-139). The schedule alternates
+  MCMC / Horizontal(0) / MCMC / Vertical(0) / MCMC / Horizontal(1) / MCMC / Vertical(1)
+where exchange steps swap PSS states between even/odd neighbor pairs and
+accept jointly with min(1, tf0'·tf1'/(tf0·tf1)) (smcmc.rs:224-313) — the
+halo-exchange pattern P4 in SURVEY.md §2.10, realized as pairwise swaps of
+lane arrays (ppermute over ICI when sharded). Uninitialized chains bootstrap
+with forced large steps (chain_non_init); the SMCMC mutator resamples the
+pixel-jitter dims uniformly and Kelemen-mutates the rest (smcmc.rs:9-35).
+
+Reconstruction: 'naive' overlap averaging (smcmc.rs:318-358). The IRLS
+overlap-consistency solver is planned for a later round.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...samplers.pss import kelemen_mutate
+from ...utils.film import Film
+from ...utils.rng import make_stream, stream_fold, ArrayStream
+from .pssmlt import _uniform
+
+# cross offsets; slot 0 is the tile center (reference Tile::pixels)
+_CROSS = [(0, 0), (-1, 0), (0, -1), (1, 0), (0, 1)]
+
+
+class IntegratorSMCMC:
+    averaging = True
+
+    def __init__(self, integrator, large_prob: float = 0.3,
+                 recons: str = "naive", pss_dims: Optional[int] = None):
+        self.integrator = integrator
+        self.large_prob = large_prob
+        self.recons = recons
+        cap = getattr(integrator, "hard_cap", 16)
+        self.pss_dims = pss_dims or (2 + 6 * cap)
+
+    def render(self, scene, spp: int, seed: int = 0, verbose: bool = False) -> Film:
+        cam = scene.camera
+        w, h = cam.width, cam.height
+        n = w * h
+        d = self.pss_dims
+        base = make_stream(seed)
+
+        iota = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+        px = jnp.remainder(iota, w)
+        py = iota // w
+
+        cross_pix = []
+        cross_valid = []
+        for dx, dy in _CROSS:
+            cx = px + dx
+            cy = py + dy
+            ok = (cx >= 0) & (cx < w) & (cy >= 0) & (cy < h)
+            cross_pix.append(jnp.stack([jnp.clip(cx, 0, w - 1),
+                                        jnp.clip(cy, 0, h - 1)], -1))
+            cross_valid.append(ok)
+        cross_valid = jnp.stack(cross_valid, 1)           # [n, 5]
+        cross_pid = jnp.stack(
+            [p[:, 1] * w + p[:, 0] for p in cross_pix], 1)  # [n, 5]
+
+        # one batched eval over all 5 cross positions: [5n] lanes share the
+        # tile's PSS vector (sequence replay == array reuse)
+        cross_all = jnp.concatenate(cross_pix, axis=0)    # [5n, 2]
+
+        def generate_state(scene_, u):
+            """Evaluate the PSS vector at every cross pixel (same sequence)."""
+            u5 = jnp.tile(u, (5, 1))
+            stream = ArrayStream(values=u5, counter=jnp.int32(0))
+            li = self.integrator.compute_pixel(scene_, cross_all, stream)
+            li = jnp.where(jnp.all(jnp.isfinite(li), -1, keepdims=True), li, 0.0)
+            col = li.reshape(5, n, 3).swapaxes(0, 1)      # [n, 5, 3]
+            col = jnp.where(cross_valid[..., None], col, 0.0)
+            tf = jnp.sum(jnp.max(col, axis=-1), axis=1)   # sum of channel_max
+            return col, tf
+
+        def mutate_smcmc(u, r, fresh01):
+            """Kelemen everywhere, uniform resample of the pixel-jitter dims."""
+            v = kelemen_mutate(u, r)
+            return v.at[:, 0:2].set(fresh01)
+
+        def mcmc_step(scene_, carry, stream, exchange_axis=None, offset=0):
+            """One schedule step. exchange_axis None -> independent MCMC;
+            'h'/'v' -> replica exchange along x/y with pair offset."""
+            (u, tf, col, wgt, acc_v, nb_s, b_acc, nb_u) = carry
+
+            if exchange_axis is None:
+                ul, stream = _uniform(stream, (n,))
+                uf, stream = _uniform(stream, (n, d))
+                um, stream = _uniform(stream, (n, d))
+                u01, stream = _uniform(stream, (n, 2))
+                ua, stream = _uniform(stream, (n,))
+                uninit = tf <= 0.0
+                large = (ul < self.large_prob) | uninit
+                u_prop = jnp.where(large[:, None], uf,
+                                   mutate_smcmc(u, um, u01))
+                col_p, tf_p = generate_state(scene_, u_prop)
+
+                # normalization accumulators on large steps (splat_state_uni)
+                b_acc = b_acc + jnp.where(large, tf_p, 0.0)
+                nb_u = nb_u + large.astype(jnp.int32)
+
+                a = jnp.minimum(1.0, tf_p / jnp.maximum(tf, 1e-30))
+                a = jnp.where(tf_p > 0.0, a, 0.0)
+                a = jnp.where(uninit, jnp.where(tf_p > 0.0, 1.0, 0.0), a)
+                w_cur = wgt + (1.0 - a)
+                accept = (ua < a) | (uninit & (tf_p > 0.0))
+
+                spl_col = jnp.where(accept[:, None, None], col, col_p)
+                spl_tf = jnp.where(accept, tf, tf_p)
+                spl_w = jnp.where(accept, w_cur, a)
+                good = spl_tf > 0.0
+                acc_v = acc_v + jnp.where(
+                    good[:, None, None],
+                    spl_col * (spl_w / jnp.maximum(spl_tf, 1e-30))[:, None, None],
+                    0.0)
+                nb_s = nb_s + (~uninit).astype(jnp.int32)
+
+                u = jnp.where(accept[:, None], u_prop, u)
+                tf = jnp.where(accept, tf_p, tf)
+                col = jnp.where(accept[:, None, None], col_p, col)
+                wgt = jnp.where(accept, a, w_cur)
+            else:
+                # pairwise swap partner index
+                if exchange_axis == "h":
+                    partner_x = jnp.where((px - offset) % 2 == 0, px + 1, px - 1)
+                    pvalid = (partner_x >= 0) & (partner_x < w)
+                    partner = py * w + jnp.clip(partner_x, 0, w - 1)
+                else:
+                    partner_y = jnp.where((py - offset) % 2 == 0, py + 1, py - 1)
+                    pvalid = (partner_y >= 0) & (partner_y < h)
+                    partner = jnp.clip(partner_y, 0, h - 1) * w + px
+
+                u_sw = jnp.where(pvalid[:, None], u[partner], u)
+                col_p, tf_p = generate_state(scene_, u_sw)
+                ua, stream = _uniform(stream, (n,))
+                # joint acceptance shared within the pair: use the uniform of
+                # the lower-index lane
+                ua_pair = jnp.where(partner > iota, ua, ua[partner])
+                prod_new = tf_p * tf_p[partner]
+                prod_old = tf * tf[partner]
+                a = jnp.minimum(1.0, prod_new / jnp.maximum(prod_old, 1e-30))
+                a = jnp.where((prod_new > 0.0) & pvalid, a, 0.0)
+                bothinit = (tf > 0.0) & (tf[partner] > 0.0)
+                a = jnp.where(bothinit, a, 0.0)
+                accept = (ua_pair < a) & pvalid & bothinit
+
+                w_cur = wgt + (1.0 - a)
+                spl_col = jnp.where(accept[:, None, None], col, col_p)
+                spl_tf = jnp.where(accept, tf, tf_p)
+                spl_w = jnp.where(accept, w_cur, a)
+                good = (spl_tf > 0.0) & bothinit
+                acc_v = acc_v + jnp.where(
+                    good[:, None, None],
+                    spl_col * (spl_w / jnp.maximum(spl_tf, 1e-30))[:, None, None],
+                    0.0)
+                nb_s = nb_s + bothinit.astype(jnp.int32)
+
+                u = jnp.where(accept[:, None], u_sw, u)
+                tf = jnp.where(accept, tf_p, tf)
+                col = jnp.where(accept[:, None, None], col_p, col)
+                wgt = jnp.where(accept, a, jnp.where(bothinit & pvalid, w_cur, wgt))
+                # borrow: uninit chains adopt an initialized partner's state
+                borrow = (tf <= 0.0) & pvalid & (tf_p > 0.0)
+                u = jnp.where(borrow[:, None], u_sw, u)
+                tf = jnp.where(borrow, tf_p, tf)
+                col = jnp.where(borrow[:, None, None], col_p, col)
+                wgt = jnp.where(borrow, 0.0, wgt)
+
+            return (u, tf, col, wgt, acc_v, nb_s, b_acc, nb_u), stream
+
+        # schedule MCMC/H0/MCMC/V0/MCMC/H1/MCMC/V1 (smcmc.rs:1335-1355) via a
+        # lax.switch inside a fori_loop — one compiled body, any spp
+        schedule = [None, ("h", 0), None, ("v", 0), None, ("h", 1), None, ("v", 1)]
+
+        @jax.jit
+        def run(scene_):
+            stream0 = stream_fold(base, 31337)
+            u0, stream0 = _uniform(stream0, (n, d))
+            col0, tf0 = generate_state(scene_, u0)
+            carry0 = (u0, tf0, col0, jnp.zeros(n),
+                      jnp.zeros((n, 5, 3)), jnp.zeros(n, jnp.int32),
+                      tf0, jnp.ones(n, jnp.int32))
+
+            branches = []
+            for step in schedule:
+                if step is None:
+                    branches.append(lambda c, st: mcmc_step(scene_, c, st))
+                else:
+                    ax, off = step
+                    branches.append(
+                        lambda c, st, ax=ax, off=off: mcmc_step(
+                            scene_, c, st, exchange_axis=ax, offset=off))
+
+            def body(s, state):
+                carry, stream = state
+                return jax.lax.switch(jnp.remainder(s, 8), branches,
+                                      carry, stream)
+
+            carry, _ = jax.lax.fori_loop(0, spp, body, (carry0, stream0))
+            return carry
+
+        import time
+        t0 = time.time()
+        (u, tf, col, wgt, acc_v, nb_s, b_acc, nb_u) = run(scene)
+        # flush final states
+        good = tf > 0.0
+        acc_v = acc_v + jnp.where(
+            good[:, None, None],
+            col * (wgt / jnp.maximum(tf, 1e-30))[:, None, None], 0.0)
+        if verbose:
+            print(f"smcmc: {n} tile-chains x {spp} steps in {time.time()-t0:.2f}s")
+
+        # naive overlap reconstruction (smcmc.rs:318-358)
+        norm = jnp.where(nb_u > 0, b_acc / jnp.maximum(nb_u, 1), 0.0)
+        accum = jnp.zeros((n, 3))
+        counts = jnp.zeros((n,))
+        vals = acc_v * norm[:, None, None]
+        for s in range(5):
+            contrib = jnp.where((cross_valid[:, s] & (nb_s > 0))[:, None],
+                                vals[:, s], 0.0)
+            accum = accum.at[cross_pid[:, s]].add(contrib, mode="drop")
+            counts = counts.at[cross_pid[:, s]].add(
+                jnp.where(cross_valid[:, s], nb_s.astype(jnp.float32), 0.0),
+                mode="drop")
+        img = jnp.where(counts[:, None] > 0, accum / jnp.maximum(counts[:, None], 1.0), 0.0)
+
+        film = Film(w, h)
+        film.buffers["primal"] = np.asarray(img).reshape(h, w, 3)
+        return film
