@@ -8,3 +8,4 @@ from .vpl import IntegratorVPL
 from .meta import IntegratorAverage, IntegratorEqualTime
 from .vol_primitives import IntegratorVolPrimitives
 from .point_normal import IntegratorPointNormal
+from .plane_single import IntegratorSinglePlane

@@ -80,6 +80,8 @@ def render(scene: SceneData, integrator: Integrator, spp: int, seed: int = 0,
     w, h = cam.width, cam.height
     pix = jnp.asarray(_pixel_grid(w, h))
     chunk = max(1, min(spp_per_pass, spp))
+    if hasattr(integrator, "prepare"):
+        integrator.prepare(scene)
 
     @jax.jit
     def run_chunk(scene_, pix_, start_idx):

@@ -1,0 +1,72 @@
+"""Cross-estimator consistency for volumetric transport.
+
+Oracle: every unbiased single-scattering estimator must agree in expectation
+— path(single_scattering), point_normal strategies, plane_single strategies,
+and the photon-primitive estimators (which also capture multiple scattering,
+so they are only lower-bounded here).
+"""
+import numpy as np
+import pytest
+
+from rustlight_tpu.models import cornell_box
+from rustlight_tpu.scene import make_volume
+from rustlight_tpu.integrators import (
+    IntegratorPathTracing, IntegratorPointNormal, IntegratorSinglePlane,
+    IntegratorVolPrimitives, render,
+)
+
+
+def _scene():
+    sc = cornell_box(32, 32)
+    sc.volume = make_volume(sigma_s=(0.003, 0.003, 0.003))
+    return sc.compile()
+
+
+SC = _scene()
+REF = render(SC, IntegratorPointNormal(strategies=("equiangular",)), spp=48,
+             seed=3)["primal"].mean()
+
+
+class TestSingleScatteringConsistency:
+    def test_path_single_scatter_matches(self):
+        f = render(SC, IntegratorPathTracing(max_depth=2, hard_cap=2,
+                                             single_scattering=True,
+                                             min_depth=1), spp=64, seed=1)
+        assert abs(f["primal"].mean() - REF) / REF < 0.15
+
+    @pytest.mark.parametrize("strats", [("tr",), ("tr", "equiangular", "eq_clamp")])
+    def test_point_normal_strategies(self, strats):
+        f = render(SC, IntegratorPointNormal(strategies=strats), spp=32, seed=2)
+        assert abs(f["primal"].mean() - REF) / REF < 0.15
+
+    @pytest.mark.parametrize("strat", ["uv", "average", "dmis", "cmis"])
+    def test_plane_single(self, strat):
+        f = render(SC, IntegratorSinglePlane(nb_primitive=256, strategy=strat),
+                   spp=4, seed=4)
+        assert abs(f["primal"].mean() - REF) / REF < 0.25, f["primal"].mean()
+
+    def test_plane_single_uncorrelated(self):
+        f = render(SC, IntegratorSinglePlane(strategy="average",
+                                             uncorrelated=True), spp=8, seed=5)
+        assert abs(f["primal"].mean() - REF) / REF < 0.25
+
+    @pytest.mark.parametrize("prim", ["bre", "beams"])
+    def test_vol_primitives_capture_at_least_single(self, prim):
+        f = render(SC, IntegratorVolPrimitives(
+            nb_primitive=2048, primitives=prim, radius=6.0, hard_cap=4),
+            spp=2, seed=6)
+        m = f["primal"].mean()
+        # includes multiple scattering -> >= single-scatter reference - noise
+        assert m > 0.5 * REF, (m, REF)
+        assert m < 4.0 * REF, (m, REF)
+
+
+class TestMediumPathTracer:
+    def test_vacuum_limit(self):
+        sc0 = cornell_box(24, 24)
+        ref = render(sc0.compile(), IntegratorPathTracing(max_depth=3), spp=16,
+                     seed=0)["primal"].mean()
+        sc0.volume = make_volume(sigma_s=(1e-7, 1e-7, 1e-7))
+        f = render(sc0.compile(), IntegratorPathTracing(max_depth=3, hard_cap=3),
+                   spp=16, seed=0)["primal"].mean()
+        assert abs(f - ref) / ref < 0.02
