@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Image-regression harness (reference tests/launch.py).
+
+Renders named scene x technique combinations under an spp or time budget,
+compares against stored reference images with l1/l2/mape/dssim, and writes an
+HTML comparison table.
+
+  python tools/regression.py --out regress/ --spp 32          # run + compare
+  python tools/regression.py --out regress/ --make-refs       # (re)build refs
+  python tools/regression.py --scenes cbox_path -t path pssmlt
+"""
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import numpy as np
+
+METRICS = ["l1", "l2", "mape", "dssim"]
+GI_ALGO = ["path", "light", "pssmlt", "vpl"]
+
+
+def build_tests():
+    from rustlight_tpu.models import cornell_box
+    from rustlight_tpu.scene import make_volume
+
+    def cbox():
+        return cornell_box(128, 128)
+
+    def cbox_medium():
+        sc = cornell_box(128, 128)
+        sc.volume = make_volume(sigma_s=(0.0025,) * 3)
+        return sc
+
+    return {
+        "cbox_ao": dict(scene=cbox, techniques=["ao"]),
+        "cbox_path": dict(scene=cbox, techniques=GI_ALGO[:]),
+        "cbox_medium": dict(scene=cbox_medium,
+                            techniques=["path", "point-normal"]),
+    }
+
+
+def make_integrator(name):
+    from rustlight_tpu import integrators as I
+    from rustlight_tpu.integrators.mcmc import IntegratorPSSMLT
+
+    if name == "ao":
+        return I.IntegratorAO()
+    if name == "path":
+        return I.IntegratorPathTracing(max_depth=8, hard_cap=8)
+    if name == "light":
+        return I.IntegratorLightTracing(max_depth=8, hard_cap=8)
+    if name == "vpl":
+        return I.IntegratorVPL(nb_vpl=256, max_depth=6, hard_cap=6)
+    if name == "pssmlt":
+        return IntegratorPSSMLT(
+            I.IntegratorPathTracing(max_depth=8, hard_cap=8),
+            nb_samples_norm=16384, nb_chains=4096)
+    if name == "point-normal":
+        return I.IntegratorPointNormal(strategies=("tr", "equiangular"))
+    raise ValueError(name)
+
+
+def render_one(scene_data, name, spp, seed=0):
+    from rustlight_tpu.integrators.meta import _render_once
+    return _render_once(scene_data, make_integrator(name), spp, seed)
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--out", default="regress")
+    ap.add_argument("--spp", type=int, default=32)
+    ap.add_argument("--ref-spp", type=int, default=256)
+    ap.add_argument("--make-refs", action="store_true")
+    ap.add_argument("-t", "--techniques", nargs="+")
+    ap.add_argument("-s", "--scenes", nargs="+")
+    args = ap.parse_args()
+
+    from rustlight_tpu.utils import image as rimage
+    from rustlight_tpu.utils.metrics import metric_scalar
+
+    out = Path(args.out)
+    refs = out / "refs"
+    out.mkdir(parents=True, exist_ok=True)
+    refs.mkdir(parents=True, exist_ok=True)
+
+    tests = build_tests()
+    results = {}
+    for tname, spec in tests.items():
+        if args.scenes and tname not in args.scenes:
+            continue
+        scene_data = spec["scene"]().compile()
+        ref_path = refs / f"{tname}.exr"
+        if args.make_refs or not ref_path.exists():
+            print(f"[{tname}] rendering reference ({args.ref_spp} spp path)...")
+            film = render_one(scene_data, spec["techniques"][0]
+                              if spec["techniques"] == ["ao"] else "path",
+                              args.ref_spp, seed=777)
+            rimage.save(str(ref_path), film["primal"])
+        ref = rimage.load(str(ref_path))
+
+        for tech in spec["techniques"]:
+            if args.techniques and tech not in args.techniques:
+                continue
+            t0 = time.time()
+            film = render_one(scene_data, tech, args.spp)
+            dt = time.time() - t0
+            img_path = out / f"{tname}_{tech}.exr"
+            rimage.save(str(img_path), film["primal"])
+            row = {m: metric_scalar(ref, film["primal"], m) for m in METRICS}
+            row["time_s"] = round(dt, 2)
+            results[f"{tname}/{tech}"] = row
+            print(f"[{tname}/{tech}] {row}")
+
+    (out / "results.json").write_text(json.dumps(results, indent=2))
+
+    # simple HTML report (stand-in for the interactive-viewer submodule)
+    rows = "".join(
+        f"<tr><td>{k}</td>" + "".join(
+            f"<td>{v[m]:.5g}</td>" for m in METRICS + ["time_s"]) + "</tr>"
+        for k, v in results.items())
+    (out / "index.html").write_text(
+        "<html><body><h1>rustlight_tpu regression</h1><table border=1>"
+        "<tr><th>test</th>" + "".join(f"<th>{m}</th>" for m in METRICS + ["time_s"])
+        + f"</tr>{rows}</table></body></html>")
+    print(f"report: {out/'index.html'}")
+
+
+if __name__ == "__main__":
+    main()
