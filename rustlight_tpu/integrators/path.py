@@ -125,7 +125,13 @@ class IntegratorPathTracing(Integrator):
             min_ok = k >= self.min_depth
             le = emitted_radiance(scene.emitters, scene.geom, hit.tri, s.d)
             # MIS vs the NEE strategy pdf at the previous vertex
-            pdf_light = direct_pdf_tri(scene.emitters, hit.tri, s.o, hit.p, hit.n_g, s.d)
+            if scene.ats is not None:
+                from ..scene.emitters import direct_pdf_tri_ats
+                pdf_light = direct_pdf_tri_ats(scene.emitters, scene.geom,
+                                               scene.ats, hit.tri, s.o, hit.p,
+                                               hit.n_g, s.d)
+            else:
+                pdf_light = direct_pdf_tri(scene.emitters, hit.tri, s.o, hit.p, hit.n_g, s.d)
             w_hit = jnp.where(
                 s.prev_delta | (~s.prev_nee) | (~jnp.asarray(mis_on)),
                 1.0, mis_balance(s.prev_pdf, pdf_light))
@@ -163,7 +169,12 @@ class IntegratorPathTracing(Integrator):
             u_sel, stream = stream_next(stream, (n,))
             u_pos, stream = stream_next2d(stream, (n,))
             if use_nee:
-                ls = sample_light(scene.emitters, scene.geom, p_v, u_sel, u_pos)
+                if scene.ats is not None:
+                    from ..scene.emitters import sample_light_ats
+                    ls = sample_light_ats(scene.emitters, scene.geom, scene.ats,
+                                          p_v, hit.n_s, u_sel, u_pos)
+                else:
+                    ls = sample_light(scene.emitters, scene.geom, p_v, u_sel, u_pos)
                 wo_l = to_local(hit.frame, ls.d)
                 f_s = bsdf_eval(scene.materials, hit.mat, hit.uv, hit.wi, wo_l,
                                 TRANSPORT_IMPORTANCE)

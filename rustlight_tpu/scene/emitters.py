@@ -494,3 +494,53 @@ def sample_emission_direction(em: EmitterTables, ps: PositionSample, u):
     pdf = jnp.where(m, 1.0, pdf)
     weight = jnp.where(m[:, None], 1.0, weight)
     return d, pdf, weight
+
+
+# ------------------------------------------------------------ ATS variants
+
+def sample_light_ats(em: EmitterTables, geom, ats, p_ref, n_ref, u_sel, u_pos
+                     ) -> LightSample:
+    """NEE via the ATS light BVH: stochastic tree descent selects a triangle,
+    then uniform area sampling on it (reference sample_light with ats,
+    emitter.rs:1629-1648 + direct_sample_tri)."""
+    from .ats import ats_sample
+
+    tri, sel_pdf = ats_sample(ats, p_ref, n_ref, u_sel)
+    ttake = make_taker(jnp.maximum(tri, 0), geom.n_pad)
+    b = warps.uniform_sample_triangle(u_pos)
+    v0 = ttake(geom.v0)
+    e1 = ttake(geom.e1)
+    e2 = ttake(geom.e2)
+    p_tri = v0 + b[..., 0:1] * e1 + b[..., 1:2] * e2
+    n_tri = ttake(geom.n_g)
+    area = ttake(geom.area)
+    le = ttake(em.tri_emission)
+
+    delta_v = p_tri - p_ref
+    dist = jnp.linalg.norm(delta_v, axis=-1)
+    d = delta_v / jnp.maximum(dist, 1e-20)[:, None]
+    cos_l = jnp.maximum(jnp.sum(n_tri * (-d), axis=-1), 0.0)
+    g = jnp.where(dist > 0.0, cos_l / jnp.maximum(dist ** 2, 1e-20), 0.0)
+    pdf_area = sel_pdf / jnp.maximum(area, 1e-20)
+    pdf = jnp.where(g > 0.0, pdf_area * dist ** 2 / jnp.maximum(cos_l, 1e-20), 0.0)
+    weight = jnp.where((g > 0.0)[:, None],
+                       le * (g / jnp.maximum(pdf_area, 1e-30))[:, None], 0.0)
+    valid = (g > 0.0) & (sel_pdf > 0.0) & (tri >= 0)
+    return LightSample(p=p_tri, n=n_tri, d=d, dist=dist, pdf=pdf,
+                       weight=jnp.where(valid[:, None], weight, 0.0),
+                       is_delta=jnp.zeros_like(valid), valid=valid, tri=tri)
+
+
+def direct_pdf_tri_ats(em: EmitterTables, geom, ats, tri_id, p_ref, p_hit,
+                       n_hit, d):
+    """Solid-angle NEE pdf under ATS selection (direct_pdf_tri x ats.pdf,
+    emitter.rs:1567-1601; the reference passes n=None here)."""
+    from .ats import ats_pdf
+
+    sel = ats_pdf(ats, tri_id, p_ref, None)
+    area_inv = table_take(ats.tri_area_inv, jnp.maximum(tri_id, 0))
+    cos_l = jnp.maximum(jnp.sum(n_hit * (-d), axis=-1), 0.0)
+    dist2 = jnp.sum((p_hit - p_ref) ** 2, axis=-1)
+    pdf = jnp.where(cos_l > 0.0,
+                    sel * area_inv * dist2 / jnp.maximum(cos_l, 1e-20), 0.0)
+    return jnp.where(tri_id >= 0, pdf, 0.0)

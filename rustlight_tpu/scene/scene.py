@@ -30,6 +30,7 @@ class SceneData:
     materials: MaterialTable
     emitters: EmitterTables
     volume: Optional[HomogeneousVolume]
+    ats: Optional[Any] = None   # AtsTables when built with use_ats
 
 
 @dataclass
@@ -53,7 +54,7 @@ class Scene:
         self.meshes.append(mesh)
         return len(self.meshes) - 1
 
-    def compile(self) -> SceneData:
+    def compile(self, use_ats: bool = False) -> SceneData:
         if not self.materials:
             self.materials = [MaterialDesc()]
         # emitter ids per mesh (dense numbering over emissive meshes)
@@ -80,8 +81,12 @@ class Scene:
             bsphere_center=center, bsphere_radius=radius,
         )
         materials = build_material_table(self.materials, textures=self.textures)
+        ats = None
+        if use_ats:
+            from .ats import build_ats
+            ats = build_ats(geom, emitters)
         return SceneData(camera=self.camera, geom=geom, materials=materials,
-                         emitters=emitters, volume=self.volume)
+                         emitters=emitters, volume=self.volume, ats=ats)
 
 
 class Hit(NamedTuple):
