@@ -123,7 +123,12 @@ class BvhTables:
 
 
 def build_bvh(geom, max_leaf: int = 8) -> BvhTables:
-    """Build from GeometryTables (uses only the real, unpadded triangles)."""
+    """Build from GeometryTables (uses only the real, unpadded triangles).
+
+    Pass numpy-leaved tables (e.g. scene.host.data.geom): reading device
+    arrays back poisons launch latency on the axon relay."""
+    if hasattr(geom, "host") and geom.host is not None:  # SceneData passed
+        geom = geom.host.data.geom
     v0 = np.asarray(geom.v0[: geom.n_tris])
     e1 = np.asarray(geom.e1[: geom.n_tris])
     e2 = np.asarray(geom.e2[: geom.n_tris])

@@ -46,15 +46,19 @@ def _chunk_test(rows_chunk, o4, d4, tnear, tfar):
     """Intersect all rays against one triangle chunk.
 
     rows_chunk [c, 3, 4]; o4/d4 [n, 4]. Returns (t [n, c], valid [n, c], ...).
+
+    Layout note: the matmul output is kept as [n, 3c] with *contiguous blocks*
+    N | U | V of c columns each. Reshaping to [n, c, 3] instead would put 3 in
+    the minor dimension — TPU pads the minor dim to 128 lanes, blowing the
+    physical footprint up ~40x and forcing relayout copies of the biggest
+    intermediate in the renderer.
     """
     c = rows_chunk.shape[0]
-    p = rows_chunk.reshape(c * 3, 4).T          # [4, 3c]
+    p = rows_chunk.transpose(1, 0, 2).reshape(3 * c, 4).T   # [4, N-blk|U-blk|V-blk]
     ao = jnp.dot(o4, p, precision=_PREC)        # [n, 3c]
     ad = jnp.dot(d4, p, precision=_PREC)
-    ao = ao.reshape(-1, c, 3)
-    ad = ad.reshape(-1, c, 3)
-    no, uo, vo = ao[..., 0], ao[..., 1], ao[..., 2]
-    nd, ud, vd = ad[..., 0], ad[..., 1], ad[..., 2]
+    no, uo, vo = ao[:, :c], ao[:, c:2 * c], ao[:, 2 * c:]
+    nd, ud, vd = ad[:, :c], ad[:, c:2 * c], ad[:, 2 * c:]
 
     live = jnp.abs(nd) > 1e-20
     t = -no / jnp.where(live, nd, 1.0)

@@ -117,7 +117,7 @@ def build_material_table(mats: List[MaterialDesc],
         mats = [MaterialDesc()]
 
     def col(f, dtype=np.float32):
-        return jnp.asarray(np.asarray([f(m) for m in mats], dtype=dtype))
+        return np.asarray([f(m) for m in mats], dtype=dtype)
 
     n = len(mats)
     sub_a = np.asarray([m.sub_a if m.kind == KIND_BLEND else i for i, m in enumerate(mats)], np.int32)
@@ -147,12 +147,12 @@ def build_material_table(mats: List[MaterialDesc],
         tex_offset=col(lambda m: m.tex_offset),
         tex_lw=col(lambda m: m.tex_lw),
         tex_img=col(lambda m: m.tex_img, np.int32),
-        sub_a=jnp.asarray(sub_a),
-        sub_b=jnp.asarray(sub_b),
-        blend_w=jnp.asarray(blend_w),
+        sub_a=sub_a,
+        sub_b=sub_b,
+        blend_w=blend_w,
         smooth=col(lambda m: _is_smooth(m, mats), bool),
         two_sided=col(lambda m: _is_two_sided(m), bool),
-        textures=None if textures is None else jnp.asarray(textures, jnp.float32),
+        textures=None if textures is None else np.asarray(textures, np.float32),
     )
 
 

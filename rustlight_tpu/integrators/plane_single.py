@@ -337,8 +337,11 @@ class IntegratorSinglePlane(Integrator):
 
     def prepare(self, scene):
         """Host-side setup (called by the render driver outside jit):
-        extract rectangular light parametrizations from the geometry."""
-        self._rect_cache = extract_rect_lights(scene)
+        extract rectangular light parametrizations from the geometry. Uses
+        the scene's numpy host mirror — reading device arrays back would
+        permanently slow every launch on the axon relay."""
+        src = scene.host.data if getattr(scene, "host", None) is not None else scene
+        self._rect_cache = extract_rect_lights(src)
 
     def _rect_lights(self, scene):
         if self._rect_cache is None:

@@ -205,7 +205,7 @@ def build_ats(scene_geom, emitters) -> AtsTables:
     tri_area_inv[tris] = 1.0 / np.maximum(area[tris], 1e-20)
 
     def col(f, dtype=np.float32):
-        return jnp.asarray(np.asarray([f(nd) for nd in nodes], dtype))
+        return np.asarray([f(nd) for nd in nodes], dtype)
 
     return AtsTables(
         n_nodes=m, root=root,
@@ -217,8 +217,8 @@ def build_ats(scene_geom, emitters) -> AtsTables:
         w=col(lambda nd: nd["b"].w),
         cos_o=col(lambda nd: nd["b"].cos_o), cos_e=col(lambda nd: nd["b"].cos_e),
         phi=col(lambda nd: nd["b"].phi),
-        tri_leaf=jnp.asarray(tri_leaf),
-        tri_area_inv=jnp.asarray(tri_area_inv),
+        tri_leaf=tri_leaf,
+        tri_area_inv=tri_area_inv,
     )
 
 

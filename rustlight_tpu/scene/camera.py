@@ -102,14 +102,17 @@ def make_camera(width: int, height: int, fov: float, to_world: np.ndarray,
     rect_max = np.array([max(p0[0], p1[0]), max(p0[1], p1[1])], np.float32) / max(p0[2], p1[2])
 
     to_world = np.asarray(to_world, np.float32)
+    # numpy leaves: the whole scene is device_put once at compile time;
+    # eager device arrays at build time would force device readbacks later
+    # (a readback permanently degrades launches on the axon relay)
     return Camera(
         width=width, height=height,
-        sample_to_camera=jnp.asarray(sample_to_camera),
-        camera_to_sample=jnp.asarray(camera_to_sample),
-        to_world=jnp.asarray(to_world),
-        to_local=jnp.asarray(np.linalg.inv(to_world)),
-        image_rect_min=jnp.asarray(rect_min),
-        image_rect_max=jnp.asarray(rect_max),
+        sample_to_camera=sample_to_camera.astype(np.float32),
+        camera_to_sample=camera_to_sample.astype(np.float32),
+        to_world=to_world,
+        to_local=np.linalg.inv(to_world).astype(np.float32),
+        image_rect_min=rect_min,
+        image_rect_max=rect_max,
     )
 
 

@@ -21,8 +21,10 @@ import numpy as np
 from flax import struct
 
 from ..utils.distribution import (
-    Distribution1D, build_distribution_1d, sample_discrete_1d, pdf_discrete_1d,
-    Distribution2D, build_distribution_2d, sample_continuous_2d,
+    Distribution1D, build_distribution_1d, build_distribution_1d_np,
+    sample_discrete_1d, pdf_discrete_1d,
+    Distribution2D, build_distribution_2d, build_distribution_2d_np,
+    sample_continuous_2d,
 )
 from ..ops.gather import make_taker, table_take
 from ..utils.frame import make_frame, to_world
@@ -155,8 +157,8 @@ def build_emitter_tables(
         kinds, refs, weights = [ATOM_TRI], [0], [0.0]
         n_atoms = 1
 
-    atom_cdf = build_distribution_1d(jnp.asarray(np.asarray(weights, np.float32)))
-    probs = np.asarray(atom_cdf.cdf)[1:] - np.asarray(atom_cdf.cdf)[:-1]
+    atom_cdf = build_distribution_1d_np(np.asarray(weights, np.float32))
+    probs = atom_cdf.cdf[1:] - atom_cdf.cdf[:-1]
 
     # per-triangle direct-pdf + atom backref
     for ai, (k, r) in enumerate(zip(kinds, refs)):
@@ -177,35 +179,35 @@ def build_emitter_tables(
         env_img = np.asarray(env_image, np.float32)
         h, w_ = env_img.shape[:2]
         sin_w = np.sin((np.arange(h) + 0.5) * _PI / h)[:, None]
-        env_cdf = build_distribution_2d(jnp.asarray((env_img * lum).sum(-1) * sin_w))
+        env_cdf = build_distribution_2d_np((env_img * lum).sum(-1) * sin_w)
     else:
         env_img = np.ones((1, 1, 3), np.float32)
-        env_cdf = build_distribution_2d(jnp.ones((1, 1)))
+        env_cdf = build_distribution_2d_np(np.ones((1, 1)))
 
     def arr(x, shape, dtype=np.float32):
         a = np.asarray(x, dtype)
-        return jnp.asarray(a if a.size else np.zeros(shape, dtype))
+        return a if a.size else np.zeros(shape, dtype)
 
     return EmitterTables(
         n_atoms=n_atoms,
         has_env=has_env,
         env_textured=env_textured,
         atom_cdf=atom_cdf,
-        atom_kind=jnp.asarray(np.asarray(kinds, np.int32)),
-        atom_ref=jnp.asarray(np.asarray(refs, np.int32)),
-        tri_emission=jnp.asarray(tri_emission),
-        tri_pdf_area=jnp.asarray(tri_pdf_area),
-        tri_atom=jnp.asarray(tri_atom),
+        atom_kind=np.asarray(kinds, np.int32),
+        atom_ref=np.asarray(refs, np.int32),
+        tri_emission=tri_emission,
+        tri_pdf_area=tri_pdf_area,
+        tri_atom=tri_atom,
         point_pos=arr([p for p, _ in points], (1, 3)),
         point_intensity=arr([i for _, i in points], (1, 3)),
         dir_direction=arr([d / np.linalg.norm(np.asarray(d, np.float32)) for d, _ in directionals], (1, 3)),
         dir_intensity=arr([i for _, i in directionals], (1, 3)),
-        env_color=jnp.asarray(np.asarray(env_constant if env_constant is not None else (0, 0, 0), np.float32)),
-        env_img=jnp.asarray(env_img),
+        env_color=np.asarray(env_constant if env_constant is not None else (0, 0, 0), np.float32),
+        env_img=env_img,
         env_cdf=env_cdf,
         env_lum_int=env_cdf.marginal_int,
-        bsphere_center=jnp.asarray(np.asarray(bsphere_center, np.float32)),
-        bsphere_radius=jnp.asarray(np.float32(bsphere_radius * 1.1)),
+        bsphere_center=np.asarray(bsphere_center, np.float32),
+        bsphere_radius=np.float32(bsphere_radius * 1.1),
     )
 
 

@@ -163,16 +163,17 @@ def build_geometry_tables(meshes: List[TriMesh], mesh_emitter_id: List[int]) -> 
         return np.concatenate([x, np.full(shape, fill, x.dtype)], axis=0)
 
     # Degenerate pad triangles: n=0 rows make Nd==0 so they never report hits.
+    # numpy leaves — Scene.compile device_puts the assembled pytree once.
     return GeometryTables(
         n_tris=t, n_pad=t_pad,
-        v0=jnp.asarray(padz(v0)), e1=jnp.asarray(padz(e1)), e2=jnp.asarray(padz(e2)),
-        n_g=jnp.asarray(padz(ng)),
-        inter_rows=jnp.asarray(padz(rws)),
-        vn=jnp.asarray(padz(vn)), vuv=jnp.asarray(padz(vuv)),
-        area=jnp.asarray(padz(area)),
-        mat_id=jnp.asarray(padz(mat)), mesh_id=jnp.asarray(padz(mid, -1)),
-        emitter_id=jnp.asarray(padz(eid, -1)),
-        has_normals=jnp.asarray(padz(hn, False)),
+        v0=padz(v0), e1=padz(e1), e2=padz(e2),
+        n_g=padz(ng),
+        inter_rows=padz(rws),
+        vn=padz(vn), vuv=padz(vuv),
+        area=padz(area),
+        mat_id=padz(mat), mesh_id=padz(mid, -1),
+        emitter_id=padz(eid, -1),
+        has_normals=padz(hn, False),
     )
 
 

@@ -23,6 +23,24 @@ from .geometry import GeometryTables, TriMesh, build_geometry_tables, scene_boun
 from .volume import HomogeneousVolume
 
 
+class HostMirror:
+    """Identity-hashable container for the numpy copy of a compiled scene.
+
+    Host-side consumers (BVH builder, ATS, plane_single's light extraction)
+    read from here instead of from device arrays: on the axon relay, ANY
+    device->host readback permanently degrades every later launch to ~30 ms,
+    so the host copy must survive next to the device pytree."""
+
+    def __init__(self, data):
+        self.data = data
+
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+
 @struct.dataclass
 class SceneData:
     camera: Camera
@@ -31,6 +49,7 @@ class SceneData:
     emitters: EmitterTables
     volume: Optional[HomogeneousVolume]
     ats: Optional[Any] = None   # AtsTables when built with use_ats
+    host: Optional[HostMirror] = struct.field(pytree_node=False, default=None)
 
 
 @dataclass
@@ -85,8 +104,12 @@ class Scene:
         if use_ats:
             from .ats import build_ats
             ats = build_ats(geom, emitters)
-        return SceneData(camera=self.camera, geom=geom, materials=materials,
-                         emitters=emitters, volume=self.volume, ats=ats)
+        host_sd = SceneData(camera=self.camera, geom=geom, materials=materials,
+                            emitters=emitters, volume=self.volume, ats=ats)
+        # single upload; numpy mirror kept for host-side builders (no readbacks)
+        import jax
+        device_sd = jax.device_put(host_sd)
+        return device_sd.replace(host=HostMirror(host_sd))
 
 
 class Hit(NamedTuple):

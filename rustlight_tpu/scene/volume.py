@@ -34,10 +34,11 @@ class HomogeneousVolume:
 
 
 def make_volume(sigma_s, sigma_a=(0.0, 0.0, 0.0), g: float = 0.0) -> HomogeneousVolume:
+    import numpy as _np
     return HomogeneousVolume(
-        sigma_a=jnp.asarray(sigma_a, jnp.float32),
-        sigma_s=jnp.asarray(sigma_s, jnp.float32),
-        phase_g=jnp.float32(g),
+        sigma_a=_np.asarray(sigma_a, _np.float32),
+        sigma_s=_np.asarray(sigma_s, _np.float32),
+        phase_g=_np.float32(g),
     )
 
 

@@ -25,6 +25,32 @@ class Distribution1D:
     func_int: Any  # scalar f32 (mean of func, as in the reference)
 
 
+def build_distribution_1d_np(func) -> Distribution1D:
+    """Host-side (numpy) build — used at scene-compile time so no device
+    arrays (or readbacks) are created before the final device_put."""
+    import numpy as np
+    func = np.asarray(func, dtype=np.float32)
+    n = func.shape[-1]
+    csum = np.cumsum(func / n, axis=-1)
+    cdf = np.concatenate([np.zeros_like(csum[..., :1]), csum], axis=-1)
+    total = cdf[..., -1:]
+    safe_total = np.where(total > 0.0, total, 1.0)
+    cdf = cdf / safe_total
+    cdf[..., -1] = 1.0
+    return Distribution1D(cdf=cdf, func=func, func_int=total[..., 0])
+
+
+def build_distribution_2d_np(f) -> Distribution2D:
+    import numpy as np
+    f = np.asarray(f, dtype=np.float32)
+    cond = build_distribution_1d_np(f)
+    row_int = cond.func_int
+    marg = build_distribution_1d_np(row_int)
+    return Distribution2D(
+        marginal_cdf=marg.cdf, conditional_cdf=cond.cdf, func=f,
+        marginal_func=row_int, marginal_int=marg.func_int)
+
+
 def build_distribution_1d(func) -> Distribution1D:
     func = jnp.asarray(func, dtype=jnp.float32)
     n = func.shape[-1]
