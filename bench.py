@@ -42,8 +42,9 @@ def main():
         return jax.lax.fori_loop(0, chunk, one,
                                  jnp.zeros((pix_.shape[0], 3), jnp.float32))
 
-    # warm up / compile
-    run_chunk(scene, pix, jnp.int32(0)).block_until_ready()
+    # warm up / compile. NOTE: on the axon relay block_until_ready does not
+    # reliably block; a scalar readback is the only trustworthy sync.
+    float(jnp.sum(run_chunk(scene, pix, jnp.int32(0))))
 
     t0 = time.time()
     acc = jnp.zeros((pix.shape[0], 3), jnp.float32)
@@ -51,7 +52,7 @@ def main():
     while done < spp:
         acc = acc + run_chunk(scene, pix, jnp.int32(done))
         done += chunk
-    acc.block_until_ready()
+    float(jnp.sum(acc))  # hard sync (includes one ~30 ms readback)
     dt = time.time() - t0
 
     # Count rays on a measurement pass (host-side estimate of live lanes per

@@ -102,15 +102,17 @@ def render(scene: SceneData, integrator: Integrator, spp: int, seed: int = 0,
     while done < spp:
         acc = acc + run_chunk(scene, pix, jnp.int32(done))
         done += chunk
-    acc.block_until_ready()
     spp_actual = done
+    # materialize before reading the clock: on the axon relay
+    # block_until_ready does not reliably block, only readbacks do
+    img = np.asarray(acc.reshape(h, w, 3) / spp_actual)
     if verbose:
         dt = time.time() - t0
         print(f"render: {spp_actual} spp in {dt:.2f}s "
               f"({w*h*spp_actual/max(dt,1e-9)/1e6:.2f} Msamples/s)")
 
     film = Film(w, h)
-    film.buffers["primal"] = np.asarray(acc.reshape(h, w, 3) / spp_actual)
+    film.buffers["primal"] = img
     return film
 
 
@@ -143,10 +145,10 @@ def render_splat(scene: SceneData, integrator: SplattingIntegrator, spp: int,
         acc = acc + one_pass(scene, jnp.int32(p))
         done += n
         p += 1
-    acc.block_until_ready()
+    img = np.asarray(acc.reshape(h, w, 3)) * (w * h / done)
     if verbose:
         print(f"render_splat: {done} paths in {time.time()-t0:.2f}s")
 
     film = Film(w, h)
-    film.buffers["primal"] = np.asarray(acc.reshape(h, w, 3)) * (w * h / done)
+    film.buffers["primal"] = img
     return film
