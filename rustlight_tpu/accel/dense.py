@@ -80,6 +80,18 @@ def _intersect_impl(inter_rows, o, d, tnear, tfar, any_hit: bool):
     d4 = jnp.concatenate([d, jnp.zeros((n, 1), d.dtype)], axis=-1)
 
     n_chunks = max(1, (t_pad + TRI_CHUNK - 1) // TRI_CHUNK)
+
+    # Pallas fast path: fused matmul+resolve keeps the [n, 3T] intermediates
+    # in VMEM (ops/pallas_trace.py); XLA fallback below materializes them.
+    from ..ops.pallas_trace import pallas_supported, pallas_trace
+    if pallas_supported(3 * t_pad):
+        rows_t = inter_rows.transpose(1, 0, 2).reshape(3 * t_pad, 4).T
+        if any_hit:
+            return pallas_trace(rows_t, o4, d4, tnear, tfar, any_hit=True)
+        t, idx, u, v = pallas_trace(rows_t, o4, d4, tnear, tfar)
+        hit = jnp.isfinite(t)
+        return RayHit(t=t, tri=jnp.where(hit, idx, -1), u=u, v=v, hit=hit)
+
     if n_chunks == 1:
         t, u, v, valid = _chunk_test(inter_rows, o4, d4, tnear, tfar)
         if any_hit:
