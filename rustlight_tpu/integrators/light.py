@@ -29,7 +29,9 @@ from ..scene import (
 from ..scene.camera import sample_direct
 from ..scene.emitters import ATOM_TRI
 from ..scene.scene import offset_ray_origin
-from ..scene.volume import transmittance
+from ..scene.volume import (
+    transmittance, volume_sample_distance, phase_eval, phase_sample,
+)
 from ..utils.frame import to_world, to_local
 from ..utils.rng import stream_next, stream_next2d
 from ..utils.vec import channel_max, dot, normalize
@@ -98,11 +100,24 @@ class IntegratorLightTracing(SplattingIntegrator):
         o = offset_ray_origin(ps.p, ps.n, d)
         alive = ps.valid & (pdf_dir > 0.0)
 
+        has_med = scene.volume is not None
+
         def body(carry, k):
             o, d, throughput, alive, stream = carry
             rh = intersect_rays(scene.geom, o, d)
             hit = fill_hit(scene, o, d, rh)
-            lane = alive & hit.valid
+
+            if has_med:
+                u_med, stream = stream_next(stream, (n,))
+                tfar = jnp.where(rh.hit, rh.t, 1e8)
+                sd = volume_sample_distance(scene.volume, tfar, u_med)
+                scattered = alive & (~sd.exited)
+                throughput = throughput * sd.w
+                p_scatter = o + d * sd.t[:, None]
+            else:
+                scattered = jnp.zeros(n, bool)
+                p_scatter = o
+            lane = alive & hit.valid & (~scattered)
 
             # ---- splat surface vertex (depth k+1)
             d_cam = normalize(cam_pos[None, :] - hit.p)
@@ -120,11 +135,30 @@ class IntegratorLightTracing(SplattingIntegrator):
             pid, val = splat_from(hit.p, hit.n_g, throughput * f_cam * corr[:, None],
                                   splat_ok)
 
+            # ---- splat volume vertex (light.rs:52-85): phase instead of BSDF
+            if has_med:
+                d_cam_v = normalize(cam_pos[None, :] - p_scatter)
+                ph = phase_eval(scene.volume.phase_g, -d, d_cam_v)
+                splat_ok_v = (scattered & ((k + 1) >= self.min_depth)
+                              & jnp.asarray(self.render_volume))
+                pid_v, val_v = splat_from(p_scatter, d_cam_v,
+                                          throughput * ph[:, None], splat_ok_v)
+                pid = jnp.where(scattered, pid_v, pid)
+                val = jnp.where(scattered[:, None], val_v, val)
+
             # ---- bounce (Transport::Importance per light.rs:252)
             u_b, stream = stream_next2d(stream, (n,))
             bs = bsdf_sample(scene.materials, hit.mat, hit.uv, hit.wi, u_b,
                              TRANSPORT_IMPORTANCE)
-            new_thr = throughput * bs.weight
+            wo_world = to_world(hit.frame, bs.wo)
+            weight = bs.weight
+            valid_dir = bs.valid
+            if has_med:
+                d_ph, w_ph, pdf_ph = phase_sample(scene.volume.phase_g, -d, u_b)
+                wo_world = jnp.where(scattered[:, None], d_ph, wo_world)
+                weight = jnp.where(scattered[:, None], w_ph, weight)
+                valid_dir = jnp.where(scattered, pdf_ph > 0.0, valid_dir)
+            new_thr = throughput * weight
 
             u_rr, stream = stream_next(stream, (n,))
             if self.rr_depth is None:
@@ -138,12 +172,12 @@ class IntegratorLightTracing(SplattingIntegrator):
             new_thr = new_thr * rr_w[:, None]
 
             expand = (self.max_depth is None) | (k + 1 < (self.max_depth or 0))
-            alive_new = lane & bs.valid & keep & jnp.asarray(expand) \
+            alive_new = (lane | scattered) & valid_dir & keep & jnp.asarray(expand) \
                 & (channel_max(new_thr) > 0.0)
-            d_new = to_world(hit.frame, bs.wo)
-            o_new = offset_ray_origin(hit.p, hit.n_g, d_new)
+            o_new = jnp.where(scattered[:, None], p_scatter,
+                              offset_ray_origin(hit.p, hit.n_g, wo_world))
             return ((jnp.where(alive_new[:, None], o_new, o),
-                     jnp.where(alive_new[:, None], d_new, d),
+                     jnp.where(alive_new[:, None], wo_world, d),
                      jnp.where(alive_new[:, None], new_thr, throughput),
                      alive_new, stream), (pid, val))
 

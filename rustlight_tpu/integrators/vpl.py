@@ -31,6 +31,9 @@ from ..scene import (
 )
 from ..scene.emitters import ATOM_TRI, ATOM_DIR
 from ..scene.scene import offset_ray_origin
+from ..scene.volume import (
+    volume_sample_distance, phase_sample, phase_eval, transmittance,
+)
 from ..utils.frame import to_world, to_local, make_frame
 from ..utils.rng import stream_next, stream_next2d, stream_fold, make_stream
 from ..utils.vec import channel_max, normalize
@@ -42,6 +45,7 @@ VPL_NONE = 0
 VPL_EMITTER = 1
 VPL_EMITTER_INF = 2
 VPL_SURFACE = 3
+VPL_VOLUME = 4
 
 
 class VplSet(NamedTuple):
@@ -94,24 +98,48 @@ class IntegratorVPL(Integrator):
         throughput = flux * w_dir
         o = offset_ray_origin(ps.p, ps.n, d)
         alive = ps.valid & (pdf_dir > 0.0)
+        has_med = scene.volume is not None
 
         def body(carry, k):
             o, d, throughput, alive, stream = carry
             rh = intersect_rays(scene.geom, o, d)
             hit = fill_hit(scene, o, d, rh)
-            lane = alive & hit.valid
+            if has_med:
+                u_med, stream = stream_next(stream, (n,))
+                tfar = jnp.where(rh.hit, rh.t, 1e8)
+                sdm = volume_sample_distance(scene.volume, tfar, u_med)
+                scattered = alive & (~sdm.exited)
+                throughput = throughput * sdm.w
+                p_scatter = o + d * sdm.t[:, None]
+            else:
+                scattered = jnp.zeros(n, bool)
+                p_scatter = o
+            lane = alive & hit.valid & (~scattered)
             smooth = bsdf_is_smooth(scene.materials, hit.mat)
             t, b, nn = hit.frame
             deposit = lane & (~smooth)
+            kind = jnp.where(deposit, VPL_SURFACE, VPL_NONE)
+            if has_med:
+                kind = jnp.where(scattered, VPL_VOLUME, kind)
             slot = dict(
-                kind=jnp.where(deposit, VPL_SURFACE, VPL_NONE),
-                pos=hit.p, n=hit.n_s, frame_t=t, frame_b=b, wi=hit.wi,
+                kind=kind,
+                pos=jnp.where(scattered[:, None], p_scatter, hit.p),
+                n=jnp.where(scattered[:, None], -d, hit.n_s),  # d_in for volume
+                frame_t=t, frame_b=b, wi=hit.wi,
                 uv=hit.uv, mat=hit.mat, radiance=throughput)
 
             u_b, stream = stream_next2d(stream, (n,))
             bs = bsdf_sample(scene.materials, hit.mat, hit.uv, hit.wi, u_b,
                              TRANSPORT_RADIANCE)
-            new_thr = throughput * bs.weight
+            wo_world = to_world(hit.frame, bs.wo)
+            weight = bs.weight
+            valid_dir = bs.valid
+            if has_med:
+                d_ph, w_ph, pdf_ph = phase_sample(scene.volume.phase_g, -d, u_b)
+                wo_world = jnp.where(scattered[:, None], d_ph, wo_world)
+                weight = jnp.where(scattered[:, None], w_ph, weight)
+                valid_dir = jnp.where(scattered, pdf_ph > 0.0, valid_dir)
+            new_thr = throughput * weight
             u_rr, stream = stream_next(stream, (n,))
             if self.rr_depth is None:
                 keep = jnp.ones(n, bool); rr_w = jnp.ones(n)
@@ -122,12 +150,12 @@ class IntegratorVPL(Integrator):
                 rr_w = jnp.where(do_rr & keep, 1.0 / jnp.maximum(rr_p, 1e-8), 1.0)
             new_thr = new_thr * rr_w[:, None]
             expand = (self.max_depth is None) | (k + 1 < (self.max_depth or 0))
-            alive_new = lane & bs.valid & keep & jnp.asarray(expand) \
+            alive_new = (lane | scattered) & valid_dir & keep & jnp.asarray(expand) \
                 & (channel_max(new_thr) > 0.0)
-            d_new = to_world(hit.frame, bs.wo)
-            o_new = offset_ray_origin(hit.p, hit.n_g, d_new)
+            o_new = jnp.where(scattered[:, None], p_scatter,
+                              offset_ray_origin(hit.p, hit.n_g, wo_world))
             return ((jnp.where(alive_new[:, None], o_new, o),
-                     jnp.where(alive_new[:, None], d_new, d),
+                     jnp.where(alive_new[:, None], wo_world, d),
                      jnp.where(alive_new[:, None], new_thr, throughput),
                      alive_new, stream), slot)
 
@@ -145,7 +173,11 @@ class IntegratorVPL(Integrator):
                       norm=jnp.float32(1.0 / n))
 
     # ----------------------------------------------------------- gather pass
-    def _gather_surface(self, scene, hit, front, vpls: VplSet):
+    def _gather_surface(self, scene, hit, front, vpls: VplSet,
+                        recv_scattered=None, recv_p=None, recv_d=None):
+        """Gather at surface hits; lanes flagged in recv_scattered gather at
+        the volume point recv_p with phase receiver along camera dir recv_d
+        (reference gathering_volume, vpl.rs:384-458)."""
         n = hit.p.shape[0]
         vc = self.vpl_chunk
         v_total = vpls.kind.shape[0]
@@ -171,7 +203,11 @@ class IntegratorVPL(Integrator):
             def bc_v(x):   # vpl-side broadcast
                 return jnp.tile(x, (n,) + (1,) * (x.ndim - 1))
 
-            p_pix = bc_p(hit.p)
+            if recv_scattered is not None:
+                p_here = jnp.where(recv_scattered[:, None], recv_p, hit.p)
+            else:
+                p_here = hit.p
+            p_pix = bc_p(p_here)
             n_pix = bc_p(hit.n_g)
             delta = bc_v(chunk['pos']) - p_pix
             dist2 = jnp.sum(delta * delta, axis=-1)
@@ -188,6 +224,10 @@ class IntegratorVPL(Integrator):
                                 jnp.sum(dir_ * frame_pix[2], -1)], -1)
             f_pix = bsdf_eval(scene.materials, bc_p(hit.mat), bc_p(hit.uv),
                               bc_p(hit.wi), wo_loc, TRANSPORT_IMPORTANCE)
+            if recv_scattered is not None and scene.volume is not None:
+                ph_recv = phase_eval(scene.volume.phase_g, bc_p(-recv_d), dir_)
+                f_pix = jnp.where(bc_p(recv_scattered)[:, None],
+                                  ph_recv[:, None], f_pix)
 
             # VPL-side emission toward the shading point
             # emitter VPL: Le * cos / pi ; surface VPL: f(wi, -dir) Radiance
@@ -200,19 +240,35 @@ class IntegratorVPL(Integrator):
                               bc_v(chunk['wi']), md, TRANSPORT_RADIANCE)
             rad_surf = bc_v(chunk['radiance']) * f_vpl
 
+            # volume VPL: phase at the VPL (vpl.rs:333-352)
+            if scene.volume is not None:
+                ph_vpl = phase_eval(scene.volume.phase_g, bc_v(chunk['n']), dir_)
+                rad_vol = bc_v(chunk['radiance']) * ph_vpl[:, None]
+                tr_con = transmittance(scene.volume, jnp.sqrt(dist2))
+            else:
+                rad_vol = jnp.zeros_like(rad_surf)
+                tr_con = 1.0
+
             g = 1.0 / jnp.maximum(dist2, self.clamping or 1e-20)
             contrib = jnp.where(
                 (kind == VPL_SURFACE)[:, None], rad_surf * g[:, None],
                 jnp.where((kind == VPL_EMITTER)[:, None], rad_emit * g[:, None],
-                          jnp.where(inf_vpl[:, None], bc_v(chunk['radiance']), 0.0)))
-            contrib = contrib * f_pix
+                          jnp.where(inf_vpl[:, None], bc_v(chunk['radiance']),
+                                    jnp.where((kind == VPL_VOLUME)[:, None],
+                                              rad_vol * g[:, None], 0.0))))
+            contrib = contrib * f_pix * tr_con
 
             # visibility
             o_shadow = offset_ray_origin(p_pix, n_pix, dir_)
+            if recv_scattered is not None:
+                o_shadow = jnp.where(bc_p(recv_scattered)[:, None], p_pix, o_shadow)
             target = jnp.where(inf_vpl[:, None],
                                p_pix + dir_ * 1e7, bc_v(chunk['pos']))
             vis = visible(scene.geom, o_shadow, target)
-            ok = (bc_p(front & (~smooth)) & vis & (kind != VPL_NONE))
+            recv_ok = front & (~smooth)
+            if recv_scattered is not None:
+                recv_ok = recv_ok | recv_scattered
+            ok = (bc_p(recv_ok) & vis & (kind != VPL_NONE))
             contrib = jnp.where(ok[:, None], contrib, 0.0)
             return acc + contrib.reshape(n, vc, 3).sum(axis=1), None
 
@@ -228,6 +284,21 @@ class IntegratorVPL(Integrator):
         hit = fill_hit(scene, o, d, rh)
 
         li = jnp.zeros((n, 3), jnp.float32)
+        if scene.volume is not None:
+            # camera-segment medium interaction (vpl.rs:460-533)
+            u_med, stream = stream_next(stream, (n,))
+            tfar = jnp.where(rh.hit, rh.t, 1e8)
+            sdm = volume_sample_distance(scene.volume, tfar, u_med)
+            scattered = ~sdm.exited
+            p_scatter = o + d * sdm.t[:, None]
+            front = hit.valid & (hit.wi[..., 2] > 0.0) & (~scattered)
+            li = li + jnp.where(front[:, None],
+                                emitted_radiance(scene.emitters, scene.geom,
+                                                 hit.tri, d) * sdm.w, 0.0)
+            gath = self._gather_surface(scene, hit, front, vpls,
+                                        recv_scattered=scattered,
+                                        recv_p=p_scatter, recv_d=d)
+            return li + gath * sdm.w
         esc = ~hit.valid
         li = li + jnp.where(esc[:, None], env_radiance(scene.emitters, d), 0.0)
         front = hit.valid & (hit.wi[..., 2] > 0.0)
