@@ -91,7 +91,7 @@ class IntegratorSMCMC:
         def mcmc_step(scene_, carry, stream, exchange_axis=None, offset=0):
             """One schedule step. exchange_axis None -> independent MCMC;
             'h'/'v' -> replica exchange along x/y with pair offset."""
-            (u, tf, col, wgt, acc_v, nb_s, b_acc, nb_u) = carry
+            (u, tf, col, wgt, acc_v, acc_mc, nb_s, b_acc, nb_u) = carry
 
             if exchange_axis is None:
                 ul, stream = _uniform(stream, (n,))
@@ -105,9 +105,14 @@ class IntegratorSMCMC:
                                    mutate_smcmc(u, um, u01))
                 col_p, tf_p = generate_state(scene_, u_prop)
 
-                # normalization accumulators on large steps (splat_state_uni)
+                # normalization accumulators on large steps (splat_state_uni).
+                # NOTE: the reference weights value_mc by weight/tf which is
+                # always 0 at that point (smcmc.rs:144-152), killing its own
+                # IRLS regularization; we accumulate the plain MC estimate,
+                # which is the clear intent.
                 b_acc = b_acc + jnp.where(large, tf_p, 0.0)
                 nb_u = nb_u + large.astype(jnp.int32)
+                acc_mc = acc_mc + jnp.where(large[:, None, None], col_p, 0.0)
 
                 a = jnp.minimum(1.0, tf_p / jnp.maximum(tf, 1e-30))
                 a = jnp.where(tf_p > 0.0, a, 0.0)
@@ -176,7 +181,7 @@ class IntegratorSMCMC:
                 col = jnp.where(borrow[:, None, None], col_p, col)
                 wgt = jnp.where(borrow, 0.0, wgt)
 
-            return (u, tf, col, wgt, acc_v, nb_s, b_acc, nb_u), stream
+            return (u, tf, col, wgt, acc_v, acc_mc, nb_s, b_acc, nb_u), stream
 
         # schedule MCMC/H0/MCMC/V0/MCMC/H1/MCMC/V1 (smcmc.rs:1335-1355) via a
         # lax.switch inside a fori_loop — one compiled body, any spp
@@ -188,7 +193,7 @@ class IntegratorSMCMC:
             u0, stream0 = _uniform(stream0, (n, d))
             col0, tf0 = generate_state(scene_, u0)
             carry0 = (u0, tf0, col0, jnp.zeros(n),
-                      jnp.zeros((n, 5, 3)), jnp.zeros(n, jnp.int32),
+                      jnp.zeros((n, 5, 3)), col0, jnp.zeros(n, jnp.int32),
                       tf0, jnp.ones(n, jnp.int32))
 
             branches = []
@@ -211,7 +216,7 @@ class IntegratorSMCMC:
 
         import time
         t0 = time.time()
-        (u, tf, col, wgt, acc_v, nb_s, b_acc, nb_u) = run(scene)
+        (u, tf, col, wgt, acc_v, acc_mc, nb_s, b_acc, nb_u) = run(scene)
         # flush final states
         good = tf > 0.0
         acc_v = acc_v + jnp.where(
@@ -219,6 +224,15 @@ class IntegratorSMCMC:
             col * (wgt / jnp.maximum(tf, 1e-30))[:, None, None], 0.0)
         if verbose:
             print(f"smcmc: {n} tile-chains x {spp} steps in {time.time()-t0:.2f}s")
+
+        if self.recons == "irls":
+            img = _irls_reconstruction(
+                np.asarray(acc_v), np.asarray(acc_mc), np.asarray(nb_s),
+                np.asarray(b_acc), np.asarray(nb_u),
+                np.asarray(cross_valid), np.asarray(cross_pid), w, h)
+            film = Film(w, h)
+            film.buffers["primal"] = img.reshape(h, w, 3)
+            return film
 
         # naive overlap reconstruction (smcmc.rs:318-358)
         norm = jnp.where(nb_u > 0, b_acc / jnp.maximum(nb_u, 1), 0.0)
@@ -237,3 +251,118 @@ class IntegratorSMCMC:
         film = Film(w, h)
         film.buffers["primal"] = np.asarray(img).reshape(h, w, 3)
         return film
+
+
+# slot layout: 0=center, 1=left(dx=-1), 2=top(dy=-1), 3=right(+1), 4=down(+1)
+# overlap rules (cur_slot, next_slot, (dy, dx)) — smcmc.rs:491-695
+_IRLS_PAIRS = [
+    (0, 3, (0, -1)), (1, 0, (0, -1)),      # left neighbor
+    (0, 1, (0, +1)), (3, 0, (0, +1)),      # right neighbor
+    (0, 4, (-1, 0)), (2, 0, (-1, 0)),      # top neighbor
+    (0, 2, (+1, 0)), (4, 0, (+1, 0)),      # down neighbor
+    (2, 3, (-1, -1)), (1, 4, (-1, -1)),    # top-left diagonal
+    (4, 1, (+1, +1)), (3, 2, (+1, +1)),    # down-right diagonal
+    (4, 3, (+1, -1)), (1, 2, (+1, -1)),    # down-left diagonal
+    (2, 1, (-1, +1)), (3, 4, (-1, +1)),    # top-right diagonal
+    (1, 3, (0, -2)), (3, 1, (0, +2)),      # distance-2 horizontal
+    (2, 4, (-2, 0)), (4, 2, (+2, 0)),      # distance-2 vertical
+]
+
+
+def _irls_reconstruction(acc_v, acc_mc, nb_s, b_acc, nb_u, cross_valid,
+                         cross_pid, w, h, irls_iter=4, internal_iter=20,
+                         alpha=0.1):
+    """IRLS overlap-consistency solve (reference ReconstructionIRLS,
+    smcmc.rs:359-904), vectorized with numpy rolls; per channel."""
+    n = w * h
+
+    def rolled(img2d, off):
+        """value at the neighbor p + (dy, dx); mask False where out of bounds."""
+        dy, dx = off
+        r = np.roll(img2d, (-dy, -dx), axis=(0, 1))
+        valid = np.ones((h, w), bool)
+        if dy > 0:
+            valid[h - dy:, :] = False
+        elif dy < 0:
+            valid[:-dy, :] = False
+        if dx > 0:
+            valid[:, w - dx:] = False
+        elif dx < 0:
+            valid[:, :-dx] = False
+        return r, valid
+
+    out_b = np.zeros((n, 3), np.float32)
+    # robust per-pixel MC estimate (weighted_reconstruction_channel)
+    for ch in range(3):
+        mc_acc = np.zeros(n, np.float64)
+        mc_cnt = np.zeros(n, np.int64)
+        for s in range(5):
+            np.add.at(mc_acc, cross_pid[:, s],
+                      np.where(cross_valid[:, s], acc_mc[:, s, ch], 0.0))
+            np.add.at(mc_cnt, cross_pid[:, s],
+                      np.where(cross_valid[:, s], nb_u, 0))
+        mc_est = np.where(mc_cnt > 0, mc_acc / np.maximum(mc_cnt, 1), 0.0)
+
+        cache = np.where(cross_valid, acc_v[:, :, ch], 0.0)  # [n, 5]
+        sums_mcmc = cache.sum(1)
+        sums_mc = np.where(cross_valid, mc_est[cross_pid], 0.0).sum(1)
+        b = np.where(nb_u > 0, b_acc / np.maximum(nb_u, 1), 0.0).astype(np.float64)
+        wgt = np.ones(n, np.float64)
+
+        cache2 = cache.reshape(h, w, 5)
+
+        def apply_op(b, wgt, error_mode):
+            b2 = b.reshape(h, w)
+            w2 = wgt.reshape(h, w)
+            force = np.zeros((h, w))
+            pos = np.zeros((h, w))
+            err = np.zeros((h, w))
+
+            def update(v1, b1, w1, v2, b2_, w2_, valid):
+                al = valid & (v1 != 0.0) & (v2 != 0.0)
+                f = 0.5 * (v1 * b1 - v2 * b2_)
+                ww = np.minimum(w1, w2_)
+                if error_mode:
+                    err[al] += np.abs(f)[al]
+                else:
+                    force[al] += (ww * f)[al]
+                    pos[al] += (ww * v1)[al]
+
+            # regularization vs the MC estimate (smcmc.rs:506-511). The MCMC
+            # sums accumulate one splat per step while the MC estimate is
+            # per-sample, so normalize by the step count (the reference's own
+            # regularization never fires due to its value_mc weight bug, so
+            # this scale is ours to fix).
+            update((sums_mcmc / np.maximum(nb_s, 1)).reshape(h, w), b2,
+                   alpha * w2,
+                   sums_mc.reshape(h, w), np.ones((h, w)), alpha * w2,
+                   np.ones((h, w), bool))
+            for s1, s2, off in _IRLS_PAIRS:
+                v2r, valid = rolled(cache2[:, :, s2], off)
+                b2r, _ = rolled(b2, off)
+                w2r, _ = rolled(w2, off)
+                update(cache2[:, :, s1], b2, w2, v2r, b2r, w2r, valid)
+            if error_mode:
+                return err.reshape(n)
+            newb = np.where(pos != 0.0, b2 - force / np.where(pos != 0, pos, 1.0), b2)
+            newb = np.where(np.isfinite(newb), newb, b2)
+            return np.maximum(newb.reshape(n), 0.0)
+
+        for it in range(irls_iter):
+            for _ in range(internal_iter):
+                b = np.where(sums_mcmc > 0, apply_op(b, wgt, False), b)
+            err = apply_op(b, wgt, True)
+            w_new = 1.0 / (err + max(0.05 * 0.5 ** it, 1e-4))
+            wgt = w_new * n / max(w_new.sum(), 1e-12)
+        out_b[:, ch] = b.astype(np.float32)
+
+    # final splat: value * per-tile b, averaged by overlap counts
+    accum = np.zeros((n, 3), np.float64)
+    counts = np.zeros(n, np.int64)
+    vals = acc_v * out_b[:, None, :]
+    for s in range(5):
+        ok = cross_valid[:, s] & (nb_s > 0)
+        np.add.at(accum, cross_pid[:, s], np.where(ok[:, None], vals[:, s], 0.0))
+        np.add.at(counts, cross_pid[:, s], np.where(ok, nb_s, 0))
+    img = np.where(counts[:, None] > 0, accum / np.maximum(counts[:, None], 1), 0.0)
+    return img.astype(np.float32)

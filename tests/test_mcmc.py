@@ -32,3 +32,15 @@ class TestPSSMLT:
         m, r = film["primal"].mean(), ref["primal"].mean()
         assert abs(m - r) / r < 0.15, (m, r)
         assert film["primal"].min() >= 0.0
+
+
+class TestSMCMC:
+    def test_naive_and_irls_reconstructions(self):
+        from rustlight_tpu.integrators.mcmc import IntegratorSMCMC
+        sc = cornell_box(24, 24).compile()
+        inner = IntegratorPathTracing(max_depth=3, hard_cap=3)
+        ref = render(sc, inner, spp=32, seed=2)["primal"].mean()
+        for rec in ("naive", "irls"):
+            f = IntegratorSMCMC(inner, recons=rec).render(sc, spp=48, seed=0)
+            m = f["primal"].mean()
+            assert abs(m - ref) / ref < 0.2, (rec, m, ref)
