@@ -8,9 +8,13 @@ Reference: src/integrators/explicit/point_normal.rs. Implemented strategies
                 point (point_normal.rs:15-176)
   EQ_CLAMP    — equiangular with the angular domain clamped by the emitter
                 normal's visibility half-space (point_normal.rs:54-133)
+  WARP        — linear/Bezier warps of the equiangular angular domain shaped
+                by transmittance (T), phase (P) and/or point-normal cosine (N)
+                products, chained via MultipleWrap (point_normal.rs:188-385)
 Strategies combine with the balance heuristic over their distance pdfs
 (the reference's strategy-MIS, point_normal.rs:1560-2208). The Taylor-series
-product sampling (point_normal_poly.rs) and Bezier warps are round-2 work.
+product sampling (point_normal_poly.rs Poly4/Poly6 + Newton CDF inversion)
+remains round-2 work.
 """
 from __future__ import annotations
 
@@ -30,6 +34,86 @@ _PI = jnp.pi
 STRATEGY_TR = "tr"
 STRATEGY_EQUIANGULAR = "equiangular"
 STRATEGY_EQ_CLAMP = "eq_clamp"
+STRATEGY_WARP = "warp"
+
+
+# ----------------------------- angular warps (point_normal.rs:188-345)
+
+def _linear_pdf(v0, v1, x):
+    return 2.0 * (v0 * (1.0 - x) + v1 * x) / jnp.maximum(v0 + v1, 1e-30)
+
+
+def _linear_cdf(v0, v1, x):
+    return x * (v0 * (2.0 - x) + v1 * x) / jnp.maximum(v0 + v1, 1e-30)
+
+
+def _linear_cdf_inv(v0, v1, s):
+    # solve (v1-v0) x^2 + 2 v0 x - (v0+v1) s = 0 on [0,1]
+    a = v1 - v0
+    b = 2.0 * v0
+    c = -(v0 + v1) * s
+    disc = jnp.sqrt(jnp.maximum(b * b - 4.0 * a * c, 0.0))
+    lin = jnp.abs(a) < 1e-8 * jnp.maximum(jnp.abs(v0) + jnp.abs(v1), 1e-20)
+    q = -0.5 * (b + jnp.where(b >= 0, disc, -disc))
+    r1 = q / jnp.where(jnp.abs(a) > 1e-30, a, 1.0)
+    r2 = c / jnp.where(jnp.abs(q) > 1e-30, q, 1.0)
+    in01 = lambda r: (r >= -1e-4) & (r <= 1.0 + 1e-4)
+    root = jnp.where(in01(r1), r1, r2)
+    root = jnp.where(lin, s, root)
+    return jnp.clip(root, 0.0, 1.0)
+
+
+def _bezier_pdf(v0, v1, v2, x):
+    tot = v0 + v1 + v2
+    c = (1 - x) ** 2 * v0 + 2 * (1 - x) * x * v1 + x ** 2 * v2
+    return jnp.where(tot > 1e-5, 3.0 * c / jnp.maximum(tot, 1e-30), 1.0)
+
+
+def _bezier_cdf(v0, v1, v2, x):
+    tot = v0 + v1 + v2
+    c = ((v0 - 2 * v1 + v2) * x ** 3 + 3 * (v1 - v0) * x ** 2 + 3 * v0 * x)
+    return jnp.where(tot > 1e-5, c / jnp.maximum(tot, 1e-30), x)
+
+
+def _bezier_cdf_inv(v0, v1, v2, s, iters: int = 24):
+    """Monotone-CDF inversion by safeguarded Newton (the reference uses a
+    closed-form cubic solver; Newton vectorizes better and the cdf is
+    monotone because the pdf is nonnegative)."""
+    lo = jnp.zeros_like(s)
+    hi = jnp.ones_like(s)
+    x = s
+
+    def body(_, carry):
+        x, lo, hi = carry
+        f = _bezier_cdf(v0, v1, v2, x) - s
+        lo = jnp.where(f < 0, x, lo)
+        hi = jnp.where(f > 0, x, hi)
+        df = _bezier_pdf(v0, v1, v2, x)
+        x_new = x - f / jnp.maximum(df, 1e-8)
+        bad = (x_new <= lo) | (x_new >= hi) | (~jnp.isfinite(x_new))
+        x_new = jnp.where(bad, 0.5 * (lo + hi), x_new)
+        return x_new, lo, hi
+
+    x, _, _ = jax.lax.fori_loop(0, iters, body, (x, lo, hi))
+    return jnp.clip(x, 0.0, 1.0)
+
+
+def _warp_values(kind, theta, o, d, p_light, n_light, delta, d_l, sigma_t_avg, g):
+    """Warp shaping values at angle theta (point_normal.rs:1260-1276)."""
+    if kind == "P":
+        tmp = 1.0 + g * g + 2.0 * g * jnp.sin(theta)
+        return 1.0 / (tmp * jnp.sqrt(jnp.maximum(tmp, 1e-12)))
+    if kind == "N":
+        dd = (o + d * delta[:, None] - p_light) / jnp.maximum(d_l, 1e-20)[:, None]
+        a = jnp.sum(n_light * dd, -1)
+        b = jnp.sum(n_light * d, -1)
+        return jnp.maximum(a * jnp.cos(theta) + b * jnp.sin(theta), 0.0)
+    if kind == "T":
+        ct = jnp.cos(theta)
+        return jnp.exp(-sigma_t_avg * (
+            d_l * jnp.tan(theta) + delta
+            + d_l / jnp.maximum(jnp.abs(ct), 1e-6)))
+    raise ValueError(kind)
 
 
 def _equiangular_params(o, d, pos, tmax):
@@ -79,13 +163,61 @@ def _equiangular_pdf(dist, delta, d_l, theta_a, theta_b, clamped):
 
 class IntegratorPointNormal(Integrator):
     def __init__(self, strategies: Sequence[str] = (STRATEGY_EQUIANGULAR,),
-                 splitting: Optional[float] = None):
+                 splitting: Optional[float] = None,
+                 warps: str = "T", warps_strategy: str = "linear"):
         for s in strategies:
-            assert s in (STRATEGY_TR, STRATEGY_EQUIANGULAR, STRATEGY_EQ_CLAMP)
+            assert s in (STRATEGY_TR, STRATEGY_EQUIANGULAR, STRATEGY_EQ_CLAMP,
+                         STRATEGY_WARP)
         self.strategies = tuple(strategies)
         self.splitting = splitting
+        self.warps = warps          # chars from {T, P, N} (point_normal.rs -w)
+        self.warps_strategy = warps_strategy  # linear | bezier
 
-    def _distance_pdfs(self, scene, name, t, o, d, ls, tmax, eq, eqc):
+    # -------------------------- warp chains (MultipleWrap, rs:327-385)
+    def _warp_params(self, scene, o, d, ls0, eq):
+        delta, d_l, ta, tb = eq
+        g = scene.volume.phase_g
+        st = jnp.mean(scene.volume.sigma_t)
+        mid = 0.5 * (ta + tb)
+        params = []
+        for c in self.warps:
+            args = (o, d, ls0.p, ls0.n, delta, d_l, st, g)
+            v0 = _warp_values(c, ta, *args)
+            v1 = _warp_values(c, tb, *args)
+            if self.warps_strategy == "bezier":
+                vm = _warp_values(c, mid, *args)
+                params.append((v0, vm, v1))
+            else:
+                params.append((v0, v1))
+        return params
+
+    def _warp_chain_sample(self, params, s):
+        """pos = cdf_inv chained; pdf = product (point_normal.rs:331-345)."""
+        pdf = jnp.ones_like(s)
+        pos = s
+        for pr in params:
+            if len(pr) == 2:
+                pos = _linear_cdf_inv(pr[0], pr[1], pos)
+                pdf = pdf * _linear_pdf(pr[0], pr[1], pos)
+            else:
+                pos = _bezier_cdf_inv(pr[0], pr[1], pr[2], pos)
+                pdf = pdf * _bezier_pdf(pr[0], pr[1], pr[2], pos)
+        return pos, pdf
+
+    def _warp_chain_pdf(self, params, x):
+        """Reverse chain pdf at angular position x (rs:364-380)."""
+        pdf = jnp.ones_like(x)
+        pos = x
+        for pr in reversed(params):
+            if len(pr) == 2:
+                pdf = pdf * _linear_pdf(pr[0], pr[1], pos)
+                pos = _linear_cdf(pr[0], pr[1], pos)
+            else:
+                pdf = pdf * _bezier_pdf(pr[0], pr[1], pr[2], pos)
+                pos = _bezier_cdf(pr[0], pr[1], pr[2], pos)
+        return pdf
+
+    def _distance_pdfs(self, scene, name, t, o, d, ls, tmax, eq, eqc, wparams):
         """pdf of strategy `name` for distance t (for MIS)."""
         if name == STRATEGY_TR:
             return distance_pdf(scene.volume, t, jnp.zeros_like(t, bool))
@@ -93,6 +225,13 @@ class IntegratorPointNormal(Integrator):
             delta, d_l, ta, tb = eq
             return _equiangular_pdf(t, delta, d_l, ta, tb,
                                     jnp.zeros_like(t, bool))
+        if name == STRATEGY_WARP:
+            delta, d_l, ta, tb = eq
+            tt = t - delta
+            theta = jnp.arctan(tt / d_l)
+            x = jnp.clip((theta - ta) / jnp.maximum(tb - ta, 1e-12), 0.0, 1.0)
+            pdf_ang = self._warp_chain_pdf(wparams, x) / jnp.maximum(tb - ta, 1e-12)
+            return pdf_ang * d_l / jnp.maximum(d_l ** 2 + tt ** 2, 1e-30)
         delta, d_l, ta, tb, valid = eqc
         p = _equiangular_pdf(t, delta, d_l, ta, tb, jnp.ones_like(t, bool))
         return jnp.where(valid, p, 0.0)
@@ -114,17 +253,18 @@ class IntegratorPointNormal(Integrator):
         li = jnp.zeros((n, 3), jnp.float32)
         n_strats = len(self.strategies)
 
+        # shared per-lane light sample + angular parametrizations
+        ls0 = sample_light(scene.emitters, scene.geom, o, u_sel, u_lpos)
+        eq = _equiangular_params(o, d, ls0.p, tmax)
+        delta, d_l, ta, tb = eq
+        ta_c, tb_c, valid_c = _equiangular_clamp(
+            o, d, ls0.p, ls0.n, tmax, ta, tb, delta, d_l)
+        eqc = (delta, d_l, ta_c, tb_c, valid_c)
+        wparams = (self._warp_params(scene, o, d, ls0, eq)
+                   if STRATEGY_WARP in self.strategies else None)
+
         for name in self.strategies:
             u_t, stream = stream_next(stream, (n,))
-            # sample the light from the ray origin (reference samples the
-            # emitter position first, then the distance toward it)
-            ls0 = sample_light(scene.emitters, scene.geom, o, u_sel, u_lpos)
-            eq = _equiangular_params(o, d, ls0.p, tmax)
-            delta, d_l, ta, tb = eq
-            ta_c, tb_c, valid_c = _equiangular_clamp(
-                o, d, ls0.p, ls0.n, tmax, ta, tb, delta, d_l)
-            eqc = (delta, d_l, ta_c, tb_c, valid_c)
-
             if name == STRATEGY_TR:
                 from ..scene.volume import volume_sample_distance
                 sd = volume_sample_distance(vol, tmax, u_t)
@@ -133,6 +273,14 @@ class IntegratorPointNormal(Integrator):
                 strat_valid = ~sd.exited
             elif name == STRATEGY_EQUIANGULAR:
                 t, pdf_t = _equiangular_sample(u_t, delta, d_l, ta, tb, tmax)
+                strat_valid = pdf_t > 0.0
+            elif name == STRATEGY_WARP:
+                x, pdf_ang = self._warp_chain_sample(wparams, u_t)
+                theta = ta + x * (tb - ta)
+                tt = d_l * jnp.tan(theta)
+                t = jnp.clip(tt + delta, 0.0, tmax)
+                jac = d_l / jnp.maximum(d_l ** 2 + tt ** 2, 1e-30)
+                pdf_t = pdf_ang / jnp.maximum(tb - ta, 1e-12) * jac
                 strat_valid = pdf_t > 0.0
             else:
                 t, pdf_t = _equiangular_sample(u_t, delta, d_l, ta_c, tb_c, tmax)
@@ -150,7 +298,7 @@ class IntegratorPointNormal(Integrator):
             pdf_sum = jnp.zeros_like(pdf_t)
             for other in self.strategies:
                 pdf_sum = pdf_sum + self._distance_pdfs(
-                    scene, other, t, o, d, ls, tmax, eq, eqc)
+                    scene, other, t, o, d, ls, tmax, eq, eqc, wparams)
             w = jnp.where(pdf_t > 0.0,
                           pdf_t / jnp.maximum(pdf_sum, 1e-30), 0.0)
 

@@ -75,3 +75,17 @@ class TestMediumPathTracer:
         f = render(sc0.compile(), IntegratorPathTracing(max_depth=3, hard_cap=3),
                    spp=16, seed=0)["primal"].mean()
         assert abs(f - ref) / ref < 0.02
+
+
+class TestWarpStrategies:
+    @pytest.mark.parametrize("ws,chars", [("linear", "T"), ("bezier", "P"),
+                                          ("bezier", "TP")])
+    def test_warps_agree_with_equiangular(self, ws, chars):
+        sc = cornell_box(24, 24)
+        sc.volume = make_volume(sigma_s=(0.003,) * 3, g=0.3)
+        sd = sc.compile()
+        ref = render(sd, IntegratorPointNormal(strategies=("equiangular",)),
+                     spp=48, seed=1)["primal"].mean()
+        f = render(sd, IntegratorPointNormal(strategies=("warp",), warps=chars,
+                                             warps_strategy=ws), spp=24, seed=2)
+        assert abs(f["primal"].mean() - ref) / ref < 0.15
