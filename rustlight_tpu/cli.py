@@ -239,6 +239,7 @@ def main(argv=None):
     rng = args.random_number_generator
     if rng.startswith("independent:"):
         seed = int(rng.split(":")[1])
+    sampler = "stratified" if rng.startswith("stratified") else "independent"
 
     t1 = time.time()
     if args.equal_time is not None:
@@ -259,7 +260,7 @@ def main(argv=None):
                                      dump_base=args.output.rsplit(".", 1)[0])
         film = meta.render(sd, seed=seed, verbose=True)
     else:
-        film = _render_once(sd, integrator, args.nbsamples, seed)
+        film = _render_once(sd, integrator, args.nbsamples, seed, sampler=sampler)
     log.info("Elapsed Integrator: %.3fs", time.time() - t1)
 
     film.save(args.output)

@@ -70,7 +70,8 @@ def _pixel_grid(width, height):
 
 
 def render(scene: SceneData, integrator: Integrator, spp: int, seed: int = 0,
-           spp_per_pass: int = 8, verbose: bool = False) -> Film:
+           spp_per_pass: int = 8, verbose: bool = False,
+           sampler: str = "independent") -> Film:
     """Monte Carlo render: returns the averaged film.
 
     The spp loop is `lax.scan`-batched in chunks of `spp_per_pass` so a single
@@ -89,6 +90,11 @@ def render(scene: SceneData, integrator: Integrator, spp: int, seed: int = 0,
         # into the executable — the axon relay re-uploads literals per launch
         def one(s, acc):
             stream = stream_fold(make_stream(seed), start_idx + s)
+            if sampler == "stratified":
+                from ..utils.rng import StratifiedStream
+                pid = pix_[:, 1] * w + pix_[:, 0]
+                stream = StratifiedStream(inner=stream, pixel_ids=pid,
+                                          pass_idx=start_idx + s, spp=spp)
             li = integrator.compute_pixel(scene_, pix_, stream)
             # guard invalid splats (reference accumulate_safe, mod.rs:160-175)
             ok = jnp.all(jnp.isfinite(li), axis=-1) & jnp.all(li >= 0.0, axis=-1)

@@ -17,12 +17,12 @@ from ..utils.film import Film
 from .common import Integrator, SplattingIntegrator, render, render_splat
 
 
-def _render_once(scene, integrator, spp, seed):
+def _render_once(scene, integrator, spp, seed, sampler="independent"):
     if isinstance(integrator, SplattingIntegrator):
         return render_splat(scene, integrator, spp, seed=seed)
     if hasattr(integrator, "render"):           # self-driving (MCMC)
         return integrator.render(scene, spp, seed=seed)
-    return render(scene, integrator, spp, seed=seed)
+    return render(scene, integrator, spp, seed=seed, sampler=sampler)
 
 
 class IntegratorAverage:

@@ -85,6 +85,19 @@ def astream_next2d(stream: ArrayStream, shape=()):
     return u, stream.replace(counter=stream.counter + 2)
 
 
+@struct.dataclass
+class StratifiedStream:
+    """Wraps a base stream so the *first* 2D draw (the pixel jitter) is
+    stratified over the sample-pass axis (reference src/samplers/stratified.rs
+    stratifies the leading dimensions; wavefront integrators consume the
+    pixel jitter first)."""
+    inner: Any
+    pixel_ids: Any  # [n] int32
+    pass_idx: Any   # scalar
+    spp: int = struct.field(pytree_node=False)
+    used: bool = struct.field(pytree_node=False, default=False)
+
+
 # polymorphic front-ends: integrators call these regardless of stream type
 _orig_stream_next = stream_next
 _orig_stream_next2d = stream_next2d
@@ -93,10 +106,22 @@ _orig_stream_next2d = stream_next2d
 def stream_next(stream, shape=()):  # noqa: F811
     if isinstance(stream, ArrayStream):
         return astream_next(stream, shape)
+    if isinstance(stream, StratifiedStream):
+        u, inner = stream_next(stream.inner, shape)
+        return u, stream.replace(inner=inner)
     return _orig_stream_next(stream, shape)
 
 
 def stream_next2d(stream, shape=()):  # noqa: F811
     if isinstance(stream, ArrayStream):
         return astream_next2d(stream, shape)
+    if isinstance(stream, StratifiedStream):
+        if not stream.used:
+            from ..samplers.stratified import stratified_jitter
+            u = stratified_jitter(stream.inner.key, stream.pixel_ids,
+                                  stream.pass_idx, stream.spp)
+            inner = stream.inner.replace(counter=stream.inner.counter + 1)
+            return u, stream.replace(inner=inner, used=True)
+        u, inner = stream_next2d(stream.inner, shape)
+        return u, stream.replace(inner=inner)
     return _orig_stream_next2d(stream, shape)
