@@ -92,6 +92,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-k", "--splitting", type=float, default=None)
     p.add_argument("-x", "--use-mis", action="store_true")
     p.add_argument("-s", "--strategy", default="tr_ex")
+    p.add_argument("-w", "--warps", default="T",
+                   help="warp chain chars from {T,P,N} (cli.rs -w)")
+    p.add_argument("-W", "--warps-strategy", default="L",
+                   choices=["L", "B"], help="Linear | Bezier wrap")
 
     p = sub.add_parser("gradient-path")
     _add_path_length(p)
@@ -184,15 +188,27 @@ def build_integrator(args):
             nb_primitive=args.nb_primitive, max_depth=pl["max_depth"],
             rr_depth=pl["rr_depth"], primitives=args.primitives.lower())
     if cmd == "point-normal":
+        # strategy names mirror examples/cli.rs:455-494
         strategies = {
             "tr_ex": ("tr", "equiangular"),
             "tr": ("tr",),
             "ex": ("equiangular",),
+            "eq_ex": ("equiangular",),
             "ex_clamp": ("eq_clamp",),
+            "eq_clamped_ex": ("eq_clamp",),
+            "eq_warp_ex": ("warp",),
+            "eq_tr_taylor_ex": ("taylor_tr",),
+            "eq_phase_taylor_ex": ("taylor_phase",),
+            "pn_ex": ("pn",),
+            "pn_warp_ex": ("pn", "warp"),
+            "pn_tr_taylor_ex": ("pn_taylor_tr",),
+            "pn_phase_taylor_ex": ("pn_taylor_phase",),
             "all": ("tr", "equiangular", "eq_clamp"),
         }.get(args.strategy, ("tr", "equiangular"))
-        return I.IntegratorPointNormal(strategies=strategies,
-                                       splitting=args.splitting)
+        return I.IntegratorPointNormal(
+            strategies=strategies, splitting=args.splitting,
+            warps=args.warps,
+            warps_strategy="bezier" if args.warps_strategy == "B" else "linear")
     if cmd == "gradient-path" or cmd == "gradient-path-explicit":
         from .integrators.gradient import IntegratorGradientPath
         return IntegratorGradientPath(

@@ -11,10 +11,20 @@ Reference: src/integrators/explicit/point_normal.rs. Implemented strategies
   WARP        — linear/Bezier warps of the equiangular angular domain shaped
                 by transmittance (T), phase (P) and/or point-normal cosine (N)
                 products, chained via MultipleWrap (point_normal.rs:188-385)
+  PN          — analytic a·cos+b·sin point-normal factor sampling on the
+                normal-clamped angular domain (point_normal.rs:653-758, pn_ex)
+  TAYLOR_TR / TAYLOR_PHASE — degree-6 Taylor product sampling of the
+                transmittance / HG factor with Newton CDF inversion
+                (point_normal_poly.rs + point_normal.rs:401-512;
+                eq_tr_taylor_ex / eq_phase_taylor_ex)
+  PN_TAYLOR_TR / PN_TAYLOR_PHASE — Taylor×point-normal product via the
+                closed-form cdf_pn (point_normal.rs:757-940;
+                pn_tr_taylor_ex / pn_phase_taylor_ex)
 Strategies combine with the balance heuristic over their distance pdfs
-(the reference's strategy-MIS, point_normal.rs:1560-2208). The Taylor-series
-product sampling (point_normal_poly.rs Poly4/Poly6 + Newton CDF inversion)
-remains round-2 work.
+(the reference's strategy-MIS, point_normal.rs:1560-2208). Lanes where a
+product sampler's setup is degenerate fall back to plain equiangular
+(sample AND pdf, keeping the MIS weights consistent) instead of the
+reference's Option::None early-out.
 """
 from __future__ import annotations
 
@@ -35,6 +45,18 @@ STRATEGY_TR = "tr"
 STRATEGY_EQUIANGULAR = "equiangular"
 STRATEGY_EQ_CLAMP = "eq_clamp"
 STRATEGY_WARP = "warp"
+STRATEGY_PN = "pn"
+STRATEGY_TAYLOR_TR = "taylor_tr"
+STRATEGY_TAYLOR_PHASE = "taylor_phase"
+STRATEGY_PN_TAYLOR_TR = "pn_taylor_tr"
+STRATEGY_PN_TAYLOR_PHASE = "pn_taylor_phase"
+
+_ALL_STRATEGIES = (STRATEGY_TR, STRATEGY_EQUIANGULAR, STRATEGY_EQ_CLAMP,
+                   STRATEGY_WARP, STRATEGY_PN, STRATEGY_TAYLOR_TR,
+                   STRATEGY_TAYLOR_PHASE, STRATEGY_PN_TAYLOR_TR,
+                   STRATEGY_PN_TAYLOR_PHASE)
+_TAYLOR = (STRATEGY_TAYLOR_TR, STRATEGY_TAYLOR_PHASE)
+_PN_TAYLOR = (STRATEGY_PN_TAYLOR_TR, STRATEGY_PN_TAYLOR_PHASE)
 
 
 # ----------------------------- angular warps (point_normal.rs:188-345)
@@ -166,8 +188,7 @@ class IntegratorPointNormal(Integrator):
                  splitting: Optional[float] = None,
                  warps: str = "T", warps_strategy: str = "linear"):
         for s in strategies:
-            assert s in (STRATEGY_TR, STRATEGY_EQUIANGULAR, STRATEGY_EQ_CLAMP,
-                         STRATEGY_WARP)
+            assert s in _ALL_STRATEGIES, s
         self.strategies = tuple(strategies)
         self.splitting = splitting
         self.warps = warps          # chars from {T, P, N} (point_normal.rs -w)
@@ -217,23 +238,81 @@ class IntegratorPointNormal(Integrator):
                 pos = _bezier_cdf(pr[0], pr[1], pr[2], pos)
         return pdf
 
-    def _distance_pdfs(self, scene, name, t, o, d, ls, tmax, eq, eqc, wparams):
+    def _product_setups(self, scene, o, d, ls0, eq, eqc):
+        """Per-lane setup products for the analytic/Taylor product samplers
+        (poly coefficients, mixture probabilities, normalizations)."""
+        from . import point_normal_poly as pp
+        delta, d_l, _, _ = eq
+        _, _, ta_c, tb_c, valid_c = eqc
+        st_avg = jnp.mean(scene.volume.sigma_t)
+        g = scene.volume.phase_g
+        setups = {}
+        need_pn = any(s in self.strategies
+                      for s in (STRATEGY_PN,) + _PN_TAYLOR)
+        if need_pn:
+            a0, b0 = pp.pn_coeffs(o, d, ls0.p, ls0.n, delta, d_l)
+            nrm = pp.pn_norm(a0, b0, ta_c, tb_c)
+            ok = valid_c & (nrm > 1e-20)
+            safe = jnp.where(jnp.abs(nrm) > 1e-20, nrm, 1.0)
+            setups["_pn_raw"] = (a0, b0)
+            setups[STRATEGY_PN] = (a0 / safe, b0 / safe, ok)
+        for name in self.strategies:
+            if name in _TAYLOR + _PN_TAYLOR:
+                if name.endswith("_tr"):
+                    c = pp.poly6_tr(d_l, st_avg)
+                    clamp = pp.clamp_angle_tr(st_avg, d_l)
+                else:
+                    c = pp.poly6_phase(g)
+                    clamp = jnp.broadcast_to(pp.clamp_angle_phase(g),
+                                             d_l.shape)
+                if name in _TAYLOR:
+                    _, _, ta, tb = eq
+                    st = pp.taylor_setup(c, ta, tb, clamp)
+                else:
+                    a0, b0 = setups["_pn_raw"]
+                    st = pp.pn_taylor_setup(c, a0, b0, ta_c, tb_c, clamp)
+                    st["valid"] = st["valid"] & valid_c
+                setups[name] = (c, st)
+        return setups
+
+    def _distance_pdfs(self, scene, name, t, o, d, ls, tmax, eq, eqc,
+                       wparams, setups):
         """pdf of strategy `name` for distance t (for MIS)."""
+        from . import point_normal_poly as pp
+        delta, d_l, ta, tb = eq
         if name == STRATEGY_TR:
             return distance_pdf(scene.volume, t, jnp.zeros_like(t, bool))
         if name == STRATEGY_EQUIANGULAR:
-            delta, d_l, ta, tb = eq
             return _equiangular_pdf(t, delta, d_l, ta, tb,
                                     jnp.zeros_like(t, bool))
         if name == STRATEGY_WARP:
-            delta, d_l, ta, tb = eq
             tt = t - delta
             theta = jnp.arctan(tt / d_l)
             x = jnp.clip((theta - ta) / jnp.maximum(tb - ta, 1e-12), 0.0, 1.0)
             pdf_ang = self._warp_chain_pdf(wparams, x) / jnp.maximum(tb - ta, 1e-12)
             return pdf_ang * d_l / jnp.maximum(d_l ** 2 + tt ** 2, 1e-30)
-        delta, d_l, ta, tb, valid = eqc
-        p = _equiangular_pdf(t, delta, d_l, ta, tb, jnp.ones_like(t, bool))
+        eq_fallback = _equiangular_pdf(t, delta, d_l, ta, tb,
+                                       jnp.zeros_like(t, bool))
+        tt = t - delta
+        theta = jnp.arctan(tt / d_l)
+        jac = d_l / jnp.maximum(d_l ** 2 + tt ** 2, 1e-30)
+        if name in _TAYLOR:
+            c, st = setups[name]
+            return jnp.where(st["valid"], pp.taylor_pdf(c, st, theta) * jac,
+                             eq_fallback)
+        if name in _PN_TAYLOR:
+            c, st = setups[name]
+            return jnp.where(st["valid"],
+                             pp.pn_taylor_pdf(c, st, theta) * jac,
+                             eq_fallback)
+        if name == STRATEGY_PN:
+            a_n, b_n, ok = setups[STRATEGY_PN]
+            _, _, ta_c, tb_c, _ = eqc
+            inside = (theta >= ta_c) & (theta <= tb_c)
+            p = jnp.abs(a_n * jnp.cos(theta) + b_n * jnp.sin(theta)) * jac
+            return jnp.where(ok, jnp.where(inside, p, 0.0), eq_fallback)
+        delta, d_l, ta_c, tb_c, valid = eqc
+        p = _equiangular_pdf(t, delta, d_l, ta_c, tb_c, jnp.ones_like(t, bool))
         return jnp.where(valid, p, 0.0)
 
     def compute_pixel(self, scene, pix, stream):
@@ -262,6 +341,16 @@ class IntegratorPointNormal(Integrator):
         eqc = (delta, d_l, ta_c, tb_c, valid_c)
         wparams = (self._warp_params(scene, o, d, ls0, eq)
                    if STRATEGY_WARP in self.strategies else None)
+        setups = self._product_setups(scene, o, d, ls0, eq, eqc)
+
+        def _angular_to_dist(theta, pdf_ang, valid):
+            """theta → distance + pdf, equiangular fallback on invalid lanes."""
+            tt = d_l * jnp.tan(theta)
+            t_s = jnp.clip(tt + delta, 0.0, tmax)
+            pdf_s = pdf_ang * d_l / jnp.maximum(d_l ** 2 + tt ** 2, 1e-30)
+            t_eq, pdf_eq = _equiangular_sample(u_t, delta, d_l, ta, tb, tmax)
+            return (jnp.where(valid, t_s, t_eq),
+                    jnp.where(valid, pdf_s, pdf_eq))
 
         for name in self.strategies:
             u_t, stream = stream_next(stream, (n,))
@@ -282,6 +371,25 @@ class IntegratorPointNormal(Integrator):
                 jac = d_l / jnp.maximum(d_l ** 2 + tt ** 2, 1e-30)
                 pdf_t = pdf_ang / jnp.maximum(tb - ta, 1e-12) * jac
                 strat_valid = pdf_t > 0.0
+            elif name in _TAYLOR:
+                from . import point_normal_poly as pp
+                c, st = setups[name]
+                theta, pdf_ang = pp.taylor_sample(c, st, u_t)
+                t, pdf_t = _angular_to_dist(theta, pdf_ang, st["valid"])
+                strat_valid = pdf_t > 0.0
+            elif name in _PN_TAYLOR:
+                from . import point_normal_poly as pp
+                c, st = setups[name]
+                theta, pdf_ang = pp.pn_taylor_sample(c, st, u_t)
+                t, pdf_t = _angular_to_dist(theta, pdf_ang, st["valid"])
+                strat_valid = pdf_t > 0.0
+            elif name == STRATEGY_PN:
+                from . import point_normal_poly as pp
+                a_n, b_n, ok = setups[STRATEGY_PN]
+                theta = pp.pn_invert(a_n, b_n, ta_c, tb_c, u_t)
+                pdf_ang = jnp.abs(a_n * jnp.cos(theta) + b_n * jnp.sin(theta))
+                t, pdf_t = _angular_to_dist(theta, pdf_ang, ok)
+                strat_valid = pdf_t > 0.0
             else:
                 t, pdf_t = _equiangular_sample(u_t, delta, d_l, ta_c, tb_c, tmax)
                 strat_valid = valid_c & (pdf_t > 0.0)
@@ -298,7 +406,7 @@ class IntegratorPointNormal(Integrator):
             pdf_sum = jnp.zeros_like(pdf_t)
             for other in self.strategies:
                 pdf_sum = pdf_sum + self._distance_pdfs(
-                    scene, other, t, o, d, ls, tmax, eq, eqc, wparams)
+                    scene, other, t, o, d, ls, tmax, eq, eqc, wparams, setups)
             w = jnp.where(pdf_t > 0.0,
                           pdf_t / jnp.maximum(pdf_sum, 1e-30), 0.0)
 

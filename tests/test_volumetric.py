@@ -77,6 +77,49 @@ class TestMediumPathTracer:
         assert abs(f - ref) / ref < 0.02
 
 
+class TestTaylorStrategies:
+    """Degree-6 Taylor product sampling (point_normal_poly.rs)."""
+
+    def test_poly_mixture_normalized(self):
+        import jax
+        import jax.numpy as jnp
+        from rustlight_tpu.integrators import point_normal_poly as pp
+        d_l = jnp.array([0.5, 2.0, 10.0, 100.0])
+        ta = jnp.array([-0.8, -1.2, 0.1, -0.4])
+        tb = jnp.array([1.2, 1.5, 1.4, 1.52])
+        c = pp.poly6_tr(d_l, 0.01)
+        st = pp.taylor_setup(c, ta, tb, pp.clamp_angle_tr(0.01, d_l))
+        c2 = tuple(ci[:, None] for ci in c)
+        st2 = {k: (v[:, None] if hasattr(v, "ndim") and v.ndim == 1 else v)
+               for k, v in st.items()}
+        th = ta[:, None] + jnp.linspace(0, 1, 8001)[None, :] * (tb - ta)[:, None]
+        integ = jnp.trapezoid(pp.taylor_pdf(c2, st2, th), th, axis=1)
+        assert np.allclose(np.asarray(integ), 1.0, atol=2e-3)
+        # sampled pdf must equal pdf() at the sampled angle (MIS consistency)
+        u = jax.random.uniform(jax.random.PRNGKey(0), (4, 4096))
+        ths, pdfs = jax.vmap(lambda ui: pp.taylor_sample(c, st, ui),
+                             in_axes=1, out_axes=1)(u)
+        pdf_at = jax.vmap(lambda t: pp.taylor_pdf(c, st, t),
+                          in_axes=1, out_axes=1)(ths)
+        assert np.allclose(np.asarray(pdfs), np.asarray(pdf_at), rtol=1e-5)
+
+    @pytest.mark.parametrize("strats", [
+        ("pn",), ("taylor_tr",), ("taylor_phase",),
+        ("pn_taylor_tr",), ("pn_taylor_phase",),
+        ("taylor_phase", "equiangular"),
+    ])
+    def test_agrees_with_equiangular(self, strats):
+        from rustlight_tpu.models import cornell_box
+        sc = cornell_box(24, 24)
+        sc.volume = make_volume(sigma_s=(0.003,) * 3, g=0.4)
+        sd = sc.compile()
+        ref = render(sd, IntegratorPointNormal(strategies=("equiangular",)),
+                     spp=48, seed=3)["primal"].mean()
+        f = render(sd, IntegratorPointNormal(strategies=strats), spp=24,
+                   seed=7)
+        assert abs(f["primal"].mean() - ref) / ref < 0.12
+
+
 class TestWarpStrategies:
     @pytest.mark.parametrize("ws,chars", [("linear", "T"), ("bezier", "P"),
                                           ("bezier", "TP")])
