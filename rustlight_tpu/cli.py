@@ -209,13 +209,19 @@ def build_integrator(args):
             strategies=strategies, splitting=args.splitting,
             warps=args.warps,
             warps_strategy="bezier" if args.warps_strategy == "B" else "linear")
-    if cmd == "gradient-path" or cmd == "gradient-path-explicit":
+    if cmd == "gradient-path":
+        # reconnection shift (src/integrators/gradient/path.rs)
+        from .integrators.gradient import IntegratorGradientPathReconnect
+        return IntegratorGradientPathReconnect(
+            max_depth=pl["max_depth"], min_depth=pl.get("min_depth"),
+            recons=args.strategy_recons, recons_iterations=args.iterations)
+    if cmd == "gradient-path-explicit":
+        # random-replay shift (src/integrators/gradient/explicit.rs)
         from .integrators.gradient import IntegratorGradientPath
         return IntegratorGradientPath(
             max_depth=pl["max_depth"], recons=args.strategy_recons,
             recons_iterations=args.iterations,
-            min_survival=(getattr(args, "min_survival", None)
-                          if cmd.endswith("explicit") else None))
+            min_survival=getattr(args, "min_survival", None))
     if cmd == "pssmlt":
         from .integrators.mcmc import IntegratorPSSMLT
         inner = I.IntegratorPathTracing(strategy=args.strategy, **pl)

@@ -117,45 +117,60 @@ class IntegratorGradientPath:
                     gyb = gbuf
             return primal * 0.25, gxb, gyb
 
-        nb = self.nb_buffers
-        primal_acc = np.zeros((nb, h * w, 3), np.float32)
-        gx_acc = np.zeros((nb, h * w, 3), np.float32)
-        gy_acc = np.zeros((nb, h * w, 3), np.float32)
-        counts = np.zeros(nb, np.int64)
-        for s in range(spp):
-            p_, gx_, gy_ = one_pass(scene, jnp.int32(s))
-            b = s % nb
-            primal_acc[b] += np.asarray(p_)
-            gx_acc[b] += np.asarray(gx_)
-            gy_acc[b] += np.asarray(gy_)
-            counts[b] += 1
-        counts = np.maximum(counts, 1)[:, None, None]
-        primal_acc /= counts
-        gx_acc /= counts
-        gy_acc /= counts
+        return _render_gradient_film(scene, spp, one_pass, self.nb_buffers,
+                                     self.recons, self.iterations, w, h)
 
-        shape = (nb, h, w, 3)
-        ps = jnp.asarray(primal_acc.reshape(shape))
-        gxs = jnp.asarray(gx_acc.reshape(shape))
-        gys = jnp.asarray(gy_acc.reshape(shape))
 
-        film = Film(w, h)
-        film.buffers["primal_raw"] = np.asarray(ps.mean(0))
-        film.buffers["gradient_x"] = np.asarray(gxs.mean(0))
-        film.buffers["gradient_y"] = np.asarray(gys.mean(0))
+def _render_gradient_film(scene, spp, one_pass, nb, recons, iterations, w, h):
+    """Shared GDPT film driver: per-pass buffer rotation (for weighted/bagging
+    reconstructions), Poisson reconstruction, very_direct add-back
+    (gradient/path.rs compute_gradients:103-216 + recons.rs:151-292)."""
+    primal_acc = np.zeros((nb, h * w, 3), np.float32)
+    gx_acc = np.zeros((nb, h * w, 3), np.float32)
+    gy_acc = np.zeros((nb, h * w, 3), np.float32)
+    vd_acc = np.zeros((h * w, 3), np.float32)
+    counts = np.zeros(nb, np.int64)
+    for s in range(spp):
+        out = one_pass(scene, jnp.int32(s))
+        p_, gx_, gy_ = out[:3]
+        vd_ = out[3] if len(out) > 3 else None
+        b = s % nb
+        primal_acc[b] += np.asarray(p_)
+        gx_acc[b] += np.asarray(gx_)
+        gy_acc[b] += np.asarray(gy_)
+        if vd_ is not None:
+            vd_acc += np.asarray(vd_)
+        counts[b] += 1
+    counts = np.maximum(counts, 1)[:, None, None]
+    primal_acc /= counts
+    gx_acc /= counts
+    gy_acc /= counts
+    vd_acc /= spp
 
-        if self.recons == "uniform":
-            out = uniform_poisson_reconstruction(
-                ps.mean(0), gxs.mean(0), gys.mean(0), iterations=self.iterations)
-        elif self.recons == "weighted":
-            out = weighted_poisson_reconstruction(
-                ps, gxs, gys, iterations=self.iterations)
-        elif self.recons == "bagging":
-            out, var, relerr = bagging_poisson_reconstruction(
-                ps, gxs, gys, iterations=self.iterations)
-            film.buffers["primal_variance"] = np.asarray(var)
-            film.buffers["relerr"] = np.asarray(relerr)
-        else:
-            raise ValueError(self.recons)
-        film.buffers["primal"] = np.asarray(out)
-        return film
+    shape = (nb, h, w, 3)
+    ps = jnp.asarray(primal_acc.reshape(shape))
+    gxs = jnp.asarray(gx_acc.reshape(shape))
+    gys = jnp.asarray(gy_acc.reshape(shape))
+    vd = vd_acc.reshape(h, w, 3)
+
+    film = Film(w, h)
+    film.buffers["primal_raw"] = np.asarray(ps.mean(0)) + vd
+    film.buffers["very_direct"] = vd
+    film.buffers["gradient_x"] = np.asarray(gxs.mean(0))
+    film.buffers["gradient_y"] = np.asarray(gys.mean(0))
+
+    if recons == "uniform":
+        out = uniform_poisson_reconstruction(
+            ps.mean(0), gxs.mean(0), gys.mean(0), iterations=iterations)
+    elif recons == "weighted":
+        out = weighted_poisson_reconstruction(ps, gxs, gys,
+                                              iterations=iterations)
+    elif recons == "bagging":
+        out, var, relerr = bagging_poisson_reconstruction(
+            ps, gxs, gys, iterations=iterations)
+        film.buffers["primal_variance"] = np.asarray(var)
+        film.buffers["relerr"] = np.asarray(relerr)
+    else:
+        raise ValueError(recons)
+    film.buffers["primal"] = np.asarray(out) + vd
+    return film
