@@ -152,6 +152,39 @@ def load_scene_arg(args):
         g = float(parts[2]) if len(parts) > 2 else 0.0
         scene.volume = make_volume(sigma_s=(sigma_s,) * 3,
                                    sigma_a=(sigma_a,) * 3, g=g)
+    # -x hvs-light / texture-light: override light emission kinds
+    # (reference cli.rs:409-429; scale = luminance of the original color)
+    hsv = "hvs-light" in args.xtra_options
+    tex = "texture-light" in args.xtra_options
+    if hsv or tex:
+        import numpy as np
+        lum = np.array([0.212671, 0.715160, 0.072169], np.float32)
+        tex_id = -1
+        if tex:
+            try:  # the reference hardcodes butterfly.jpg from the cwd
+                from .utils import image as rimage
+                img = np.asarray(rimage.load("butterfly.jpg"), np.float32)
+            except Exception:
+                # procedural fallback: smooth two-color ramp
+                yy, xx = np.mgrid[0:64, 0:64].astype(np.float32) / 63.0
+                img = np.stack([xx, yy, 0.5 * (1 - xx)], -1)
+            if scene.textures is None:
+                scene.textures = img[None]
+            else:
+                th = max(scene.textures.shape[1], img.shape[0])
+                tw = max(scene.textures.shape[2], img.shape[1])
+                def pad(a):
+                    out = np.zeros((a.shape[0], th, tw, 3), np.float32)
+                    out[:, :a.shape[1], :a.shape[2]] = a
+                    return out
+                scene.textures = np.concatenate([pad(scene.textures),
+                                                 pad(img[None])], 0)
+            tex_id = scene.textures.shape[0] - 1
+        for m in scene.meshes:
+            if m.is_light:
+                m.emission_scale = float((m.emission * lum).sum()) or 1.0
+                m.emission_kind = 1 if hsv else 2
+                m.emission_tex = tex_id
     return scene
 
 

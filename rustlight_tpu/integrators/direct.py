@@ -40,7 +40,8 @@ class IntegratorDirect(Integrator):
         front = hit.valid & (hit.wi[..., 2] > 0.0)
         # directly visible emission
         li = li + jnp.where(front[:, None],
-                            emitted_radiance(scene.emitters, scene.geom, hit.tri, d), 0.0)
+                            emitted_radiance(scene.emitters, scene.geom, hit.tri, d,
+                                             uv=hit.uv), 0.0)
 
         w_nb_b = 1.0 / self.nb_bsdf_samples if self.nb_bsdf_samples else 0.0
         w_nb_l = 1.0 / self.nb_light_samples if self.nb_light_samples else 0.0
@@ -73,7 +74,8 @@ class IntegratorDirect(Integrator):
             hit2 = fill_hit(scene, o2, d2, rh2)
 
             # hit an area light (emitted_radiance checks the front side)
-            le2 = emitted_radiance(scene.emitters, scene.geom, hit2.tri, d2)
+            le2 = emitted_radiance(scene.emitters, scene.geom, hit2.tri, d2,
+                                   uv=hit2.uv)
             pdf_l = direct_pdf_tri(scene.emitters, hit2.tri, o2, hit2.p,
                                    hit2.n_g, d2)
             w = jnp.where(bs.is_delta, 1.0,

@@ -123,7 +123,8 @@ class IntegratorPathTracing(Integrator):
 
             # ---- emission picked up through the BSDF/sensor edge (k+1 edges)
             min_ok = k >= self.min_depth
-            le = emitted_radiance(scene.emitters, scene.geom, hit.tri, s.d)
+            le = emitted_radiance(scene.emitters, scene.geom, hit.tri, s.d,
+                                  uv=hit.uv)
             # MIS vs the NEE strategy pdf at the previous vertex
             if scene.ats is not None:
                 from ..scene.emitters import direct_pdf_tri_ats

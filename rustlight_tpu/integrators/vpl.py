@@ -294,7 +294,8 @@ class IntegratorVPL(Integrator):
             front = hit.valid & (hit.wi[..., 2] > 0.0) & (~scattered)
             li = li + jnp.where(front[:, None],
                                 emitted_radiance(scene.emitters, scene.geom,
-                                                 hit.tri, d) * sdm.w, 0.0)
+                                                 hit.tri, d, uv=hit.uv)
+                                * sdm.w, 0.0)
             gath = self._gather_surface(scene, hit, front, vpls,
                                         recv_scattered=scattered,
                                         recv_p=p_scatter, recv_d=d)
@@ -303,7 +304,7 @@ class IntegratorVPL(Integrator):
         li = li + jnp.where(esc[:, None], env_radiance(scene.emitters, d), 0.0)
         front = hit.valid & (hit.wi[..., 2] > 0.0)
         li = li + jnp.where(front[:, None],
-                            emitted_radiance(scene.emitters, scene.geom, hit.tri, d),
-                            0.0)
+                            emitted_radiance(scene.emitters, scene.geom, hit.tri, d,
+                                             uv=hit.uv), 0.0)
         li = li + self._gather_surface(scene, hit, front, vpls)
         return li

@@ -43,11 +43,14 @@ class EmitterTables:
     n_atoms: int = struct.field(pytree_node=False)
     has_env: bool = struct.field(pytree_node=False)
     env_textured: bool = struct.field(pytree_node=False)
+    # any triangle uses uv-dependent emission (HSV/texture,
+    # reference geometry.rs:99-104) — static so constant scenes skip the math
+    has_em_uv: bool = struct.field(pytree_node=False)
     atom_cdf: Any            # Distribution1D over atoms
     atom_kind: Any           # [a] int32
     atom_ref: Any            # [a] int32 (tri global id / point idx / dir idx)
     # per-global-triangle emission tables (length T_pad)
-    tri_emission: Any        # [t, 3] radiance Le
+    tri_emission: Any        # [t, 3] radiance Le (mean Le for uv-kinds)
     tri_pdf_area: Any        # [t] area-domain direct pdf (sel/area); 0 if not emissive
     tri_atom: Any            # [t] int32 atom id for this triangle (-1 if none)
     # point lights
@@ -64,6 +67,11 @@ class EmitterTables:
     # scene bounding sphere (radius pre-scaled x1.1 for env/dir emitters)
     bsphere_center: Any      # [3]
     bsphere_radius: Any      # scalar
+    # uv-dependent emission (EmissionType::{HSV,Texture}, geometry.rs:184-206)
+    tri_em_kind: Any = None   # [t] int32: 0 color, 1 HSV, 2 texture
+    tri_em_scale: Any = None  # [t] f32
+    tri_em_tex: Any = None    # [t] int32 atlas slot
+    tex_atlas: Any = None     # [k, th, tw, 3] shared scene texture atlas
 
 
 class LightSample(NamedTuple):
@@ -97,6 +105,7 @@ def build_emitter_tables(
     env_constant: Optional[np.ndarray] = None,
     env_image: Optional[np.ndarray] = None,
     bsphere_center=(0, 0, 0), bsphere_radius=1.0,
+    textures: Optional[np.ndarray] = None,
 ) -> EmitterTables:
     """Flatten emitters. points: [(pos, intensity)], directionals:
     [(direction, intensity)]. env_image [h, w, 3] takes priority over
@@ -112,6 +121,10 @@ def build_emitter_tables(
     tri_emission = np.zeros((t_pad, 3), np.float32)
     tri_pdf_area = np.zeros((t_pad,), np.float32)
     tri_atom = np.full((t_pad,), -1, np.int32)
+    tri_em_kind = np.zeros((t_pad,), np.int32)
+    tri_em_scale = np.ones((t_pad,), np.float32)
+    tri_em_tex = np.full((t_pad,), -1, np.int32)
+    has_em_uv = False
 
     # surface atoms: per-triangle rows carrying mesh_flux * area_frac
     tri_base = 0
@@ -121,13 +134,20 @@ def build_emitter_tables(
         if mesh_emitter_id[mi] >= 0 and m.is_light:
             areas = m.triangle_areas()
             total = areas.sum()
-            flux_scalar = float(np.max(m.flux()))  # channel_max of area*Le*pi
+            # channel_max of area*Le*pi (Le = mean for uv-dependent kinds)
+            flux_scalar = float(np.max(m.flux(textures)))
             w = flux_scalar * areas / max(total, 1e-30)
             for k in range(nt):
                 kinds.append(ATOM_TRI)
                 refs.append(tri_base + k)
                 weights.append(w[k])
-            tri_emission[tri_base:tri_base + nt] = m.emission
+            tri_emission[tri_base:tri_base + nt] = m.mean_emission(textures)
+            ek = int(getattr(m, "emission_kind", 0))
+            if ek != 0:
+                has_em_uv = True
+                tri_em_kind[tri_base:tri_base + nt] = ek
+                tri_em_scale[tri_base:tri_base + nt] = m.emission_scale
+                tri_em_tex[tri_base:tri_base + nt] = m.emission_tex
             mesh_entries.append((len(weights) - nt, mi, total))
         tri_base += nt
 
@@ -192,6 +212,12 @@ def build_emitter_tables(
         n_atoms=n_atoms,
         has_env=has_env,
         env_textured=env_textured,
+        has_em_uv=has_em_uv,
+        tri_em_kind=tri_em_kind,
+        tri_em_scale=tri_em_scale,
+        tri_em_tex=tri_em_tex,
+        tex_atlas=(np.asarray(textures, np.float32)
+                   if (has_em_uv and textures is not None) else None),
         atom_cdf=atom_cdf,
         atom_kind=np.asarray(kinds, np.int32),
         atom_ref=np.asarray(refs, np.int32),
@@ -310,6 +336,8 @@ def sample_light(em: EmitterTables, geom, p_ref, u_sel, u_pos) -> LightSample:
     n_tri = ttake(geom.n_g)
     area = ttake(geom.area)
     le = ttake(em.tri_emission)
+    if em.has_em_uv:
+        le = _emission_at(em, ttake, le, _tri_uv_at(geom, ttake, b))
 
     delta_v = p_tri - p_ref
     dist_tri = jnp.linalg.norm(delta_v, axis=-1)
@@ -394,11 +422,43 @@ def direct_pdf_tri(em: EmitterTables, tri_id, p_ref, p_hit, n_hit, d):
     return jnp.where(tri_id >= 0, pdf, 0.0)
 
 
-def emitted_radiance(em: EmitterTables, geom, tri_id, d):
+def _emission_at(em: EmitterTables, ttake, base_le, uv):
+    """uv-dependent emission (Mesh::emit, reference geometry.rs:184-206):
+    kind 0 = constant `base_le`, 1 = HSV ramp x*red+(1-x)*green over u,
+    2 = texture atlas lookup. Only called when em.has_em_uv."""
+    kind = ttake(em.tri_em_kind)
+    scale = ttake(em.tri_em_scale)
+    x = jnp.mod(jnp.abs(uv[..., 0]), 1.0)
+    hsv = scale[:, None] * jnp.stack([x, 1.0 - x, jnp.zeros_like(x)], -1)
+    le = jnp.where((kind == 1)[:, None], hsv, base_le)
+    if em.tex_atlas is not None:
+        k, th, tw, _ = em.tex_atlas.shape
+        fu = uv[..., 0] - jnp.floor(uv[..., 0])
+        fv = uv[..., 1] - jnp.floor(uv[..., 1])
+        xi = jnp.clip((fu * tw).astype(jnp.int32), 0, tw - 1)
+        yi = jnp.clip(((1.0 - fv) * th).astype(jnp.int32), 0, th - 1)
+        img = jnp.clip(ttake(em.tri_em_tex), 0, k - 1)
+        texel = em.tex_atlas[img, yi, xi] * scale[:, None]
+        le = jnp.where((kind == 2)[:, None], texel, le)
+    return le
+
+
+def _tri_uv_at(geom, ttake, b):
+    """Interpolated uv at barycentric b on the taken triangles."""
+    vuv = ttake(geom.vuv)   # [n, 3, 2]
+    w0 = (1.0 - b[..., 0] - b[..., 1])[:, None]
+    return (vuv[:, 0] * w0 + vuv[:, 1] * b[..., 0:1]
+            + vuv[:, 2] * b[..., 1:2])
+
+
+def emitted_radiance(em: EmitterTables, geom, tri_id, d, uv=None):
     """Le seen along -d when hitting triangle tri_id (front side only,
-    reference `emit` + n_g orientation check in direct.rs:147)."""
+    reference `emit` + n_g orientation check in direct.rs:147). Pass the hit
+    uv to evaluate uv-dependent emission kinds exactly."""
     t = make_taker(jnp.maximum(tri_id, 0), geom.n_pad)
     le = t(em.tri_emission)
+    if em.has_em_uv and uv is not None:
+        le = _emission_at(em, t, le, uv)
     ng = t(geom.n_g)
     front = jnp.sum(ng * (-d), axis=-1) > 0.0
     return jnp.where((front & (tri_id >= 0))[:, None], le, 0.0)
@@ -425,6 +485,8 @@ def sample_position(em: EmitterTables, geom, u_sel, u_pos) -> PositionSample:
     nrm = ttake(geom.n_g)
     area = ttake(geom.area)
     le = ttake(em.tri_emission)
+    if em.has_em_uv:
+        le = _emission_at(em, ttake, le, _tri_uv_at(geom, ttake, b))
     pdf_area = sel_pdf / jnp.maximum(area, 1e-20)
     weight = le * (_PI / jnp.maximum(pdf_area, 1e-30))[:, None]
     valid = sel_pdf > 0.0
@@ -517,6 +579,8 @@ def sample_light_ats(em: EmitterTables, geom, ats, p_ref, n_ref, u_sel, u_pos
     n_tri = ttake(geom.n_g)
     area = ttake(geom.area)
     le = ttake(em.tri_emission)
+    if em.has_em_uv:
+        le = _emission_at(em, ttake, le, _tri_uv_at(geom, ttake, b))
 
     delta_v = p_tri - p_ref
     dist = jnp.linalg.norm(delta_v, axis=-1)

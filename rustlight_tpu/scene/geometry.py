@@ -29,6 +29,11 @@ class TriMesh:
     material: int = 0               # index into the scene material list
     emission: np.ndarray = field(default_factory=lambda: np.zeros(3, np.float32))
     name: str = ""
+    # EmissionType::{Color,HSV,Texture} (reference geometry.rs:99-104):
+    # 0 = constant color `emission`, 1 = HSV ramp over u, 2 = texture atlas slot
+    emission_kind: int = 0
+    emission_scale: float = 1.0
+    emission_tex: int = -1          # index into the scene texture atlas
 
     def __post_init__(self):
         self.vertices = np.asarray(self.vertices, np.float32)
@@ -45,7 +50,22 @@ class TriMesh:
 
     @property
     def is_light(self) -> bool:
+        if self.emission_kind != 0:
+            return self.emission_scale > 0.0
         return bool(np.any(self.emission > 0.0))
+
+    def mean_emission(self, textures=None) -> np.ndarray:
+        """Representative Le for flux/CDF weights. The reference approximates
+        HSV/texture flux as Color::value(scale) (emitter.rs:595-596); the
+        exact uv-dependent value is applied at evaluation/sampling time."""
+        if self.emission_kind == 1:      # HSV ramp: E_u[x, 1-x, 0] * scale
+            return np.asarray([0.5, 0.5, 0.0], np.float32) * self.emission_scale
+        if self.emission_kind == 2:
+            if textures is not None and 0 <= self.emission_tex < len(textures):
+                return (np.asarray(textures[self.emission_tex], np.float32)
+                        .mean(axis=(0, 1)) * self.emission_scale)
+            return np.full(3, self.emission_scale, np.float32)
+        return self.emission
 
     def triangle_areas(self) -> np.ndarray:
         v = self.vertices
@@ -57,9 +77,9 @@ class TriMesh:
     def total_area(self) -> float:
         return float(self.triangle_areas().sum())
 
-    def flux(self) -> np.ndarray:
+    def flux(self, textures=None) -> np.ndarray:
         """Emitter flux = area * Le * pi (reference src/emitter.rs:591-599)."""
-        return self.total_area() * self.emission * np.pi
+        return self.total_area() * self.mean_emission(textures) * np.pi
 
     def compute_vertex_normals(self) -> None:
         """Area-weighted vertex normals (for smooth shading when absent)."""

@@ -98,6 +98,7 @@ class Scene:
             env_constant=self.env_constant,
             env_image=self.env_image,
             bsphere_center=center, bsphere_radius=radius,
+            textures=self.textures,
         )
         materials = build_material_table(self.materials, textures=self.textures)
         ats = None

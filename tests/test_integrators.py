@@ -88,3 +88,33 @@ class TestSharded:
         sys.path.insert(0, "/root/repo")
         import __graft_entry__ as ge
         ge.dryrun_multichip(8)
+
+
+class TestEmissionTypes:
+    """EmissionType::{HSV,Texture} (reference geometry.rs:99-104, 184-206):
+    uv-dependent emission must stay consistent between forward (path, NEE +
+    hit eval) and adjoint (light tracing, position sampling) estimators."""
+
+    @pytest.mark.parametrize("kind", [1, 2])
+    def test_forward_adjoint_agree(self, kind):
+        from rustlight_tpu.models import cornell_box
+        from rustlight_tpu.integrators import IntegratorLightTracing
+        from rustlight_tpu.integrators.common import render_splat
+        sc = cornell_box(24, 24)
+        for m in sc.meshes:
+            if m.is_light:
+                m.emission_kind = kind
+                m.emission_scale = 15.0
+                m.emission_tex = 0
+        if kind == 2:
+            yy, xx = np.mgrid[0:32, 0:32].astype(np.float32) / 31.0
+            sc.textures = np.stack([xx, yy, 0.5 * (1 - xx)], -1)[None]
+        sd = sc.compile()
+        f1 = render(sd, IntegratorPathTracing(max_depth=4, hard_cap=4),
+                    spp=48, seed=0)["primal"]
+        f2 = render_splat(sd, IntegratorLightTracing(max_depth=4, hard_cap=4),
+                          spp=64, seed=1)["primal"]
+        m1, m2 = float(np.asarray(f1).mean()), float(np.asarray(f2).mean())
+        assert abs(m1 - m2) / m1 < 0.12, (m1, m2)
+        if kind == 1:   # HSV ramp has no blue component
+            assert float(np.asarray(f1)[..., 2].max()) == 0.0
