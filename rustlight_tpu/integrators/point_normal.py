@@ -315,8 +315,108 @@ class IntegratorPointNormal(Integrator):
         p = _equiangular_pdf(t, delta, d_l, ta_c, tb_c, jnp.ones_like(t, bool))
         return jnp.where(valid, p, 0.0)
 
+    # ------------------------ splitting traversal (-k, point_normal.rs:2455)
+    def _sample_distance_single(self, scene, name, u_t, o, d, p_l, n_l, tmax):
+        """Distance sample targeting one split light's position (the
+        reference's create_distance_sampling per selected light)."""
+        from . import point_normal_poly as pp
+        delta, d_l, ta, tb = _equiangular_params(o, d, p_l, tmax)
+        if name == STRATEGY_TR:
+            from ..scene.volume import volume_sample_distance
+            sd = volume_sample_distance(scene.volume, tmax, u_t)
+            return sd.t, sd.pdf, ~sd.exited
+        if name in _TAYLOR:
+            st_avg = jnp.mean(scene.volume.sigma_t)
+            if name == STRATEGY_TAYLOR_TR:
+                c = pp.poly6_tr(d_l, st_avg)
+                clamp = pp.clamp_angle_tr(st_avg, d_l)
+            else:
+                g = scene.volume.phase_g
+                c = pp.poly6_phase(g)
+                clamp = jnp.broadcast_to(pp.clamp_angle_phase(g), d_l.shape)
+            st = pp.taylor_setup(c, ta, tb, clamp)
+            theta, pdf_ang = pp.taylor_sample(c, st, u_t)
+            tt = d_l * jnp.tan(theta)
+            t = jnp.clip(tt + delta, 0.0, tmax)
+            pdf = pdf_ang * d_l / jnp.maximum(d_l ** 2 + tt ** 2, 1e-30)
+            t_eq, pdf_eq = _equiangular_sample(u_t, delta, d_l, ta, tb, tmax)
+            t = jnp.where(st["valid"], t, t_eq)
+            pdf = jnp.where(st["valid"], pdf, pdf_eq)
+            return t, pdf, pdf > 0.0
+        if name == STRATEGY_EQ_CLAMP:
+            ta_c, tb_c, ok = _equiangular_clamp(o, d, p_l, n_l, tmax, ta, tb,
+                                                delta, d_l)
+            t, pdf = _equiangular_sample(u_t, delta, d_l, ta_c, tb_c, tmax)
+            return t, pdf, ok & (pdf > 0.0)
+        # equiangular (also the fallback for warp/pn under splitting)
+        t, pdf = _equiangular_sample(u_t, delta, d_l, ta, tb, tmax)
+        return t, pdf, pdf > 0.0
+
+    def _compute_splitting(self, scene, pix, stream):
+        """Variance-splitting single scattering: the ATS traversal returns a
+        SET of lights per camera ray; each gets its own distance sample and
+        explicit connection (compute_single_strategy_splitting,
+        point_normal.rs:2455-2580 + emitter.rs:1669-1727)."""
+        from ..scene.ats import ats_sample_split
+        from ..scene.emitters import _emission_at, _tri_uv_at
+        from ..ops.gather import make_taker
+
+        vol = scene.volume
+        em = scene.emitters
+        geom = scene.geom
+        n = pix.shape[0]
+        K = 8
+        u_pix, stream = stream_next2d(stream, (n,))
+        o, d = generate_rays(scene.camera, pix.astype(jnp.float32) + u_pix)
+        rh = intersect_rays(geom, o, d)
+        tmax = jnp.where(rh.hit, rh.t, 1e7)
+
+        u_sel, stream = stream_next(stream, (n,))
+        u_pos, stream = stream_next2d(stream, (n,))
+        u_stack, stream = stream_next(stream, (n, K + 32))
+        tris, pdf_sel, valid, _ = ats_sample_split(
+            scene.ats, o, d, tmax, u_sel, u_stack, self.splitting, K)
+
+        from ..utils.warps import uniform_sample_triangle
+        b = uniform_sample_triangle(u_pos)   # shared across split lights
+        name = self.strategies[0]
+        li = jnp.zeros((n, 3), jnp.float32)
+        for k in range(K):
+            tri = tris[:, k]
+            ok = valid[:, k]
+            psel = jnp.maximum(pdf_sel[:, k], 1e-30)
+            ttake = make_taker(jnp.maximum(tri, 0), geom.n_pad)
+            v0 = ttake(geom.v0)
+            p_l = v0 + b[..., 0:1] * ttake(geom.e1) + b[..., 1:2] * ttake(geom.e2)
+            n_l = ttake(geom.n_g)
+            area = ttake(geom.area)
+            le = ttake(em.tri_emission)
+            if em.has_em_uv:
+                le = _emission_at(em, ttake, le, _tri_uv_at(geom, ttake, b))
+            # flux = Le*pi*area/pdf_sel, then *correct_flux(=1/pi)
+            flux = le * (area / psel)[:, None]
+
+            u_t, stream = stream_next(stream, (n,))
+            t, pdf_t, d_ok = self._sample_distance_single(
+                scene, name, u_t, o, d, p_l, n_l, tmax)
+            x_t = o + d * t[:, None]
+            dv = p_l - x_t
+            t_light = jnp.maximum(jnp.linalg.norm(dv, axis=-1), 1e-20)
+            d_hat = dv / t_light[:, None]
+            g_f = jnp.sum(n_l * (-d_hat), -1) / t_light ** 2
+            ph = phase_eval(vol.phase_g, -d, d_hat)
+            vis = visible(geom, x_t, p_l)
+            contrib = (vol.sigma_s[None, :] * flux
+                       * transmittance(vol, t) * transmittance(vol, t_light)
+                       * (g_f * ph / jnp.maximum(pdf_t, 1e-30))[:, None])
+            use = ok & d_ok & vis & (g_f > 0.0) & (t > 0.0) & (t < tmax)
+            li = li + jnp.where(use[:, None], contrib, 0.0)
+        return li
+
     def compute_pixel(self, scene, pix, stream):
         assert scene.volume is not None, "point_normal needs a medium"
+        if self.splitting is not None and scene.ats is not None:
+            return self._compute_splitting(scene, pix, stream)
         vol = scene.volume
         n = pix.shape[0]
         u_pix, stream = stream_next2d(stream, (n,))

@@ -8,7 +8,10 @@ traversal for sampling and a parent-walk for pdfs. Enabled by `-x ats`.
 TPU split: the SAOH build runs on host (numpy, recursive — same algorithm as
 the reference); sampling/pdf run on device as while_loops over flattened node
 tables with one-hot gathers. The variance-based splitting traversal
-(sample_split, emitter.rs:1401-1487) is planned for a later round.
+(sample_split, emitter.rs:1401-1487) runs as a bounded explicit-stack
+while_loop returning fixed-size light slots (`ats_sample_split`), and the
+ray-segment importance (importance_ray, emitter.rs:975-1032) drives both it
+and `ats_sample_ray`.
 """
 from __future__ import annotations
 
@@ -101,6 +104,8 @@ class AtsTables:
     phi: Any        # [m]
     tri_leaf: Any   # [t_pad] leaf node of each emissive triangle (-1 else)
     tri_area_inv: Any  # [t_pad] 1/area (area pdf within the sampled triangle)
+    phi_sqr: Any = None  # [m] sum of squared proxy fluxes (split variance)
+    nl: Any = None       # [m] number of lights under the node
 
 
 def build_ats(scene_geom, emitters) -> AtsTables:
@@ -219,6 +224,8 @@ def build_ats(scene_geom, emitters) -> AtsTables:
         phi=col(lambda nd: nd["b"].phi),
         tri_leaf=tri_leaf,
         tri_area_inv=tri_area_inv,
+        phi_sqr=col(lambda nd: nd["b"].phi_sqr),
+        nl=col(lambda nd: nd["b"].nl),
     )
 
 
@@ -331,3 +338,256 @@ def ats_pdf(ats: AtsTables, tri, p, n):
 
     node, pdf = jax.lax.while_loop(cond, body, (leaf, jnp.ones(lanes)))
     return jnp.where(valid, pdf, 0.0)
+
+
+# ----------------------------------------------- ray-segment importance
+
+def _subtended_cos(lo, hi, p):
+    """cos of the cone subtending the node's bounding sphere from p
+    (DirectionCone::subtended_directions; -1 when p is inside)."""
+    center = 0.5 * (lo + hi)
+    radius = 0.5 * jnp.linalg.norm(hi - lo, axis=-1)
+    dist2 = jnp.sum((p - center) ** 2, -1)
+    inside = dist2 < radius ** 2
+    sin_u2 = jnp.clip(radius ** 2 / jnp.maximum(dist2, 1e-20), 0.0, 1.0)
+    return jnp.where(inside, -1.0, jnp.sqrt(jnp.maximum(1.0 - sin_u2, 0.0)))
+
+
+def _node_importance_ray(ats: AtsTables, node, o, d, tmax):
+    """importance_ray for gathered node ids (emitter.rs:975-1032): cluster
+    importance for a whole camera-ray segment [o, o + d*tmax] — used by the
+    single-scattering ATS samplers. Mirrors the reference's equiangular-plane
+    construction; `tmax` is always finite here (scene hits cap it)."""
+    take = lambda tab: table_take(tab, node)
+    lo, hi = take(ats.lo), take(ats.hi)
+    w = take(ats.w)
+    phi = take(ats.phi)
+    cos_o = take(ats.cos_o)
+    cos_e = take(ats.cos_e)
+
+    pc = 0.5 * (lo + hi)
+    # closest point on the segment to the cluster center
+    t = jnp.clip(jnp.sum(d * (pc - o), -1), 0.0, tmax)
+    closest = o + d * t[:, None]
+    d2 = jnp.maximum(jnp.sum((pc - closest) ** 2, -1), EPSILON_ATS)
+    d_min = jnp.sqrt(d2)
+
+    v0 = normalize(o - pc)
+    v1 = normalize(o + d * tmax[:, None] - pc)
+    up = jnp.cross(v0, v1)
+    up_l = jnp.linalg.norm(up, axis=-1, keepdims=True)
+    degenerate = up_l[:, 0] < 1e-12   # v0 ~ v1: zero-extent segment plane
+    up = up / jnp.maximum(up_l, 1e-20)
+    o0 = v0
+    o1 = jnp.cross(up, v0)
+
+    dot_o0 = jnp.sum(o0 * w, -1)
+    dot_o1 = jnp.sum(o1 * w, -1)
+    l1 = jnp.sqrt(jnp.maximum(dot_o0 ** 2 + dot_o1 ** 2, 1e-20))
+    cos_phi0 = dot_o0 / l1
+    sin_phi0 = jnp.sqrt(jnp.maximum(1.0 - cos_phi0 ** 2, 0.0))
+    outside = (dot_o1 < 0.0) | (jnp.sum(v0 * v1, -1) < cos_phi0) | degenerate
+    cos_tmin = jnp.where(
+        outside,
+        jnp.maximum(jnp.sum(v0 * w, -1), jnp.sum(v1 * w, -1)),
+        jnp.sum((o0 * cos_phi0[:, None] + o1 * sin_phi0[:, None]) * w, -1))
+    theta_min = jnp.arccos(jnp.clip(cos_tmin, -1.0, 1.0))
+
+    theta_o = jnp.arccos(jnp.clip(cos_o, -1.0, 1.0))
+    theta_e = jnp.arccos(jnp.clip(cos_e, -1.0, 1.0))
+    theta_u = jnp.arccos(jnp.clip(_subtended_cos(lo, hi, closest), -1.0, 1.0))
+    theta_p = jnp.maximum(theta_min - theta_o - theta_u, 0.0)
+    imp = jnp.maximum(phi * jnp.cos(theta_p) / d_min, 0.0)
+    return jnp.where(theta_p >= theta_e, 0.0, imp)
+
+
+def _ats_descend(ats: AtsTables, imp_fn, u):
+    """Stochastic importance descent shared by the point- and ray-based
+    samplers (emitter.rs:1361-1399). Returns (tri, pdf_sel)."""
+    lanes = u.shape[0]
+
+    def cond(s):
+        node, pdf, r = s
+        return jnp.any(table_take(ats.leaf_tri, node) < 0)
+
+    def body(s):
+        node, pdf, r = s
+        is_leaf = table_take(ats.leaf_tri, node) >= 0
+        l = table_take(ats.left, node)
+        rgt = table_take(ats.right, node)
+        il = imp_fn(jnp.maximum(l, 0))
+        ir = imp_fn(jnp.maximum(rgt, 0))
+        tot = il + ir
+        p_l = jnp.where(tot > 0.0, il / jnp.maximum(tot, 1e-30), 0.5)
+        go_left = r < p_l
+        r_new = jnp.where(go_left, r / jnp.maximum(p_l, 1e-20),
+                          (r - p_l) / jnp.maximum(1.0 - p_l, 1e-20))
+        r_new = jnp.clip(r_new, 0.0, 1.0 - 1e-7)
+        node_new = jnp.where(go_left, l, rgt)
+        pdf_new = pdf * jnp.where(go_left, p_l, 1.0 - p_l)
+        return (jnp.where(is_leaf, node, node_new),
+                jnp.where(is_leaf, pdf, pdf_new),
+                jnp.where(is_leaf, r, r_new))
+
+    node0 = jnp.full(lanes, ats.root, jnp.int32)
+    node, pdf, _ = jax.lax.while_loop(cond, body, (node0, jnp.ones(lanes), u))
+    return table_take(ats.leaf_tri, node), pdf
+
+
+def ats_sample_ray(ats: AtsTables, o, d, tmax, u):
+    """Ray-importance descent (random_sample_emitter_position_ray,
+    emitter.rs:1731-1756)."""
+    return _ats_descend(
+        ats, lambda nd: _node_importance_ray(ats, nd, o, d, tmax), u)
+
+
+def _variance_g_ray(ats: AtsTables, node, o, d, tmax):
+    """Geometric expectation/variance of 1/d over the segment for a node's
+    bounding sphere (emitter.rs:1679-1715): eg = (ln b - ln a)/(b - a),
+    vg = 1/(a*b) with a/b the min/max sphere-surface distances (the reference
+    clamps the far evaluation point at 10 units along the ray)."""
+    take = lambda tab: table_take(tab, node)
+    lo, hi = take(ats.lo), take(ats.hi)
+    c = 0.5 * (lo + hi)
+    r = 0.5 * jnp.linalg.norm(hi - lo, axis=-1)
+
+    b1 = jnp.sum((o - c) ** 2, -1)
+    p_far = o + d * jnp.minimum(tmax, 10.0)[:, None]
+    b2 = jnp.sum((p_far - c) ** 2, -1)
+    b = jnp.maximum(b1, b2)
+    b = jnp.where(b < r ** 2, EPSILON_ATS,
+                  jnp.maximum(jnp.sqrt(b) - r, EPSILON_ATS))
+
+    t = jnp.clip(jnp.sum(d * (c - o), -1), 0.0, tmax)
+    a2 = jnp.sum((o + d * t[:, None] - c) ** 2, -1)
+    a = jnp.where(a2 < r ** 2, EPSILON_ATS,
+                  jnp.maximum(jnp.sqrt(a2) - r, EPSILON_ATS))
+
+    diff = b - a
+    eg = jnp.where(jnp.abs(diff) > 1e-12,
+                   (jnp.log(b) - jnp.log(a)) / jnp.where(
+                       jnp.abs(diff) > 1e-12, diff, 1.0),
+                   1.0 / jnp.maximum(a, EPSILON_ATS))
+    vg = 1.0 / jnp.maximum(a * b, 1e-20)
+    return eg, vg
+
+
+def ats_sample_split(ats: AtsTables, o, d, tmax, u, u_stack,
+                     splitting_factor: float, max_lights: int = 8):
+    """Variance-driven splitting traversal (sample_split,
+    emitter.rs:1401-1487): nodes whose combined energy+geometry variance
+    measure falls below `splitting_factor` traverse BOTH children; others
+    pick one child by ray importance. Returns fixed-size slots
+    (tri [n,K], pdf_sel [n,K], valid [n,K]).
+
+    TPU form: the reference's recursion + Vec become a bounded explicit
+    stack ([n, D] node/pdf/r arrays) inside one lax.while_loop; extra
+    branch randoms come from the pre-drawn `u_stack` [n, D]. Selection is
+    capped at K = max_lights slots (the reference is unbounded; with the
+    paper's factors the split set is small — overflow lanes drop extra
+    lights and are reported by the returned `overflow` mask)."""
+    n = u.shape[0]
+    D = max_lights + 32   # stack bound: queued splits + tree depth
+    K = max_lights
+
+    imp = lambda nd: _node_importance_ray(ats, nd, o, d, tmax)
+
+    out_tri = jnp.full((n, K), -1, jnp.int32)
+    out_pdf = jnp.zeros((n, K), jnp.float32)
+    st_node = jnp.zeros((n, D), jnp.int32)
+    st_pdf = jnp.zeros((n, D), jnp.float32)
+    st_r = jnp.zeros((n, D), jnp.float32)
+    state = dict(node=jnp.full(n, ats.root, jnp.int32),
+                 pdf=jnp.ones(n, jnp.float32), r=u,
+                 sp=jnp.zeros(n, jnp.int32),      # stack size
+                 cnt=jnp.zeros(n, jnp.int32),     # selected count
+                 running=jnp.ones(n, bool), overflow=jnp.zeros(n, bool),
+                 out_tri=out_tri, out_pdf=out_pdf,
+                 st_node=st_node, st_pdf=st_pdf, st_r=st_r)
+
+    d_iota = jax.lax.broadcasted_iota(jnp.int32, (n, D), 1)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (n, K), 1)
+
+    def cond(s):
+        return jnp.any(s["running"])
+
+    def body(s):
+        node = s["node"]
+        leaf_tri = table_take(ats.leaf_tri, node)
+        is_leaf = leaf_tri >= 0
+
+        # ---------- leaf: emit a slot if importance > 0
+        leaf_imp = imp(node)
+        emit = s["running"] & is_leaf & (leaf_imp > 0.0)
+        can = emit & (s["cnt"] < K)
+        slot = (k_iota == s["cnt"][:, None]) & can[:, None]
+        out_tri = jnp.where(slot, leaf_tri[:, None], s["out_tri"])
+        out_pdf = jnp.where(slot, s["pdf"][:, None], s["out_pdf"])
+        cnt = s["cnt"] + jnp.where(can, 1, 0)
+        overflow = s["overflow"] | (emit & (s["cnt"] >= K))
+
+        # ---------- internal: split or choose one child
+        l = table_take(ats.left, node)
+        rgt = table_take(ats.right, node)
+        lmask = jnp.maximum(l, 0)
+        rmask = jnp.maximum(rgt, 0)
+        take = lambda tab: table_take(tab, node)
+        phi = take(ats.phi)
+        phi_sqr = take(ats.phi_sqr)
+        nl = jnp.maximum(take(ats.nl), 1.0)
+        ve = phi_sqr / nl - (phi / nl) ** 2
+        eg, vg = _variance_g_ray(ats, node, o, d, tmax)
+        sm = ve * vg + ve * eg ** 2 + phi ** 2 * vg
+        split_measure = (1.0 / (1.0 + nl * nl * sm)) ** 0.25
+        do_split = split_measure < splitting_factor
+
+        il = imp(lmask)
+        ir = imp(rmask)
+        tot = il + ir
+        dead_int = s["running"] & (~is_leaf) & (~do_split) & (tot <= 0.0)
+        p_l = jnp.where(tot > 0.0, il / jnp.maximum(tot, 1e-30), 0.5)
+        go_left = s["r"] < p_l
+        ch_node = jnp.where(go_left, l, rgt)
+        ch_pdf = s["pdf"] * jnp.where(go_left, p_l, 1.0 - p_l)
+        ch_r = jnp.clip(jnp.where(go_left, s["r"] / jnp.maximum(p_l, 1e-20),
+                                  (s["r"] - p_l) / jnp.maximum(1.0 - p_l,
+                                                               1e-20)),
+                        0.0, 1.0 - 1e-7)
+
+        # split: push left on the stack (with a fresh random), descend right
+        pushing = s["running"] & (~is_leaf) & do_split & (s["sp"] < D)
+        sslot = (d_iota == s["sp"][:, None]) & pushing[:, None]
+        st_node = jnp.where(sslot, l[:, None], s["st_node"])
+        st_pdf = jnp.where(sslot, s["pdf"][:, None], s["st_pdf"])
+        push_r = jnp.sum(jnp.where(sslot, u_stack, 0.0), -1)
+        st_r = jnp.where(sslot, push_r[:, None], s["st_r"])
+        sp = s["sp"] + jnp.where(pushing, 1, 0)
+
+        node_n = jnp.where(is_leaf, node,
+                           jnp.where(do_split, rgt, ch_node))
+        pdf_n = jnp.where(is_leaf, s["pdf"],
+                          jnp.where(do_split, s["pdf"], ch_pdf))
+        r_n = jnp.where(is_leaf, s["r"],
+                        jnp.where(do_split, s["r"], ch_r))
+
+        # ---------- pop the stack after a leaf emit / dead branch
+        want_pop = (s["running"] & is_leaf) | dead_int
+        has_stack = sp > 0
+        pop = want_pop & has_stack
+        psel = (d_iota == (sp - 1)[:, None]) & pop[:, None]
+        node_n = jnp.where(pop, jnp.sum(jnp.where(psel, st_node, 0), -1),
+                           node_n)
+        pdf_n = jnp.where(pop, jnp.sum(jnp.where(psel, st_pdf, 0.0), -1),
+                          pdf_n)
+        r_n = jnp.where(pop, jnp.sum(jnp.where(psel, st_r, 0.0), -1), r_n)
+        sp = sp - jnp.where(pop, 1, 0)
+        running = s["running"] & ~(want_pop & (~has_stack))
+
+        return dict(node=node_n.astype(jnp.int32), pdf=pdf_n, r=r_n, sp=sp,
+                    cnt=cnt, running=running, overflow=overflow,
+                    out_tri=out_tri, out_pdf=out_pdf,
+                    st_node=st_node, st_pdf=st_pdf, st_r=st_r)
+
+    out = jax.lax.while_loop(cond, body, state)
+    valid = out["out_tri"] >= 0
+    return out["out_tri"], out["out_pdf"], valid, out["overflow"]

@@ -63,3 +63,45 @@ class TestATS:
                     spp=48, seed=1)
         m0, m1 = f0["primal"].mean(), f1["primal"].mean()
         assert abs(m0 - m1) / m0 < 0.1, (m0, m1)
+
+
+class TestSplitting:
+    """Variance-splitting ATS traversal for single scattering
+    (sample_split, emitter.rs:1401-1487 + point_normal.rs:2455-2580)."""
+
+    def test_split_traversal_unbiased(self):
+        from rustlight_tpu.scene import make_volume
+        from rustlight_tpu.integrators import IntegratorPointNormal
+        sc = _two_light_scene()
+        sc.volume = make_volume(sigma_s=(0.02,) * 3)
+        sd = sc.compile(use_ats=True)
+        ref = render(sd, IntegratorPointNormal(strategies=("equiangular",)),
+                     spp=48, seed=1)["primal"].mean()
+        for sf in (0.0, 0.7):
+            f = render(sd, IntegratorPointNormal(strategies=("equiangular",),
+                                                 splitting=sf), spp=24, seed=2)
+            m = f["primal"].mean()
+            assert abs(m - ref) / ref < 0.15, (sf, m, ref)
+
+    def test_split_slots_pdf(self):
+        import jax
+        import jax.numpy as jnp
+        from rustlight_tpu.scene.ats import ats_sample_split
+        sd = _two_light_scene().compile(use_ats=True)
+        n = 64
+        o = jnp.tile(jnp.asarray([[0.0, 2.0, -6.0]]), (n, 1))
+        d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (n, 1))
+        tmax = jnp.full(n, 16.0)
+        u = jax.random.uniform(jax.random.PRNGKey(0), (n,))
+        us = jax.random.uniform(jax.random.PRNGKey(1), (n, 40))
+        # full splitting: every lane must enumerate all 4 light tris, pdf 1
+        tri, pdf, valid, overflow = ats_sample_split(
+            sd.ats, o, d, tmax, u, us, 1.0, 8)
+        assert not bool(overflow.any())
+        assert int(valid.sum(-1).min()) == 4          # 2 quads = 4 tris
+        assert np.allclose(np.asarray(pdf)[np.asarray(valid)], 1.0)
+        # no splitting: exactly one light with pdf <= 1
+        tri1, pdf1, valid1, _ = ats_sample_split(
+            sd.ats, o, d, tmax, u, us, 0.0, 8)
+        assert int(valid1.sum(-1).max()) == 1
+        assert float(np.asarray(pdf1)[np.asarray(valid1)].max()) <= 1.0 + 1e-5
