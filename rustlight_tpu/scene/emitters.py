@@ -34,6 +34,7 @@ ATOM_TRI = 0
 ATOM_POINT = 1
 ATOM_DIR = 2
 ATOM_ENV = 3
+ATOM_PN = 4     # point+normal cosine emitter (emitter.rs:252-298)
 
 _PI = np.pi
 
@@ -67,6 +68,10 @@ class EmitterTables:
     # scene bounding sphere (radius pre-scaled x1.1 for env/dir emitters)
     bsphere_center: Any      # [3]
     bsphere_radius: Any      # scalar
+    # point-normal emitters (PointNormalEmitter, emitter.rs:252-298)
+    pn_pos: Any = None        # [q, 3]
+    pn_normal: Any = None     # [q, 3] unit
+    pn_intensity: Any = None  # [q, 3]
     # uv-dependent emission (EmissionType::{HSV,Texture}, geometry.rs:184-206)
     tri_em_kind: Any = None   # [t] int32: 0 color, 1 HSV, 2 texture
     tri_em_scale: Any = None  # [t] f32
@@ -102,6 +107,7 @@ def build_emitter_tables(
     meshes, mesh_emitter_id: List[int], t_pad: int,
     points: Optional[List] = None,
     directionals: Optional[List] = None,
+    point_normals: Optional[List] = None,
     env_constant: Optional[np.ndarray] = None,
     env_image: Optional[np.ndarray] = None,
     bsphere_center=(0, 0, 0), bsphere_radius=1.0,
@@ -112,6 +118,7 @@ def build_emitter_tables(
     env_constant."""
     points = points or []
     directionals = directionals or []
+    point_normals = point_normals or []
     has_env = env_constant is not None or env_image is not None
     env_textured = env_image is not None
 
@@ -158,6 +165,10 @@ def build_emitter_tables(
         kinds.append(ATOM_DIR); refs.append(di)
         area = _PI * (bsphere_radius * 1.1) ** 2
         weights.append(float(np.max(np.asarray(inten) * area)))
+    for qi, (pos, nrm_, inten) in enumerate(point_normals):
+        kinds.append(ATOM_PN); refs.append(qi)
+        # reference flux() = 2*intensity (emitter.rs:283-289)
+        weights.append(float(np.max(np.asarray(inten) * 2.0)))
 
     if has_env:
         if env_textured:
@@ -228,6 +239,10 @@ def build_emitter_tables(
         point_intensity=arr([i for _, i in points], (1, 3)),
         dir_direction=arr([d / np.linalg.norm(np.asarray(d, np.float32)) for d, _ in directionals], (1, 3)),
         dir_intensity=arr([i for _, i in directionals], (1, 3)),
+        pn_pos=arr([p_ for p_, _, _ in point_normals], (0, 3)),
+        pn_normal=arr([n_ / np.linalg.norm(np.asarray(n_, np.float32))
+                       for _, n_, _ in point_normals], (0, 3)),
+        pn_intensity=arr([i for _, _, i in point_normals], (0, 3)),
         env_color=np.asarray(env_constant if env_constant is not None else (0, 0, 0), np.float32),
         env_img=env_img,
         env_cdf=env_cdf,
@@ -389,6 +404,29 @@ def sample_light(em: EmitterTables, geom, p_ref, u_sel, u_pos) -> LightSample:
         is_delta = is_delta | m
         valid = jnp.where(m, sel_pdf > 0.0, valid)
 
+    # ---- point-normal atom (PointNormalEmitter, emitter.rs:252-298; the
+    # reference leaves direct_sample as todo!() — implemented here with the
+    # natural cosine falloff I*max(n.(-d),0)/d^2)
+    if em.pn_pos.shape[0] > 0:
+        pp = table_take(em.pn_pos, ref)
+        pnn = table_take(em.pn_normal, ref)
+        pint = table_take(em.pn_intensity, ref)
+        dv = pp - p_ref
+        dist_q = jnp.linalg.norm(dv, axis=-1)
+        d_q = dv / jnp.maximum(dist_q, 1e-20)[:, None]
+        cos_q = jnp.maximum(jnp.sum(pnn * (-d_q), -1), 0.0)
+        w_q = (pint * (cos_q / jnp.maximum(dist_q ** 2, 1e-20))[:, None]
+               / jnp.maximum(sel_pdf, 1e-30)[:, None])
+        m = kind == ATOM_PN
+        p = jnp.where(m[:, None], pp, p)
+        nrm = jnp.where(m[:, None], pnn, nrm)
+        d = jnp.where(m[:, None], d_q, d)
+        dist = jnp.where(m, dist_q, dist)
+        pdf = jnp.where(m, sel_pdf, pdf)
+        weight = jnp.where(m[:, None], w_q, weight)
+        is_delta = is_delta | m
+        valid = jnp.where(m, (sel_pdf > 0.0) & (cos_q > 0.0), valid)
+
     # ---- env atom
     if em.has_env:
         d_e, color_e, pdf_e = _sample_env_direction(em, u_pos)
@@ -497,6 +535,19 @@ def sample_position(em: EmitterTables, geom, u_sel, u_pos) -> PositionSample:
         nrm = jnp.where(m[:, None], 0.0, nrm)
         w_p = table_take(em.point_intensity, ref) * (4.0 * _PI)
         weight = jnp.where(m[:, None], w_p / jnp.maximum(sel_pdf, 1e-30)[:, None], weight)
+
+    # PointNormalEmitter origin: position + normal, cosine direction follows
+    # via sample_emission_direction (surface branch); Phi = pi*I for radiant
+    # intensity I*cos (the reference's flux()=2I feeds its todo!()'d
+    # sample_direction, emitter.rs:266-289 — we keep the energy-consistent
+    # value so adjoint estimators stay unbiased)
+    if em.pn_pos.shape[0] > 0:
+        m = kind == ATOM_PN
+        p = jnp.where(m[:, None], table_take(em.pn_pos, ref), p)
+        nrm = jnp.where(m[:, None], table_take(em.pn_normal, ref), nrm)
+        w_q = table_take(em.pn_intensity, ref) * _PI
+        weight = jnp.where(m[:, None],
+                           w_q / jnp.maximum(sel_pdf, 1e-30)[:, None], weight)
         pdf_area = jnp.where(m, sel_pdf, pdf_area)
 
     if em.dir_direction.shape[0] > 0:

@@ -60,6 +60,7 @@ class Scene:
     materials: List[MaterialDesc] = field(default_factory=list)
     point_lights: List[Tuple] = field(default_factory=list)        # (pos, intensity)
     directional_lights: List[Tuple] = field(default_factory=list)  # (dir, intensity)
+    point_normal_lights: List[Tuple] = field(default_factory=list)  # (pos, normal, intensity)
     env_constant: Optional[np.ndarray] = None
     env_image: Optional[np.ndarray] = None
     textures: Optional[np.ndarray] = None
@@ -95,6 +96,7 @@ class Scene:
             self.meshes, mesh_emitter_id, geom.n_pad,
             points=self.point_lights,
             directionals=self.directional_lights,
+            point_normals=self.point_normal_lights,
             env_constant=self.env_constant,
             env_image=self.env_image,
             bsphere_center=center, bsphere_radius=radius,

@@ -164,3 +164,28 @@ class TestImageIO:
         rimage.write_ldr(p, img)
         back = rimage.read_ldr(p)
         np.testing.assert_allclose(back, img, atol=2e-2)
+
+
+class TestVarianceEstimator:
+    def test_welford_matches_numpy(self):
+        from rustlight_tpu.utils.variance import (
+            variance_init, variance_add, variance_value)
+        data = np.random.RandomState(0).normal(5.0, 2.0, (500, 3)).astype(np.float32)
+        est = variance_init(np.zeros(3, np.float32))
+        for x in data:
+            est = variance_add(est, x)
+        np.testing.assert_allclose(est.mean, data.mean(0), rtol=1e-5)
+        np.testing.assert_allclose(variance_value(est), data.var(0, ddof=1),
+                                   rtol=1e-4)
+
+
+class TestSpectrum:
+    def test_d65_white_and_roundtrip(self):
+        from rustlight_tpu.utils.spectrum import (
+            spectrum_to_xyz, spectrum_to_rgb, xyz_to_rgb, rgb_to_xyz)
+        xyz = spectrum_to_xyz(np.ones(36))
+        assert abs(xyz[1] - 1.0) < 1e-5                  # Y normalization
+        rgb = spectrum_to_rgb(np.ones(36), illuminant=True)
+        np.testing.assert_allclose(rgb, 1.0, atol=2e-3)  # D65 -> sRGB white
+        c = np.array([0.2, 0.5, 0.8], np.float32)
+        np.testing.assert_allclose(xyz_to_rgb(rgb_to_xyz(c)), c, atol=1e-5)

@@ -118,3 +118,33 @@ class TestEmissionTypes:
         assert abs(m1 - m2) / m1 < 0.12, (m1, m2)
         if kind == 1:   # HSV ramp has no blue component
             assert float(np.asarray(f1)[..., 2].max()) == 0.0
+
+
+class TestPointNormalEmitter:
+    """PointNormalEmitter (emitter.rs:252-298): cosine point emitter must
+    agree between NEE (implemented; the reference leaves it todo!()) and
+    the adjoint position/direction sampling."""
+
+    def test_forward_adjoint_agree(self):
+        from rustlight_tpu.scene import Scene, make_camera, look_at, make_quad
+        from rustlight_tpu import bsdfs
+        from rustlight_tpu.integrators import IntegratorLightTracing
+        from rustlight_tpu.integrators.common import render_splat
+        sc = Scene()
+        m = sc.add_material(bsdfs.diffuse((0.6, 0.6, 0.6)))
+        sc.add_mesh(make_quad((-5, 0, -5), (5, 0, -5), (5, 0, 5), (-5, 0, 5),
+                              material=m))
+        sc.add_mesh(make_quad((-5, 6, -5), (-5, 6, 5), (5, 6, 5), (5, 6, -5),
+                              material=m))
+        sc.point_normal_lights.append(
+            ((0.0, 4.0, 0.0), (0.0, -1.0, 0.0), (30.0, 20.0, 10.0)))
+        sc.camera = make_camera(24, 24, fov=70.0,
+                                to_world=look_at((0, 3, -7), (0, 1, 0),
+                                                 (0, 1, 0)))
+        sd = sc.compile()
+        f1 = render(sd, IntegratorPathTracing(max_depth=4, hard_cap=4),
+                    spp=32, seed=0)["primal"]
+        f2 = render_splat(sd, IntegratorLightTracing(max_depth=4, hard_cap=4),
+                          spp=48, seed=1)["primal"]
+        m1, m2 = float(np.asarray(f1).mean()), float(np.asarray(f2).mean())
+        assert abs(m1 - m2) / m1 < 0.1, (m1, m2)
