@@ -103,13 +103,49 @@ def _parse_transform(node) -> np.ndarray:
     return m
 
 
-def _bsdf_desc(node) -> bsdfs.MaterialDesc:
+def _tex_kwargs(node, name, ctx):
+    """Texture child on the diffuse slot (reference bsdf_mts texture
+    conversion): bitmap -> atlas slot, checkerboard -> procedural."""
+    if ctx is None:
+        return None
+    for tex in node.findall("texture"):
+        if tex.get("name") != name:
+            continue
+        tkind = tex.get("type")
+        if tkind == "bitmap":
+            try:
+                from ...utils import image as _rimage
+                from ...bsdfs.table import TEX_BITMAP
+                fn = _child_value(tex, "filename", None, conv=str)
+                img = np.asarray(_rimage.load(ctx["dir"] / fn),
+                                 np.float32)[..., :3]
+                ctx["atlas"].append(img)
+                us = _child_value(tex, "uscale", 1.0) or 1.0
+                vs = _child_value(tex, "vscale", 1.0) or 1.0
+                return dict(tex_kind=TEX_BITMAP,
+                            tex_img=len(ctx["atlas"]) - 1,
+                            tex_scale=(us, vs))
+            except Exception:
+                return None
+        if tkind == "checkerboard":
+            from ...bsdfs.table import TEX_CHECKER
+            return dict(tex_kind=TEX_CHECKER,
+                        tex_c1=_child_rgb(tex, "color1", (0.2,) * 3),
+                        kd=_child_rgb(tex, "color0", (0.4,) * 3))
+    return None
+
+
+def _bsdf_desc(node, ctx=None) -> bsdfs.MaterialDesc:
     """Mitsuba bsdf -> archetype (reference bsdf_mts, bsdfs/mod.rs:498-612)."""
     kind = node.get("type", "diffuse")
     if kind == "twosided":
         inner = node.find("bsdf")
-        return _bsdf_desc(inner) if inner is not None else bsdfs.diffuse()
+        return _bsdf_desc(inner, ctx) if inner is not None else bsdfs.diffuse()
     if kind in ("diffuse", "roughdiffuse"):
+        tkw = _tex_kwargs(node, "reflectance", ctx)
+        if tkw is not None:
+            kd = tkw.pop("kd", (0.5, 0.5, 0.5))
+            return bsdfs.diffuse(kd, **tkw)
         return bsdfs.diffuse(_child_rgb(node, "reflectance", (0.5,) * 3))
     if kind in ("dielectric", "thindielectric", "roughdielectric"):
         return bsdfs.glass(int_ior=_child_value(node, "intIOR", 1.5046) or 1.5046,
@@ -147,10 +183,11 @@ def load_mitsuba(path) -> Scene:
         return v
 
     scene = Scene()
+    ctx = {"dir": path.parent, "atlas": []}
     mat_by_id: Dict[str, int] = {}
 
     for b in root.findall("bsdf"):
-        mid = scene.add_material(_bsdf_desc(b))
+        mid = scene.add_material(_bsdf_desc(b, ctx))
         if b.get("id"):
             mat_by_id[b.get("id")] = mid
 
@@ -180,7 +217,7 @@ def load_mitsuba(path) -> Scene:
         if ref is not None and ref.get("id") in mat_by_id:
             mat = mat_by_id[ref.get("id")]
         elif inline is not None:
-            mat = scene.add_material(_bsdf_desc(inline))
+            mat = scene.add_material(_bsdf_desc(inline, ctx))
         else:
             mat = scene.add_material(bsdfs.diffuse((0.5,) * 3))
         emitter = sh.find("emitter")
@@ -266,4 +303,14 @@ def load_mitsuba(path) -> Scene:
                 g = _child_value(ph, "g", 0.0) or 0.0
             scene.volume = make_volume(sigma_s=ss or (0, 0, 0),
                                        sigma_a=sa or (0, 0, 0), g=g)
+    if ctx["atlas"]:
+        th = max(a.shape[0] for a in ctx["atlas"])
+        tw = max(a.shape[1] for a in ctx["atlas"])
+
+        def _pad(a):
+            out = np.zeros((th, tw, 3), np.float32)
+            out[: a.shape[0], : a.shape[1]] = a
+            return out
+
+        scene.textures = np.stack([_pad(a) for a in ctx["atlas"]])
     return scene

@@ -6,7 +6,9 @@ Camera "perspective" (fov, Fov::Y + flip=false as the reference does,
 scene_loader.rs:291), Film resolution, AttributeBegin/End,
 Material matte/plastic/glass/mirror/metal/substrate/uber,
 MakeNamedMaterial/NamedMaterial, AreaLightSource "diffuse",
-LightSource point/distant/infinite, Shape trianglemesh/plymesh/sphere.
+LightSource point/distant/infinite, Shape trianglemesh/plymesh/sphere,
+Texture imagemap/checkerboard/constant on the diffuse slot ("texture Kd"
+references; reference bsdf_pbrt texture conversion, src/bsdfs/mod.rs:293-386).
 """
 from __future__ import annotations
 
@@ -101,16 +103,37 @@ class _Params(dict):
         v = self.get(name)
         return None if v is None else np.asarray(v, np.float32)
 
+    def str_(self, name):
+        v = self.get(name)
+        if isinstance(v, list) and v:
+            v = v[0]
+        return None if v is None else str(v)
 
-def _material_from(kind: str, p: _Params) -> bsdfs.MaterialDesc:
+
+def _kd_kwargs(p: _Params, name, default, texs):
+    """Resolve a possibly texture-referencing color parameter into
+    (constant color, MaterialDesc texture kwargs) for the diffuse slot."""
+    v = p.get(name)
+    if isinstance(v, list) and len(v) == 1:
+        v = v[0]
+    if isinstance(v, str) and texs and v in texs:
+        spec = dict(texs[v])
+        kd = spec.pop("kd_override", default)
+        return kd, spec
+    return p.rgb(name, default), {}
+
+
+def _material_from(kind: str, p: _Params, texs=None) -> bsdfs.MaterialDesc:
     """PBRT material -> archetype (reference bsdf_pbrt, bsdfs/mod.rs:293-386)."""
     if kind == "matte":
-        return bsdfs.diffuse(p.rgb("Kd", (0.5, 0.5, 0.5)))
+        kd, tkw = _kd_kwargs(p, "Kd", (0.5, 0.5, 0.5), texs)
+        return bsdfs.diffuse(kd, **tkw)
     if kind in ("plastic", "uber"):
         rough = p.flt("roughness", 0.1)
-        return bsdfs.substrate(kd=p.rgb("Kd", (0.25,) * 3),
+        kd, tkw = _kd_kwargs(p, "Kd", (0.25,) * 3, texs)
+        return bsdfs.substrate(kd=kd,
                                ks=p.rgb("Ks", (0.25,) * 3),
-                               alpha=_remap_roughness(rough))
+                               alpha=_remap_roughness(rough), **tkw)
     if kind == "glass":
         return bsdfs.glass(int_ior=p.flt("eta", p.flt("index", 1.5)), ext_ior=1.0,
                            kt=p.rgb("Kt", (1, 1, 1)), ks=p.rgb("Kr", (1, 1, 1)))
@@ -122,10 +145,12 @@ def _material_from(kind: str, p: _Params) -> bsdfs.MaterialDesc:
                            k_c=p.rgb("k", (3.9, 2.45, 2.14)),
                            alpha=_remap_roughness(rough))
     if kind == "substrate":
-        return bsdfs.substrate(kd=p.rgb("Kd", (0.5,) * 3),
+        kd, tkw = _kd_kwargs(p, "Kd", (0.5,) * 3, texs)
+        return bsdfs.substrate(kd=kd,
                                ks=p.rgb("Ks", (0.5,) * 3),
                                alpha=_remap_roughness(p.flt("uroughness",
-                                                            p.flt("roughness", 0.1))))
+                                                            p.flt("roughness", 0.1))),
+                               **tkw)
     return bsdfs.diffuse((0.5, 0.5, 0.5))
 
 
@@ -189,6 +214,8 @@ def load_pbrt(path) -> Scene:
     cur_mat: Optional[int] = None
     cur_emit = np.zeros(3, np.float32)
     named: Dict[str, int] = {}
+    tex_specs: Dict[str, dict] = {}
+    atlas: List[np.ndarray] = []
     cam_to_world = np.eye(4, dtype=np.float32)
     fov = 90.0
     res = [512, 512]
@@ -243,17 +270,42 @@ def load_pbrt(path) -> Scene:
         elif t == "Material":
             kind = nxt().strip('"')
             p = read_params()
-            cur_mat = scene.add_material(_material_from(kind, p))
+            cur_mat = scene.add_material(_material_from(kind, p, tex_specs))
         elif t == "MakeNamedMaterial":
             name = nxt().strip('"')
             p = read_params()
             kind = p.get("type", "matte")
-            named[name] = scene.add_material(_material_from(str(kind), p))
+            named[name] = scene.add_material(
+                _material_from(str(kind), p, tex_specs))
         elif t == "NamedMaterial":
             cur_mat = named.get(nxt().strip('"'))
         elif t == "Texture":
-            nxt(); nxt(); nxt()
-            read_params()
+            tname = nxt().strip('"')
+            nxt()   # value type (spectrum/float/color)
+            tclass = nxt().strip('"')
+            p = read_params()
+            from ...bsdfs.table import TEX_BITMAP, TEX_CHECKER
+            spec = dict(tex_scale=(p.flt("uscale", 1.0), p.flt("vscale", 1.0)),
+                        tex_offset=(p.flt("udelta", 0.0), p.flt("vdelta", 0.0)))
+            if tclass == "imagemap":
+                try:
+                    from ...utils import image as _rimage
+                    img = np.asarray(
+                        _rimage.load(path.parent / p.str_("filename")),
+                        np.float32)[..., :3]
+                    atlas.append(img)
+                    spec.update(tex_kind=TEX_BITMAP, tex_img=len(atlas) - 1)
+                except Exception:
+                    spec["kd_override"] = (0.5, 0.5, 0.5)
+            elif tclass == "checkerboard":
+                spec.update(tex_kind=TEX_CHECKER,
+                            kd_override=p.rgb("tex1", (0.1,) * 3),
+                            tex_c1=p.rgb("tex2", (0.9,) * 3))
+            elif tclass == "constant":
+                spec["kd_override"] = p.rgb("value", (0.5, 0.5, 0.5))
+            else:   # scale/mix/...: constant-fold to a midtone
+                spec["kd_override"] = (0.5, 0.5, 0.5)
+            tex_specs[tname] = spec
         elif t == "AreaLightSource":
             nxt()
             p = read_params()
@@ -292,8 +344,8 @@ def load_pbrt(path) -> Scene:
                     uvs=None if uv is None else uv.reshape(-1, 2),
                     material=ensure_mat(), emission=cur_emit.copy())
             elif kind in ("plymesh", "plyfile"):
-                fname = p.get("filename")
-                mesh = load_ply(path.parent / str(fname), material=ensure_mat(),
+                fname = p.str_("filename")
+                mesh = load_ply(path.parent / fname, material=ensure_mat(),
                                 emission=cur_emit.copy())
             elif kind == "sphere":
                 mesh = make_sphere((0, 0, 0), p.flt("radius", 1.0),
@@ -321,4 +373,14 @@ def load_pbrt(path) -> Scene:
     # Fov::Y + flip=false for pbrt (reference scene_loader.rs:291)
     scene.camera = make_camera(res[0], res[1], fov=fov, to_world=cam_to_world,
                                fov_axis="y", flip=False)
+    if atlas:
+        th = max(a.shape[0] for a in atlas)
+        tw = max(a.shape[1] for a in atlas)
+
+        def pad(a):
+            out = np.zeros((th, tw, 3), np.float32)
+            out[: a.shape[0], : a.shape[1]] = a
+            return out
+
+        scene.textures = np.stack([pad(a) for a in atlas])
     return scene

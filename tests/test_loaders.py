@@ -147,3 +147,50 @@ def test_mitsuba_scene(tmp_path):
     sd = scene.compile()
     film = render(sd, IntegratorPathTracing(max_depth=3, hard_cap=3), spp=4)
     assert film["primal"].mean() > 0.0
+
+
+class TestLoaderTextures:
+    """Texture conversion on the diffuse slot (reference bsdf_pbrt /
+    bsdf_mts texture handling, src/bsdfs/mod.rs:293-386, 498-612)."""
+
+    def test_pbrt_imagemap_and_checker(self, tmp_path):
+        from rustlight_tpu.utils import image as rimage
+        from rustlight_tpu.bsdfs.table import TEX_BITMAP, TEX_CHECKER
+        tex = np.zeros((8, 8, 3), np.float32)
+        tex[:, :4] = (1, 0, 0)
+        tex[:, 4:] = (0, 0, 1)
+        rimage.save(str(tmp_path / "t.pfm"), tex)
+        (tmp_path / "s.pbrt").write_text('''
+Film "image" "integer xresolution" [16] "integer yresolution" [16]
+WorldBegin
+Texture "wood" "spectrum" "imagemap" "string filename" ["t.pfm"]
+Texture "check" "spectrum" "checkerboard" "rgb tex1" [0.1 0.1 0.1] "rgb tex2" [0.9 0.9 0.9]
+Material "matte" "texture Kd" ["wood"]
+Shape "trianglemesh" "point P" [-2 0 0  2 0 0  2 2 0  -2 2 0] "integer indices" [0 1 2 0 2 3] "float uv" [0 0 1 0 1 1 0 1]
+Material "matte" "texture Kd" ["check"]
+Shape "trianglemesh" "point P" [-2 -2 1  2 -2 1  2 0 1  -2 0 1] "integer indices" [0 1 2 0 2 3] "float uv" [0 0 1 0 1 1 0 1]
+WorldEnd
+''')
+        from rustlight_tpu.scene.loaders import load_scene
+        sc = load_scene(str(tmp_path / "s.pbrt"))
+        assert sc.textures is not None and sc.textures.shape[0] == 1
+        kinds = {m.tex_kind for m in sc.materials}
+        assert TEX_BITMAP in kinds and TEX_CHECKER in kinds
+
+    def test_mitsuba_bitmap(self, tmp_path):
+        from rustlight_tpu.utils import image as rimage
+        from rustlight_tpu.bsdfs.table import TEX_BITMAP
+        tex = np.full((4, 4, 3), 0.25, np.float32)
+        rimage.save(str(tmp_path / "t.pfm"), tex)
+        (tmp_path / "s.xml").write_text('''<scene version="0.6.0">
+  <bsdf type="diffuse" id="mat">
+    <texture type="bitmap" name="reflectance">
+      <string name="filename" value="t.pfm"/>
+    </texture>
+  </bsdf>
+  <shape type="rectangle"><ref id="mat"/></shape>
+</scene>''')
+        from rustlight_tpu.scene.loaders import load_scene
+        sc = load_scene(str(tmp_path / "s.xml"))
+        assert sc.textures is not None
+        assert any(m.tex_kind == TEX_BITMAP for m in sc.materials)
