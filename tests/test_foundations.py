@@ -189,3 +189,39 @@ class TestSpectrum:
         np.testing.assert_allclose(rgb, 1.0, atol=2e-3)  # D65 -> sRGB white
         c = np.array([0.2, 0.5, 0.8], np.float32)
         np.testing.assert_allclose(xyz_to_rgb(rgb_to_xyz(c)), c, atol=1e-5)
+
+
+class TestSolvers:
+    def test_quadratic(self):
+        import jax.numpy as jnp
+        from rustlight_tpu.utils.solvers import solve_quadratic
+        a = jnp.asarray([1.0, 2.0, 0.0, 1.0])
+        b = jnp.asarray([-3.0, 0.0, 4.0, 0.0])
+        c = jnp.asarray([2.0, -8.0, -8.0, 1.0])
+        x0, x1, has = solve_quadratic(a, b, c)
+        np.testing.assert_allclose(np.asarray(x0)[:3], [1.0, -2.0, 2.0],
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(x1)[:3], [2.0, 2.0, 2.0],
+                                   atol=1e-5)
+        assert not bool(has[3])   # x^2 + 1: no real root
+
+    def test_cubic_matches_numpy_roots(self):
+        import jax.numpy as jnp
+        from rustlight_tpu.utils.solvers import solve_cubic
+        rng = np.random.RandomState(1)
+        coeffs = rng.uniform(-2, 2, (64, 4)).astype(np.float32)
+        coeffs[:, 0] = np.where(np.abs(coeffs[:, 0]) < 0.2, 1.0, coeffs[:, 0])
+        roots, count = solve_cubic(*[jnp.asarray(coeffs[:, k])
+                                     for k in range(4)])
+        roots = np.asarray(roots)
+        for i in range(64):
+            true = np.roots(coeffs[i])
+            true = np.sort(true[np.abs(true.imag) < 1e-4].real)
+            got = np.sort(np.unique(np.round(roots[i], 3)))[: len(true)]
+            mine = np.sort(roots[i][: int(count[i])] if count[i] == 3
+                           else roots[i][:1])
+            # every reported root must satisfy the polynomial
+            for r in mine:
+                val = np.polyval(coeffs[i], r)
+                scale = np.abs(coeffs[i]).sum() * max(1.0, abs(r)) ** 3
+                assert abs(val) < 1e-3 * scale, (i, r, val)

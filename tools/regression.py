@@ -38,8 +38,11 @@ def build_tests():
     return {
         "cbox_ao": dict(scene=cbox, techniques=["ao"]),
         "cbox_path": dict(scene=cbox, techniques=GI_ALGO[:]),
-        "cbox_medium": dict(scene=cbox_medium,
-                            techniques=["path", "point-normal"]),
+        "cbox_medium": dict(scene=cbox_medium, techniques=["path"]),
+        # single-scatter estimators compare against a single-scatter ref
+        "cbox_medium_single": dict(scene=cbox_medium,
+                                   techniques=["point-normal", "path-single"],
+                                   ref_tech="path-single"),
     }
 
 
@@ -61,6 +64,9 @@ def make_integrator(name):
             nb_samples_norm=16384, nb_chains=4096)
     if name == "point-normal":
         return I.IntegratorPointNormal(strategies=("tr", "equiangular"))
+    if name == "path-single":
+        return I.IntegratorPathTracing(max_depth=2, hard_cap=2, min_depth=1,
+                                       single_scattering=True)
     raise ValueError(name)
 
 
@@ -96,9 +102,9 @@ def main():
         ref_path = refs / f"{tname}.exr"
         if args.make_refs or not ref_path.exists():
             print(f"[{tname}] rendering reference ({args.ref_spp} spp path)...")
-            film = render_one(scene_data, spec["techniques"][0]
-                              if spec["techniques"] == ["ao"] else "path",
-                              args.ref_spp, seed=777)
+            ref_tech = spec.get("ref_tech",
+                                "ao" if spec["techniques"] == ["ao"] else "path")
+            film = render_one(scene_data, ref_tech, args.ref_spp, seed=777)
             rimage.save(str(ref_path), film["primal"])
         ref = rimage.load(str(ref_path))
 
