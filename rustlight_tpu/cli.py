@@ -233,6 +233,8 @@ def build_integrator(args):
             "eq_tr_taylor_ex": ("taylor_tr",),
             "eq_phase_taylor_ex": ("taylor_phase",),
             "pn_ex": ("pn",),
+            "eq_best_ex": ("best",),
+            "pn_best_ex": ("pn_best",),
             "pn_warp_ex": ("pn", "warp"),
             "pn_tr_taylor_ex": ("pn_taylor_tr",),
             "pn_phase_taylor_ex": ("pn_taylor_phase",),

@@ -20,6 +20,11 @@ Reference: src/integrators/explicit/point_normal.rs. Implemented strategies
   PN_TAYLOR_TR / PN_TAYLOR_PHASE — Taylor×point-normal product via the
                 closed-form cdf_pn (point_normal.rs:757-940;
                 pn_tr_taylor_ex / pn_phase_taylor_ex)
+  BEST / PN_BEST — "best sampling technique": the phase-Taylor draw composed
+                with a transmittance-shaped Bezier warp (HybridSampling,
+                point_normal.rs:520-649 + 1365-1391; warped PN-Taylor,
+                :1482-1547 — the g==0 TR-poly special case there is an
+                experiment we fold into the same composition)
 Strategies combine with the balance heuristic over their distance pdfs
 (the reference's strategy-MIS, point_normal.rs:1560-2208). Lanes where a
 product sampler's setup is degenerate fall back to plain equiangular
@@ -51,12 +56,16 @@ STRATEGY_TAYLOR_PHASE = "taylor_phase"
 STRATEGY_PN_TAYLOR_TR = "pn_taylor_tr"
 STRATEGY_PN_TAYLOR_PHASE = "pn_taylor_phase"
 
+STRATEGY_BEST = "best"          # HybridSampling: phase-Taylor x TR-Bezier
+STRATEGY_PN_BEST = "pn_best"    # PointNormalTaylor(phase) x TR-Bezier
+
 _ALL_STRATEGIES = (STRATEGY_TR, STRATEGY_EQUIANGULAR, STRATEGY_EQ_CLAMP,
                    STRATEGY_WARP, STRATEGY_PN, STRATEGY_TAYLOR_TR,
                    STRATEGY_TAYLOR_PHASE, STRATEGY_PN_TAYLOR_TR,
-                   STRATEGY_PN_TAYLOR_PHASE)
+                   STRATEGY_PN_TAYLOR_PHASE, STRATEGY_BEST, STRATEGY_PN_BEST)
 _TAYLOR = (STRATEGY_TAYLOR_TR, STRATEGY_TAYLOR_PHASE)
 _PN_TAYLOR = (STRATEGY_PN_TAYLOR_TR, STRATEGY_PN_TAYLOR_PHASE)
+_BEST = (STRATEGY_BEST, STRATEGY_PN_BEST)
 
 
 # ----------------------------- angular warps (point_normal.rs:188-345)
@@ -248,7 +257,7 @@ class IntegratorPointNormal(Integrator):
         g = scene.volume.phase_g
         setups = {}
         need_pn = any(s in self.strategies
-                      for s in (STRATEGY_PN,) + _PN_TAYLOR)
+                      for s in (STRATEGY_PN, STRATEGY_PN_BEST) + _PN_TAYLOR)
         if need_pn:
             a0, b0 = pp.pn_coeffs(o, d, ls0.p, ls0.n, delta, d_l)
             nrm = pp.pn_norm(a0, b0, ta_c, tb_c)
@@ -257,7 +266,7 @@ class IntegratorPointNormal(Integrator):
             setups["_pn_raw"] = (a0, b0)
             setups[STRATEGY_PN] = (a0 / safe, b0 / safe, ok)
         for name in self.strategies:
-            if name in _TAYLOR + _PN_TAYLOR:
+            if name in _TAYLOR + _PN_TAYLOR + _BEST:
                 if name.endswith("_tr"):
                     c = pp.poly6_tr(d_l, st_avg)
                     clamp = pp.clamp_angle_tr(st_avg, d_l)
@@ -265,15 +274,47 @@ class IntegratorPointNormal(Integrator):
                     c = pp.poly6_phase(g)
                     clamp = jnp.broadcast_to(pp.clamp_angle_phase(g),
                                              d_l.shape)
-                if name in _TAYLOR:
+                if name in _TAYLOR + (STRATEGY_BEST,):
                     _, _, ta, tb = eq
                     st = pp.taylor_setup(c, ta, tb, clamp)
                 else:
                     a0, b0 = setups["_pn_raw"]
                     st = pp.pn_taylor_setup(c, a0, b0, ta_c, tb_c, clamp)
                     st["valid"] = st["valid"] & valid_c
-                setups[name] = (c, st)
+                if name in _BEST:
+                    # HybridSampling / warped PN-Taylor (point_normal.rs:
+                    # 520-649, 1365-1391, 1482-1547): the Taylor draw is
+                    # composed with a Bezier warp shaped by transmittance
+                    dom_a, dom_b = ((ta_c, tb_c) if name == STRATEGY_PN_BEST
+                                    else eq[2:])
+                    mid = 0.5 * (dom_a + dom_b)
+                    args = (o, d, ls0.p, ls0.n, delta, d_l, st_avg, g)
+                    wp = (_warp_values("T", dom_a, *args),
+                          _warp_values("T", mid, *args),
+                          _warp_values("T", dom_b, *args))
+                    setups[name] = (c, st, wp)
+                else:
+                    setups[name] = (c, st)
         return setups
+
+    @staticmethod
+    def _best_compose_sample(theta1, pdf_ang, wp, dom_a, dom_b):
+        """Warp composition of HybridSampling::sample (point_normal.rs:
+        622-640): theta2 = warp^-1 of the normalized Taylor draw, density
+        multiplied by the warp pdf (range factors cancel)."""
+        rng = jnp.maximum(dom_b - dom_a, 1e-12)
+        x1 = jnp.clip((theta1 - dom_a) / rng, 0.0, 1.0)
+        x2 = _bezier_cdf_inv(*wp, x1)
+        theta2 = dom_a + x2 * rng
+        return theta2, pdf_ang * _bezier_pdf(*wp, x2)
+
+    @staticmethod
+    def _best_compose_pdf(theta2, wp, dom_a, dom_b):
+        """Inverse mapping for MIS: theta2 -> theta1 and the warp pdf."""
+        rng = jnp.maximum(dom_b - dom_a, 1e-12)
+        x2 = jnp.clip((theta2 - dom_a) / rng, 0.0, 1.0)
+        x1 = _bezier_cdf(*wp, x2)
+        return dom_a + x1 * rng, _bezier_pdf(*wp, x2)
 
     def _distance_pdfs(self, scene, name, t, o, d, ls, tmax, eq, eqc,
                        wparams, setups):
@@ -305,6 +346,16 @@ class IntegratorPointNormal(Integrator):
             return jnp.where(st["valid"],
                              pp.pn_taylor_pdf(c, st, theta) * jac,
                              eq_fallback)
+        if name in _BEST:
+            c, st, wp = setups[name]
+            _, _, ta_c, tb_c, _ = eqc
+            dom_a, dom_b = ((ta_c, tb_c) if name == STRATEGY_PN_BEST
+                            else (ta, tb))
+            theta1, pdf_w = self._best_compose_pdf(theta, wp, dom_a, dom_b)
+            base = (pp.pn_taylor_pdf(c, st, theta1)
+                    if name == STRATEGY_PN_BEST
+                    else pp.taylor_pdf(c, st, theta1))
+            return jnp.where(st["valid"], base * pdf_w * jac, eq_fallback)
         if name == STRATEGY_PN:
             a_n, b_n, ok = setups[STRATEGY_PN]
             _, _, ta_c, tb_c, _ = eqc
@@ -481,6 +532,19 @@ class IntegratorPointNormal(Integrator):
                 from . import point_normal_poly as pp
                 c, st = setups[name]
                 theta, pdf_ang = pp.pn_taylor_sample(c, st, u_t)
+                t, pdf_t = _angular_to_dist(theta, pdf_ang, st["valid"])
+                strat_valid = pdf_t > 0.0
+            elif name in _BEST:
+                from . import point_normal_poly as pp
+                c, st, wp = setups[name]
+                if name == STRATEGY_PN_BEST:
+                    theta1, pdf_ang = pp.pn_taylor_sample(c, st, u_t)
+                    dom_a, dom_b = ta_c, tb_c
+                else:
+                    theta1, pdf_ang = pp.taylor_sample(c, st, u_t)
+                    dom_a, dom_b = ta, tb
+                theta, pdf_ang = self._best_compose_sample(
+                    theta1, pdf_ang, wp, dom_a, dom_b)
                 t, pdf_t = _angular_to_dist(theta, pdf_ang, st["valid"])
                 strat_valid = pdf_t > 0.0
             elif name == STRATEGY_PN:

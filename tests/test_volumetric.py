@@ -106,6 +106,7 @@ class TestTaylorStrategies:
     @pytest.mark.parametrize("strats", [
         ("pn",), ("taylor_tr",), ("taylor_phase",),
         ("pn_taylor_tr",), ("pn_taylor_phase",),
+        ("best",), ("pn_best",),
         ("taylor_phase", "equiangular"),
     ])
     def test_agrees_with_equiangular(self, strats):
