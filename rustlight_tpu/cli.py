@@ -271,7 +271,8 @@ def build_integrator(args):
     if cmd == "smcmc":
         from .integrators.mcmc import IntegratorSMCMC
         inner = I.IntegratorPathTracing(strategy=args.strategy, **pl)
-        return IntegratorSMCMC(inner, large_prob=args.large_prob)
+        return IntegratorSMCMC(inner, large_prob=args.large_prob,
+                               recons=args.recons_smcmc, init=args.init)
     raise SystemExit(f"unknown command {cmd}")
 
 

@@ -13,8 +13,13 @@ lane arrays (ppermute over ICI when sharded). Uninitialized chains bootstrap
 with forced large steps (chain_non_init); the SMCMC mutator resamples the
 pixel-jitter dims uniformly and Kelemen-mutates the rest (smcmc.rs:9-35).
 
-Reconstruction: 'naive' overlap averaging (smcmc.rs:318-358). The IRLS
-overlap-consistency solver is planned for a later round.
+Reconstruction: 'naive' overlap averaging (smcmc.rs:318-358) or the IRLS
+overlap-consistency solver (smcmc.rs:359-904). Initialization: 'independent'
+(nb_spp uniform attempts per tile, IndependentInit smcmc.rs:916-972) or
+'mcmc' (image-space roaming chains seeded from a flux CDF that deposit their
+states into visited tiles reservoir-style, MCMCInit smcmc.rs:974-1172 —
+vectorized here as nb_chains parallel lanes with scatter-based reservoir
+updates and batch-equivalent replacement probabilities).
 """
 from __future__ import annotations
 
@@ -37,10 +42,17 @@ class IntegratorSMCMC:
     averaging = True
 
     def __init__(self, integrator, large_prob: float = 0.3,
-                 recons: str = "naive", pss_dims: Optional[int] = None):
+                 recons: str = "naive", pss_dims: Optional[int] = None,
+                 init: str = "independent", init_spp: int = 4,
+                 init_chain_length: int = 25, init_spp_mcmc: int = 2):
+        assert init in ("independent", "mcmc")
         self.integrator = integrator
         self.large_prob = large_prob
         self.recons = recons
+        self.init = init
+        self.init_spp = init_spp
+        self.init_chain_length = init_chain_length
+        self.init_spp_mcmc = init_spp_mcmc
         cap = getattr(integrator, "hard_cap", 16)
         self.pss_dims = pss_dims or (2 + 6 * cap)
 
@@ -183,6 +195,111 @@ class IntegratorSMCMC:
 
             return (u, tf, col, wgt, acc_v, acc_mc, nb_s, b_acc, nb_u), stream
 
+        def generate_state_at(scene_, pos, u):
+            """generate_state for chains at arbitrary tile positions
+            (the roaming chains of MCMCInit)."""
+            m = pos.shape[0]
+            cps, cvs = [], []
+            for dx, dy in _CROSS:
+                cx = pos[:, 0] + dx
+                cy = pos[:, 1] + dy
+                cvs.append((cx >= 0) & (cx < w) & (cy >= 0) & (cy < h))
+                cps.append(jnp.stack([jnp.clip(cx, 0, w - 1),
+                                      jnp.clip(cy, 0, h - 1)], -1))
+            cv = jnp.stack(cvs, 1)
+            u5 = jnp.tile(u, (5, 1))
+            stream = ArrayStream(values=u5, counter=jnp.int32(0))
+            li = self.integrator.compute_pixel(scene_,
+                                               jnp.concatenate(cps, 0), stream)
+            li = jnp.where(jnp.all(jnp.isfinite(li), -1, keepdims=True), li, 0.0)
+            col = li.reshape(5, m, 3).swapaxes(0, 1)
+            col = jnp.where(cv[..., None], col, 0.0)
+            return col, jnp.sum(jnp.max(col, axis=-1), axis=1)
+
+        def init_states(scene_, stream):
+            """Per-tile starting states + normalization accumulators.
+            independent: IndependentInit (smcmc.rs:916-972); mcmc: MCMCInit
+            roaming-chain reservoir deposit (smcmc.rs:974-1172)."""
+            u0, stream = _uniform(stream, (n, d))
+            col0, tf0 = generate_state(scene_, u0)
+            b_acc, nb_u, acc_mc = tf0, jnp.ones(n, jnp.int32), col0
+
+            if self.init == "independent":
+                for _ in range(max(self.init_spp - 1, 0)):
+                    uk, stream = _uniform(stream, (n, d))
+                    colk, tfk = generate_state(scene_, uk)
+                    b_acc = b_acc + tfk
+                    nb_u = nb_u + 1
+                    acc_mc = acc_mc + colk
+                    take = (tf0 <= 0.0) & (tfk > 0.0)
+                    u0 = jnp.where(take[:, None], uk, u0)
+                    col0 = jnp.where(take[:, None, None], colk, col0)
+                    tf0 = jnp.where(take, tfk, tf0)
+                return u0, tf0, col0, b_acc, nb_u, acc_mc, stream
+
+            # ---- mcmc init: seed roaming chains from the flux CDF
+            m = max((n * self.init_spp_mcmc) // self.init_chain_length, 64)
+            cdf = jnp.cumsum(tf0)
+            tot = jnp.maximum(cdf[-1], 1e-30)
+            uc, stream = _uniform(stream, (m,))
+            v = (jax.lax.broadcasted_iota(jnp.float32, (m,), 0) + uc) / m * tot
+            idx = jnp.clip(jnp.searchsorted(cdf, v), 0, n - 1)
+            # one-time gather (init only; gathers are slow on this TPU relay
+            # but m*d elements once per render is acceptable)
+            ch_u = jnp.take(u0, idx, axis=0)
+            ch_pos = jnp.stack([jnp.remainder(idx, w), idx // w], -1)
+            ch_col, ch_tf = generate_state_at(scene_, ch_pos, ch_u)
+
+            def body(_, carry):
+                (t_u, t_tf, t_col, nb_visit,
+                 ch_pos, ch_u, ch_tf, ch_col, stream) = carry
+                pid = ch_pos[:, 1] * w + ch_pos[:, 0]
+                # batch reservoir update: each tile replaces its state with a
+                # uniformly-chosen visitor with prob visits/(nb_visit+visits)
+                # (equivalent to the reference's sequential 1/nb_visit rule)
+                visits = jnp.zeros(n).at[pid].add(1.0)
+                nb_new = nb_visit + visits
+                key, stream = _uniform(stream, (m,))
+                keymax = jnp.full(n, -1.0).at[pid].max(key)
+                winner = key == keymax[pid]
+                ur, stream = _uniform(stream, (n,))
+                repl = (visits > 0.0) & (ur < visits / jnp.maximum(nb_new, 1.0))
+                sel = winner & repl[pid] & (ch_tf > 0.0)
+                tgt = jnp.where(sel, pid, n)
+                t_u = t_u.at[tgt].set(ch_u, mode="drop")
+                t_tf = t_tf.at[tgt].set(ch_tf, mode="drop")
+                t_col = t_col.at[tgt].set(ch_col, mode="drop")
+
+                # image-space move (Kelemen on normalized coords) + PSS
+                # small-step, MH accept on tf (smcmc.rs:1121-1163)
+                r2, stream = _uniform(stream, (m, 2))
+                posn = jnp.stack([(ch_pos[:, 0] + 0.5) / w,
+                                  (ch_pos[:, 1] + 0.5) / h], -1)
+                posn = kelemen_mutate(posn, r2)
+                new_pos = jnp.stack(
+                    [jnp.clip((posn[:, 0] * w).astype(jnp.int32), 0, w - 1),
+                     jnp.clip((posn[:, 1] * h).astype(jnp.int32), 0, h - 1)],
+                    -1)
+                um, stream = _uniform(stream, (m, d))
+                u01, stream = _uniform(stream, (m, 2))
+                u_prop = mutate_smcmc(ch_u, um, u01)
+                col_p, tf_p = generate_state_at(scene_, new_pos, u_prop)
+                ua, stream = _uniform(stream, (m,))
+                a = jnp.minimum(1.0, tf_p / jnp.maximum(ch_tf, 1e-30))
+                acc = (ua < a) & (tf_p > 0.0)
+                ch_pos = jnp.where(acc[:, None], new_pos, ch_pos)
+                ch_u = jnp.where(acc[:, None], u_prop, ch_u)
+                ch_tf = jnp.where(acc, tf_p, ch_tf)
+                ch_col = jnp.where(acc[:, None, None], col_p, ch_col)
+                return (t_u, t_tf, t_col, nb_visit + visits,
+                        ch_pos, ch_u, ch_tf, ch_col, stream)
+
+            carry = (u0, tf0, col0, jnp.zeros(n),
+                     ch_pos, ch_u, ch_tf, ch_col, stream)
+            carry = jax.lax.fori_loop(0, self.init_chain_length, body, carry)
+            t_u, t_tf, t_col = carry[0], carry[1], carry[2]
+            return t_u, t_tf, t_col, b_acc, nb_u, acc_mc, carry[-1]
+
         # schedule MCMC/H0/MCMC/V0/MCMC/H1/MCMC/V1 (smcmc.rs:1335-1355) via a
         # lax.switch inside a fori_loop — one compiled body, any spp
         schedule = [None, ("h", 0), None, ("v", 0), None, ("h", 1), None, ("v", 1)]
@@ -190,11 +307,11 @@ class IntegratorSMCMC:
         @jax.jit
         def run(scene_):
             stream0 = stream_fold(base, 31337)
-            u0, stream0 = _uniform(stream0, (n, d))
-            col0, tf0 = generate_state(scene_, u0)
+            u0, tf0, col0, b_acc0, nb_u0, acc_mc0, stream0 = init_states(
+                scene_, stream0)
             carry0 = (u0, tf0, col0, jnp.zeros(n),
-                      jnp.zeros((n, 5, 3)), col0, jnp.zeros(n, jnp.int32),
-                      tf0, jnp.ones(n, jnp.int32))
+                      jnp.zeros((n, 5, 3)), acc_mc0, jnp.zeros(n, jnp.int32),
+                      b_acc0, nb_u0)
 
             branches = []
             for step in schedule:

@@ -44,3 +44,18 @@ class TestSMCMC:
             f = IntegratorSMCMC(inner, recons=rec).render(sc, spp=48, seed=0)
             m = f["primal"].mean()
             assert abs(m - ref) / ref < 0.2, (rec, m, ref)
+
+
+class TestSMCMCInit:
+    """MCMCInit roaming-chain initialization (smcmc.rs:974-1172)."""
+
+    def test_mcmc_init_converges(self):
+        from rustlight_tpu.integrators.mcmc import IntegratorSMCMC
+        sd = cornell_box(20, 20).compile()
+        inner = IntegratorPathTracing(max_depth=3, hard_cap=3)
+        ref = render(sd, inner, spp=64, seed=0)["primal"].mean()
+        g = IntegratorSMCMC(inner, recons="naive", init="mcmc", init_spp=2,
+                            init_chain_length=6, init_spp_mcmc=1)
+        f = g.render(sd, spp=40, seed=2)
+        m = float(np.asarray(f.buffers["primal"]).mean())
+        assert abs(m - ref) / ref < 0.15, (m, ref)
