@@ -1,10 +1,14 @@
 """Headline benchmark: cbox path tracing throughput on the local chip.
 
 Prints ONE JSON line: Mrays/s (primary + bounce + shadow rays / wall-clock)
-for the BASELINE config (cbox, path integrator, 128 spp).
+for the BASELINE config (cbox, path integrator, 128 spp), rendered with the
+persistent-wavefront loop (pixel-pinned lane respawn keeps the wavefront
+full through Russian roulette; see IntegratorPathTracing.compute_block).
 
 vs_baseline is measured against the BASELINE.json target of >= 100 Mrays/s
-aggregate on a v5e-8, i.e. 12.5 Mrays/s per chip.
+aggregate on a v5e-8, i.e. 12.5 Mrays/s per chip. Ray count is the actual
+number of traced rays (trace + NEE shadow per live lane per bounce),
+measured by an instrumented pass — not lanes*bounces.
 """
 import json
 import sys
@@ -31,27 +35,17 @@ def main():
     # ray counting: instrument one pass to count traced rays exactly
     # (primary+bounce rays = one trace per live lane per bounce; shadow rays =
     # one visibility ray per NEE-eligible lane per bounce)
-    chunk = 16
-
     @jax.jit
-    def run_chunk(scene_, pix_, start):
-        def one(s, acc):
-            stream = stream_fold(make_stream(0), start + s)
-            li = integ.compute_pixel(scene_, pix_, stream)
-            return acc + li
-        return jax.lax.fori_loop(0, chunk, one,
-                                 jnp.zeros((pix_.shape[0], 3), jnp.float32))
+    def run_block(scene_, pix_):
+        return integ.compute_block(scene_, pix_,
+                                   stream_fold(make_stream(0), 0), spp)
 
     # warm up / compile. NOTE: on the axon relay block_until_ready does not
     # reliably block; a scalar readback is the only trustworthy sync.
-    float(jnp.sum(run_chunk(scene, pix, jnp.int32(0))))
+    float(jnp.sum(run_block(scene, pix)))
 
     t0 = time.time()
-    acc = jnp.zeros((pix.shape[0], 3), jnp.float32)
-    done = 0
-    while done < spp:
-        acc = acc + run_chunk(scene, pix, jnp.int32(done))
-        done += chunk
+    acc = run_block(scene, pix)
     float(jnp.sum(acc))  # hard sync (includes one ~30 ms readback)
     dt = time.time() - t0
 

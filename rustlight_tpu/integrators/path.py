@@ -59,6 +59,28 @@ class _PathState(NamedTuple):
     prev_nee: Any     # [n] NEE was *possible* at the previous vertex
 
 
+class _PersistentState(NamedTuple):
+    """Pixel-pinned persistent-wavefront state: each lane renders its own
+    pixel's samples back to back, respawning the moment its path dies, so
+    dead lanes never idle through the bounce loop (the classic wavefront/
+    persistent-threads scheduling, impossible to express in the reference's
+    recursive per-path form). `depth` replaces the global iteration counter
+    as a per-lane edge count."""
+    it: Any           # global iteration (safety cap only)
+    stream: Any
+    o: Any
+    d: Any
+    throughput: Any
+    rad_path: Any     # [n, 3] radiance of the path in flight
+    accum: Any        # [n, 3] sum over finished samples of this lane's pixel
+    alive: Any        # [n] path in flight
+    done: Any         # [n] int32 samples completed
+    depth: Any        # [n] int32 edges completed on the current path
+    prev_pdf: Any
+    prev_delta: Any
+    prev_nee: Any
+
+
 class IntegratorPathTracing(Integrator):
     def __init__(self, min_depth: Optional[int] = None,
                  max_depth: Optional[int] = None,
@@ -254,3 +276,201 @@ class IntegratorPathTracing(Integrator):
 
         final = lax.while_loop(cond, body, state)
         return final.radiance
+
+    # ------------------------------------------------- persistent wavefront
+    def compute_block(self, scene, pix, stream, spp: int):
+        """All `spp` samples of every pixel in ONE while_loop with
+        pixel-pinned lane respawn (see _PersistentState): a lane whose path
+        terminates immediately starts its pixel's next sample, so the
+        wavefront stays ~full instead of thinning out with Russian roulette
+        (~2x fewer wasted lane-bounces at cbox depths). Returns the per-pixel
+        SUM over spp samples, [n, 3]."""
+        n = pix.shape[0]
+        pixf = pix.astype(jnp.float32)
+        use_nee = self.strategy in (STRATEGY_ALL, STRATEGY_EMITTER)
+        mis_on = self.strategy == STRATEGY_ALL
+        keep_bsdf_hits = self.strategy in (STRATEGY_ALL, STRATEGY_BSDF)
+        has_med = scene.volume is not None
+        zero3 = jnp.zeros((n, 3), jnp.float32)
+
+        state = _PersistentState(
+            it=jnp.int32(0), stream=stream, o=zero3,
+            d=jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (n, 1)),
+            throughput=zero3, rad_path=zero3, accum=zero3,
+            alive=jnp.zeros(n, bool), done=jnp.zeros(n, jnp.int32),
+            depth=jnp.zeros(n, jnp.int32),
+            prev_pdf=jnp.ones(n, jnp.float32),
+            prev_delta=jnp.ones(n, bool), prev_nee=jnp.zeros(n, bool),
+        )
+        it_cap = spp * self.hard_cap + 4
+
+        def cond(s):
+            return (s.it < it_cap) & jnp.any(s.alive | (s.done < spp))
+
+        def body(s):
+            stream = s.stream
+            # ---- respawn: dead lanes with samples left start a new path
+            u_pix, stream = stream_next2d(stream, (n,))
+            o0, d0 = generate_rays(scene.camera, pixf + u_pix)
+            need = (~s.alive) & (s.done < spp)
+            nm = need[:, None]
+            o = jnp.where(nm, o0, s.o)
+            d = jnp.where(nm, d0, s.d)
+            thr0 = jnp.where(nm, 1.0, s.throughput)
+            rad_path = jnp.where(nm, 0.0, s.rad_path)
+            depth = jnp.where(need, 0, s.depth)
+            prev_pdf = jnp.where(need, 1.0, s.prev_pdf)
+            prev_delta = jnp.where(need, True, s.prev_delta)
+            prev_nee = jnp.where(need, False, s.prev_nee)
+            alive = s.alive | need
+
+            rh = intersect_rays(scene.geom, o, d)
+            hit = fill_hit(scene, o, d, rh)
+
+            if has_med:
+                u_med, stream = stream_next(stream, (n,))
+                tfar = jnp.where(rh.hit, rh.t, 1e8)
+                sd = volume_sample_distance(scene.volume, tfar, u_med)
+                scattered = alive & (~sd.exited)
+                thr = thr0 * sd.w
+                p_scatter = o + d * sd.t[:, None]
+            else:
+                scattered = jnp.zeros(n, bool)
+                thr = thr0
+                p_scatter = o
+
+            lane_hit = alive & hit.valid & (~scattered)
+            min_ok = depth >= self.min_depth
+            le = emitted_radiance(scene.emitters, scene.geom, hit.tri, d,
+                                  uv=hit.uv)
+            if scene.ats is not None:
+                from ..scene.emitters import direct_pdf_tri_ats
+                pdf_light = direct_pdf_tri_ats(scene.emitters, scene.geom,
+                                               scene.ats, hit.tri, o, hit.p,
+                                               hit.n_g, d)
+            else:
+                pdf_light = direct_pdf_tri(scene.emitters, hit.tri, o, hit.p,
+                                           hit.n_g, d)
+            w_hit = jnp.where(
+                prev_delta | (~prev_nee) | (~jnp.asarray(mis_on)),
+                1.0, mis_balance(prev_pdf, pdf_light))
+            senses = jnp.asarray(keep_bsdf_hits) | (depth == 0)
+            add = lane_hit & min_ok & senses
+            rad_path = rad_path + jnp.where(add[:, None],
+                                            thr * le * w_hit[:, None], 0.0)
+
+            esc = alive & (~hit.valid) & (~scattered)
+            if scene.emitters.has_env:
+                le_env = env_radiance(scene.emitters, d)
+                pdf_env = env_direction_pdf(scene.emitters, d)
+                w_env = jnp.where(
+                    prev_delta | (~prev_nee) | (~jnp.asarray(mis_on)),
+                    1.0, mis_balance(prev_pdf, pdf_env))
+                rad_path = rad_path + jnp.where(
+                    (esc & min_ok & senses)[:, None],
+                    thr * le_env * w_env[:, None], 0.0)
+
+            smooth = bsdf_is_smooth(scene.materials, hit.mat)
+            lane_surface = (jnp.zeros(n, bool) if self.single_scattering
+                            else lane_hit)
+            vertex = lane_surface | scattered
+            if self.max_depth is None:
+                can_expand = vertex
+            else:
+                can_expand = vertex & (depth + 1 < self.max_depth)
+            p_v = jnp.where(scattered[:, None], p_scatter, hit.p)
+
+            u_sel, stream = stream_next(stream, (n,))
+            u_pos, stream = stream_next2d(stream, (n,))
+            if use_nee:
+                if scene.ats is not None:
+                    from ..scene.emitters import sample_light_ats
+                    ls = sample_light_ats(scene.emitters, scene.geom,
+                                          scene.ats, p_v, hit.n_s, u_sel,
+                                          u_pos)
+                else:
+                    ls = sample_light(scene.emitters, scene.geom, p_v, u_sel,
+                                      u_pos)
+                wo_l = to_local(hit.frame, ls.d)
+                f_s = bsdf_eval(scene.materials, hit.mat, hit.uv, hit.wi,
+                                wo_l, TRANSPORT_IMPORTANCE)
+                pdf_s = bsdf_pdf(scene.materials, hit.mat, hit.uv, hit.wi,
+                                 wo_l, TRANSPORT_IMPORTANCE)
+                if has_med:
+                    g = scene.volume.phase_g
+                    ph = phase_eval(g, -d, ls.d)
+                    f = jnp.where(scattered[:, None], ph[:, None], f_s)
+                    pdf_other = jnp.where(scattered, ph, pdf_s)
+                    tr_sh = transmittance(scene.volume, ls.dist)
+                else:
+                    f = f_s
+                    pdf_other = pdf_s
+                    tr_sh = 1.0
+                p_shadow = jnp.where(
+                    scattered[:, None], p_v,
+                    offset_ray_origin(hit.p, hit.n_g, ls.d))
+                vis = visible(scene.geom, p_shadow, ls.p)
+                w_nee = jnp.where(
+                    ls.is_delta | (~jnp.asarray(mis_on)),
+                    1.0, mis_balance(ls.pdf, pdf_other))
+                nee_ok = (can_expand & (scattered | (lane_surface & (~smooth)))
+                          & ls.valid & vis & ((depth + 1) >= self.min_depth))
+                rad_path = rad_path + jnp.where(
+                    nee_ok[:, None],
+                    thr * f * tr_sh * ls.weight * w_nee[:, None], 0.0)
+
+            u_bsdf, stream = stream_next2d(stream, (n,))
+            bs = bsdf_sample(scene.materials, hit.mat, hit.uv, hit.wi, u_bsdf,
+                             TRANSPORT_IMPORTANCE)
+            wo_world = to_world(hit.frame, bs.wo)
+            weight = bs.weight
+            pdf_dir = bs.pdf
+            is_delta = bs.is_delta
+            valid_dir = bs.valid
+            if has_med:
+                d_ph, w_ph, pdf_ph = phase_sample(scene.volume.phase_g, -d,
+                                                  u_bsdf)
+                wo_world = jnp.where(scattered[:, None], d_ph, wo_world)
+                weight = jnp.where(scattered[:, None], w_ph, weight)
+                pdf_dir = jnp.where(scattered, pdf_ph, pdf_dir)
+                is_delta = jnp.where(scattered, False, is_delta)
+                valid_dir = jnp.where(scattered, pdf_ph > 0.0, valid_dir)
+            throughput = thr * weight
+
+            u_rr, stream = stream_next(stream, (n,))
+            if self.rr_depth is None:
+                rr_keep = jnp.ones(n, bool)
+                rr_w = jnp.ones(n, jnp.float32)
+            else:
+                do_rr = (depth + 1) >= self.rr_depth
+                rr_p = jnp.minimum(channel_max(throughput), 0.95)
+                rr_keep = jnp.where(do_rr, u_rr < rr_p, True)
+                rr_w = jnp.where(do_rr & rr_keep,
+                                 1.0 / jnp.maximum(rr_p, 1e-8), 1.0)
+            throughput = throughput * rr_w[:, None]
+
+            alive_new = (can_expand & valid_dir & rr_keep
+                         & (channel_max(throughput) > 0.0))
+            o_new = jnp.where(scattered[:, None], p_v,
+                              offset_ray_origin(hit.p, hit.n_g, wo_world))
+            nee_possible = jnp.asarray(use_nee) & (scattered | (~smooth))
+
+            # ---- sample bookkeeping: paths that just ended bank their sum
+            finished = alive & (~alive_new)
+            accum = s.accum + jnp.where(finished[:, None], rad_path, 0.0)
+            done = s.done + finished.astype(jnp.int32)
+
+            return _PersistentState(
+                it=s.it + 1, stream=stream,
+                o=jnp.where(alive_new[:, None], o_new, o),
+                d=jnp.where(alive_new[:, None], wo_world, d),
+                throughput=jnp.where(alive_new[:, None], throughput, thr),
+                rad_path=rad_path, accum=accum,
+                alive=alive_new, done=done, depth=depth + 1,
+                prev_pdf=jnp.where(alive_new, pdf_dir, prev_pdf),
+                prev_delta=jnp.where(alive_new, is_delta, prev_delta),
+                prev_nee=jnp.where(alive_new, nee_possible, prev_nee),
+            )
+
+        final = lax.while_loop(cond, body, state)
+        return final.accum

@@ -148,3 +148,25 @@ class TestPointNormalEmitter:
                           spp=48, seed=1)["primal"]
         m1, m2 = float(np.asarray(f1).mean()), float(np.asarray(f2).mean())
         assert abs(m1 - m2) / m1 < 0.1, (m1, m2)
+
+
+class TestPersistentWavefront:
+    """Pixel-pinned persistent-wavefront loop (compute_block) must agree
+    with the pass-chunked render — same estimator, different scheduling."""
+
+    def test_block_matches_chunked(self):
+        f1 = render(CBOX, IntegratorPathTracing(max_depth=4, hard_cap=4),
+                    spp=24, seed=3, persistent=True)
+        f2 = render(CBOX, IntegratorPathTracing(max_depth=4, hard_cap=4),
+                    spp=24, seed=3, persistent=False)
+        m1, m2 = f1["primal"].mean(), f2["primal"].mean()
+        assert abs(m1 - m2) / m2 < 0.05, (m1, m2)
+
+    def test_block_respawn_completes_all_samples(self):
+        import jax.numpy as jnp
+        from rustlight_tpu.integrators.common import _pixel_grid
+        from rustlight_tpu.utils.rng import make_stream
+        integ = IntegratorPathTracing(max_depth=3, hard_cap=3)
+        pix = jnp.asarray(_pixel_grid(16, 16))
+        acc = integ.compute_block(CBOX, pix, make_stream(0), 8)
+        assert np.all(np.isfinite(np.asarray(acc)))
