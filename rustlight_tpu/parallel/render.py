@@ -64,10 +64,30 @@ def render_step_sharded(scene: SceneData, integrator: Integrator, mesh: Mesh,
     return fn(scene, pix_sharded)
 
 
+def render_block_sharded(scene: SceneData, integrator, mesh: Mesh,
+                         pix_sharded, spp: int, seed: int = 0):
+    """Persistent-wavefront step sharded over the mesh: each device runs the
+    full pixel-pinned respawn loop (compute_block) on its pixel shard — all
+    spp in one launch, zero cross-device traffic until the film concat."""
+    def device_fn(scene_, pix_):
+        dev = jax.lax.axis_index("d")
+        stream = stream_fold(stream_fold(make_stream(seed), dev), 0)
+        acc = integrator.compute_block(scene_, pix_, stream, spp)
+        ok = jnp.all(jnp.isfinite(acc), axis=-1) & jnp.all(acc >= 0.0, axis=-1)
+        return jnp.where(ok[:, None], acc, 0.0)
+
+    fn = shard_map(device_fn, mesh=mesh,
+                   in_specs=(P(), P("d", None)), out_specs=P("d", None),
+                   check_rep=False)
+    return fn(scene, pix_sharded)
+
+
 def render_sharded(scene: SceneData, integrator: Integrator, spp: int,
                    mesh: Optional[Mesh] = None, seed: int = 0,
-                   spp_per_pass: int = 8, verbose: bool = False) -> Film:
-    """Full sharded render: pixels split over the mesh, spp looped on host."""
+                   spp_per_pass: int = 8, verbose: bool = False,
+                   persistent: bool = None) -> Film:
+    """Full sharded render: pixels split over the mesh, spp looped on host
+    (or one persistent-wavefront launch when the integrator supports it)."""
     if mesh is None:
         mesh = make_device_mesh()
     n_dev = mesh.shape["d"]
@@ -79,16 +99,25 @@ def render_sharded(scene: SceneData, integrator: Integrator, spp: int,
         pix = np.concatenate([pix, np.tile(pix[-1:], (pad, 1))], 0)
     pix = jnp.asarray(pix)
 
-    chunk = max(1, min(spp_per_pass, spp))
-    step = jax.jit(lambda sc, px: render_step_sharded(
-        sc, integrator, mesh, px, seed=seed, spp_per_pass=chunk))
-
-    acc = jnp.zeros((pix.shape[0], 3), jnp.float32)
+    if persistent is None:
+        persistent = (hasattr(integrator, "compute_block")
+                      and jax.default_backend() == "tpu")
     t0 = time.time()
-    done = 0
-    while done < spp:
-        acc = acc + step(scene, pix)
-        done += chunk
+    if persistent and hasattr(integrator, "compute_block"):
+        step = jax.jit(lambda sc, px: render_block_sharded(
+            sc, integrator, mesh, px, spp, seed=seed))
+        acc = step(scene, pix)
+        done = spp
+    else:
+        chunk = max(1, min(spp_per_pass, spp))
+        step = jax.jit(lambda sc, px: render_step_sharded(
+            sc, integrator, mesh, px, seed=seed, spp_per_pass=chunk))
+
+        acc = jnp.zeros((pix.shape[0], 3), jnp.float32)
+        done = 0
+        while done < spp:
+            acc = acc + step(scene, pix)
+            done += chunk
     acc.block_until_ready()
     if verbose:
         dt = time.time() - t0

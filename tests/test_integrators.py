@@ -83,6 +83,15 @@ class TestSharded:
         ms, m1 = film_s["primal"].mean(), film_1["primal"].mean()
         assert abs(ms - m1) / m1 < 0.05, (ms, m1)
 
+    def test_sharded_persistent_matches(self):
+        from rustlight_tpu.parallel import make_device_mesh, render_sharded
+        mesh = make_device_mesh(8)
+        f1 = render_sharded(CBOX, IntegratorPathTracing(max_depth=3), spp=24,
+                            mesh=mesh, seed=0, persistent=True)
+        f2 = render(CBOX, IntegratorPathTracing(max_depth=3), spp=24, seed=0)
+        m1, m2 = f1["primal"].mean(), f2["primal"].mean()
+        assert abs(m1 - m2) / m2 < 0.08, (m1, m2)
+
     def test_dryrun_multichip(self):
         import sys
         sys.path.insert(0, "/root/repo")
