@@ -286,7 +286,8 @@ def main(argv=None):
 
     t0 = time.time()
     scene = load_scene_arg(args)
-    sd = scene.compile(use_ats="ats" in args.xtra_options)
+    sd = scene.compile(use_ats="ats" in args.xtra_options,
+                       use_shading_normals="no-shading" not in args.xtra_options)
     log.info("Scene compiled: %d triangles", sd.geom.n_tris)
 
     integrator = build_integrator(args)

@@ -50,6 +50,9 @@ class SceneData:
     volume: Optional[HomogeneousVolume]
     ats: Optional[Any] = None   # AtsTables when built with use_ats
     host: Optional[HostMirror] = struct.field(pytree_node=False, default=None)
+    # -x no-shading: ignore interpolated vertex normals (reference cli.rs
+    # xtra option; scene_loader strips normals in that case)
+    use_shading_normals: bool = struct.field(pytree_node=False, default=True)
 
 
 @dataclass
@@ -74,7 +77,8 @@ class Scene:
         self.meshes.append(mesh)
         return len(self.meshes) - 1
 
-    def compile(self, use_ats: bool = False) -> SceneData:
+    def compile(self, use_ats: bool = False,
+                use_shading_normals: bool = True) -> SceneData:
         if not self.materials:
             self.materials = [MaterialDesc()]
         # emitter ids per mesh (dense numbering over emissive meshes)
@@ -108,7 +112,8 @@ class Scene:
             from .ats import build_ats
             ats = build_ats(geom, emitters)
         host_sd = SceneData(camera=self.camera, geom=geom, materials=materials,
-                            emitters=emitters, volume=self.volume, ats=ats)
+                            emitters=emitters, volume=self.volume, ats=ats,
+                            use_shading_normals=use_shading_normals)
         # single upload; numpy mirror kept for host-side builders (no readbacks)
         import jax
         device_sd = jax.device_put(host_sd)
@@ -131,7 +136,8 @@ class Hit(NamedTuple):
     is_light: Any  # [n] bool
 
 
-def fill_hit(scene: SceneData, o, d, rh, use_shading_normals: bool = True) -> Hit:
+def fill_hit(scene: SceneData, o, d, rh,
+             use_shading_normals: Optional[bool] = None) -> Hit:
     """Build the full intersection record from a RayHit.
 
     Mirrors fill_intersection (src/structure.rs:965-1059): barycentric
@@ -139,6 +145,8 @@ def fill_hit(scene: SceneData, o, d, rh, use_shading_normals: bool = True) -> Hi
     for non-light two-sided materials.
     """
     g = scene.geom
+    if use_shading_normals is None:
+        use_shading_normals = scene.use_shading_normals
     tri = jnp.maximum(rh.tri, 0)
     b0 = 1.0 - rh.u - rh.v
 
