@@ -88,6 +88,18 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["BRE", "Beams", "Planes", "VRL",
                             "bre", "beams", "planes", "vrl"])
 
+    p = sub.add_parser("plane-single")
+    p.add_argument("-n2", "--nb-primitive", type=int, default=128)
+    p.add_argument("-s", "--strategy", default="average",
+                   choices=["uv", "ut", "vt", "average", "discrete_mis",
+                            "ualpha", "cmis"])
+
+    p = sub.add_parser("uncorrelated-plane-single")
+    p.add_argument("-n2", "--nb-primitive", type=int, default=128)
+    p.add_argument("-s", "--strategy", default="average",
+                   choices=["uv", "ut", "vt", "average", "discrete_mis",
+                            "ualpha", "cmis"])
+
     p = sub.add_parser("point-normal")
     p.add_argument("-k", "--splitting", type=float, default=None)
     p.add_argument("-x", "--use-mis", action="store_true")
@@ -220,6 +232,13 @@ def build_integrator(args):
         return I.IntegratorVolPrimitives(
             nb_primitive=args.nb_primitive, max_depth=pl["max_depth"],
             rr_depth=pl["rr_depth"], primitives=args.primitives.lower())
+    if cmd in ("plane-single", "uncorrelated-plane-single"):
+        # strategy names from cli.rs:640-655
+        strat = {"discrete_mis": "dmis", "ualpha": "ualpha"}.get(
+            args.strategy, args.strategy)
+        return I.IntegratorSinglePlane(
+            nb_primitive=args.nb_primitive, strategy=strat,
+            uncorrelated=cmd.startswith("uncorrelated"))
     if cmd == "point-normal":
         # strategy names mirror examples/cli.rs:455-494
         strategies = {
