@@ -125,29 +125,36 @@ def render(scene: SceneData, integrator: Integrator, spp: int, seed: int = 0,
         film.buffers["primal"] = img
         return film
 
-    @jax.jit
-    def run_chunk(scene_, pix_, start_idx):
-        # fori_loop (not scan over an arange) so no literal constant is baked
-        # into the executable — the axon relay re-uploads literals per launch
-        def one(s, acc):
-            stream = stream_fold(make_stream(seed), start_idx + s)
-            if sampler == "stratified":
-                from ..utils.rng import StratifiedStream
-                pid = pix_[:, 1] * w + pix_[:, 0]
-                stream = StratifiedStream(inner=stream, pixel_ids=pid,
-                                          pass_idx=start_idx + s, spp=spp)
-            li = integrator.compute_pixel(scene_, pix_, stream)
-            # guard invalid splats (reference accumulate_safe, mod.rs:160-175)
-            ok = jnp.all(jnp.isfinite(li), axis=-1) & jnp.all(li >= 0.0, axis=-1)
-            return acc + jnp.where(ok[:, None], li, 0.0)
-        return jax.lax.fori_loop(0, chunk, one,
-                                 jnp.zeros((h * w, 3), jnp.float32))
+    # scene + pixel grid closed over (constants; see the persistent path) —
+    # only the RNG base and start index are arguments, so one executable
+    # serves every pass/seed
+    ck = (id(scene), id(integrator), chunk, sampler, spp, w, h, "chunk")
+    run_chunk = _BLOCK_CACHE.get(ck)
+    if run_chunk is None:
+        @jax.jit
+        def run_chunk(base, start_idx):
+            def one(s, acc):
+                stream = stream_fold(base, start_idx + s)
+                if sampler == "stratified":
+                    from ..utils.rng import StratifiedStream
+                    pid = pix[:, 1] * w + pix[:, 0]
+                    stream = StratifiedStream(inner=stream, pixel_ids=pid,
+                                              pass_idx=start_idx + s, spp=spp)
+                li = integrator.compute_pixel(scene, pix, stream)
+                # guard invalid splats (accumulate_safe, mod.rs:160-175)
+                ok = jnp.all(jnp.isfinite(li), axis=-1) \
+                    & jnp.all(li >= 0.0, axis=-1)
+                return acc + jnp.where(ok[:, None], li, 0.0)
+            return jax.lax.fori_loop(0, chunk, one,
+                                     jnp.zeros((h * w, 3), jnp.float32))
+        _BLOCK_CACHE[ck] = run_chunk
 
+    base_stream = make_stream(seed)
     acc = jnp.zeros((h * w, 3), jnp.float32)
     t0 = time.time()
     done = 0
     while done < spp:
-        acc = acc + run_chunk(scene, pix, jnp.int32(done))
+        acc = acc + run_chunk(base_stream, jnp.int32(done))
         done += chunk
     spp_actual = done
     # materialize before reading the clock: on the axon relay
@@ -175,21 +182,27 @@ def render_splat(scene: SceneData, integrator: SplattingIntegrator, spp: int,
     total = spp * w * h
     n = paths_per_pass or min(total, w * h)
 
-    @jax.jit
-    def one_pass(scene_, pass_idx):
-        stream = stream_fold(make_stream(seed), pass_idx)
-        pids, vals = integrator.trace_paths(scene_, n, stream)
-        ok = jnp.all(jnp.isfinite(vals), axis=-1) & jnp.all(vals >= 0.0, axis=-1)
-        vals = jnp.where(ok[:, None], vals, 0.0)
-        film = jnp.zeros((h * w, 3), jnp.float32)
-        return film.at[pids].add(vals, mode="drop")
+    ck = (id(scene), id(integrator), n, w, h, "splat")
+    one_pass = _BLOCK_CACHE.get(ck)
+    if one_pass is None:
+        @jax.jit
+        def one_pass(base, pass_idx):
+            stream = stream_fold(base, pass_idx)
+            pids, vals = integrator.trace_paths(scene, n, stream)
+            ok = jnp.all(jnp.isfinite(vals), axis=-1) & jnp.all(vals >= 0.0,
+                                                                axis=-1)
+            vals = jnp.where(ok[:, None], vals, 0.0)
+            film = jnp.zeros((h * w, 3), jnp.float32)
+            return film.at[pids].add(vals, mode="drop")
+        _BLOCK_CACHE[ck] = one_pass
 
+    base_stream = make_stream(seed)
     acc = jnp.zeros((h * w, 3), jnp.float32)
     t0 = time.time()
     done = 0
     p = 0
     while done < total:
-        acc = acc + one_pass(scene, jnp.int32(p))
+        acc = acc + one_pass(base_stream, jnp.int32(p))
         done += n
         p += 1
     img = np.asarray(acc.reshape(h, w, 3)) * (w * h / done)

@@ -433,11 +433,12 @@ class IntegratorGradientPathReconnect:
         else:
             has_delta = True
 
+        # scene closed over: compile-time constants (2.25x on v5e)
         @jax.jit
-        def one_pass(scene_, s):
+        def one_pass(s):
             stream = stream_fold(base, s)
             l_main, l_off, l_grad, vdir = self.compute_pixel_gradient(
-                scene_, pix, stream, has_delta)
+                scene, pix, stream, has_delta)
             primal = jnp.zeros((n, 3), jnp.float32)
             gxb = jnp.zeros((n, 3), jnp.float32)
             gyb = jnp.zeros((n, 3), jnp.float32)

@@ -61,12 +61,12 @@ class IntegratorERPT:
 
         # normalization constant b (average_lum, mcmc/mod.rs:105-118)
         @jax.jit
-        def norm_batch(scene_, i):
+        def norm_batch(i):
             u, _ = _uniform(stream_fold(base, 900 + i), (n, d))
-            _, _, tf = self._sample_fn(scene_, u)
+            _, _, tf = self._sample_fn(scene, u)
             return jnp.mean(tf)
         n_b = max(1, self.nb_samples_norm // n)
-        b = float(np.mean([float(norm_batch(scene, jnp.int32(i)))
+        b = float(np.mean([float(norm_batch(jnp.int32(i)))
                            for i in range(n_b)]))
         if b <= 0:
             raise RuntimeError("ERPT normalization is zero")
@@ -76,7 +76,7 @@ class IntegratorERPT:
         py = (jax.lax.broadcasted_iota(jnp.int32, (n,), 0) // w).astype(jnp.float32)
 
         @jax.jit
-        def mc_round(scene_, round_idx):
+        def mc_round(round_idx):
             stream = stream_fold(base, round_idx)
             u, stream = _uniform(stream, (n, d))
             if self.stratified:
@@ -85,7 +85,7 @@ class IntegratorERPT:
                 # reference applies before spawning chains (erpt.rs:209-226)
                 u = u.at[:, 0].set((u[:, 0] + px) / w)
                 u = u.at[:, 1].set((u[:, 1] + py) / h)
-            pid0, col0, tf0 = self._sample_fn(scene_, u)
+            pid0, col0, tf0 = self._sample_fn(scene, u)
 
             mean_chains = (tf0 / b) * (chains_per_pixel / self.nb_mc)
             u_spawn, stream = _uniform(stream, (n,))
@@ -99,7 +99,7 @@ class IntegratorERPT:
                 um, stream = _uniform(stream, (n, d))
                 ua, stream = _uniform(stream, (n,))
                 u_prop = kelemen_mutate(uv, um)           # small steps only
-                pid_p, col_p, tf_p = self._sample_fn(scene_, u_prop)
+                pid_p, col_p, tf_p = self._sample_fn(scene, u_prop)
                 a = jnp.minimum(1.0, tf_p / jnp.maximum(tf, 1e-30))
                 a = jnp.where(tf_p > 0.0, a, 0.0)
                 w_cur = wgt + (1.0 - a)
@@ -130,7 +130,7 @@ class IntegratorERPT:
 
         acc = jnp.zeros((n, 3), jnp.float32)
         for r in range(self.nb_mc):
-            acc = acc + mc_round(scene, jnp.int32(r))
+            acc = acc + mc_round(jnp.int32(r))
         acc.block_until_ready()
 
         film = Film(w, h)

@@ -77,14 +77,14 @@ class IntegratorPSSMLT:
         n_batches = max(1, (self.nb_samples_norm + c - 1) // c)
 
         @jax.jit
-        def norm_batch(scene_, i):
+        def norm_batch(i):
             u, _ = _uniform(stream_fold(base, 1000 + i), (c, d))
-            _, _, tf = self._sample_fn(scene_, u)
+            _, _, tf = self._sample_fn(scene, u)
             return u, tf
 
         seeds_u, seeds_tf = [], []
         for i in range(n_batches):
-            u, tf = norm_batch(scene, jnp.int32(i))
+            u, tf = norm_batch(jnp.int32(i))
             seeds_u.append(u)
             seeds_tf.append(tf)
         seeds_u = jnp.concatenate(seeds_u, 0)
@@ -104,7 +104,7 @@ class IntegratorPSSMLT:
 
         # ---------------- chain evolution
         @jax.jit
-        def run(scene_, u0, tf0, pid0, col0):
+        def run(u0, tf0, pid0, col0):
             def step(s, carry):
                 u, tf, pid, col, wgt, film, stream = carry
                 ul, stream = _uniform(stream, (c,))
@@ -114,7 +114,7 @@ class IntegratorPSSMLT:
 
                 large = ul < self.large_prob
                 u_prop = jnp.where(large[:, None], uf, kelemen_mutate(u, um))
-                pid_p, col_p, tf_p = self._sample_fn(scene_, u_prop)
+                pid_p, col_p, tf_p = self._sample_fn(scene, u_prop)
 
                 a = jnp.minimum(1.0, tf_p / jnp.maximum(tf, 1e-30))
                 a = jnp.where(tf_p > 0.0, a, 0.0)
@@ -150,7 +150,7 @@ class IntegratorPSSMLT:
             return film
 
         t0 = time.time()
-        film_dev = run(scene, u0, tf0, pid0, col0)
+        film_dev = run(u0, tf0, pid0, col0)
         film_dev.block_until_ready()
         if verbose:
             print(f"pssmlt: {c} chains x {steps} steps in {time.time()-t0:.2f}s")

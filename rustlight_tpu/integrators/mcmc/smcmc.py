@@ -84,11 +84,11 @@ class IntegratorSMCMC:
         # tile's PSS vector (sequence replay == array reuse)
         cross_all = jnp.concatenate(cross_pix, axis=0)    # [5n, 2]
 
-        def generate_state(scene_, u):
+        def generate_state(scene, u):
             """Evaluate the PSS vector at every cross pixel (same sequence)."""
             u5 = jnp.tile(u, (5, 1))
             stream = ArrayStream(values=u5, counter=jnp.int32(0))
-            li = self.integrator.compute_pixel(scene_, cross_all, stream)
+            li = self.integrator.compute_pixel(scene, cross_all, stream)
             li = jnp.where(jnp.all(jnp.isfinite(li), -1, keepdims=True), li, 0.0)
             col = li.reshape(5, n, 3).swapaxes(0, 1)      # [n, 5, 3]
             col = jnp.where(cross_valid[..., None], col, 0.0)
@@ -100,7 +100,7 @@ class IntegratorSMCMC:
             v = kelemen_mutate(u, r)
             return v.at[:, 0:2].set(fresh01)
 
-        def mcmc_step(scene_, carry, stream, exchange_axis=None, offset=0):
+        def mcmc_step(scene, carry, stream, exchange_axis=None, offset=0):
             """One schedule step. exchange_axis None -> independent MCMC;
             'h'/'v' -> replica exchange along x/y with pair offset."""
             (u, tf, col, wgt, acc_v, acc_mc, nb_s, b_acc, nb_u) = carry
@@ -115,7 +115,7 @@ class IntegratorSMCMC:
                 large = (ul < self.large_prob) | uninit
                 u_prop = jnp.where(large[:, None], uf,
                                    mutate_smcmc(u, um, u01))
-                col_p, tf_p = generate_state(scene_, u_prop)
+                col_p, tf_p = generate_state(scene, u_prop)
 
                 # normalization accumulators on large steps (splat_state_uni).
                 # NOTE: the reference weights value_mc by weight/tf which is
@@ -158,7 +158,7 @@ class IntegratorSMCMC:
                     partner = jnp.clip(partner_y, 0, h - 1) * w + px
 
                 u_sw = jnp.where(pvalid[:, None], u[partner], u)
-                col_p, tf_p = generate_state(scene_, u_sw)
+                col_p, tf_p = generate_state(scene, u_sw)
                 ua, stream = _uniform(stream, (n,))
                 # joint acceptance shared within the pair: use the uniform of
                 # the lower-index lane
@@ -195,7 +195,7 @@ class IntegratorSMCMC:
 
             return (u, tf, col, wgt, acc_v, acc_mc, nb_s, b_acc, nb_u), stream
 
-        def generate_state_at(scene_, pos, u):
+        def generate_state_at(scene, pos, u):
             """generate_state for chains at arbitrary tile positions
             (the roaming chains of MCMCInit)."""
             m = pos.shape[0]
@@ -209,25 +209,25 @@ class IntegratorSMCMC:
             cv = jnp.stack(cvs, 1)
             u5 = jnp.tile(u, (5, 1))
             stream = ArrayStream(values=u5, counter=jnp.int32(0))
-            li = self.integrator.compute_pixel(scene_,
+            li = self.integrator.compute_pixel(scene,
                                                jnp.concatenate(cps, 0), stream)
             li = jnp.where(jnp.all(jnp.isfinite(li), -1, keepdims=True), li, 0.0)
             col = li.reshape(5, m, 3).swapaxes(0, 1)
             col = jnp.where(cv[..., None], col, 0.0)
             return col, jnp.sum(jnp.max(col, axis=-1), axis=1)
 
-        def init_states(scene_, stream):
+        def init_states(scene, stream):
             """Per-tile starting states + normalization accumulators.
             independent: IndependentInit (smcmc.rs:916-972); mcmc: MCMCInit
             roaming-chain reservoir deposit (smcmc.rs:974-1172)."""
             u0, stream = _uniform(stream, (n, d))
-            col0, tf0 = generate_state(scene_, u0)
+            col0, tf0 = generate_state(scene, u0)
             b_acc, nb_u, acc_mc = tf0, jnp.ones(n, jnp.int32), col0
 
             if self.init == "independent":
                 for _ in range(max(self.init_spp - 1, 0)):
                     uk, stream = _uniform(stream, (n, d))
-                    colk, tfk = generate_state(scene_, uk)
+                    colk, tfk = generate_state(scene, uk)
                     b_acc = b_acc + tfk
                     nb_u = nb_u + 1
                     acc_mc = acc_mc + colk
@@ -248,7 +248,7 @@ class IntegratorSMCMC:
             # but m*d elements once per render is acceptable)
             ch_u = jnp.take(u0, idx, axis=0)
             ch_pos = jnp.stack([jnp.remainder(idx, w), idx // w], -1)
-            ch_col, ch_tf = generate_state_at(scene_, ch_pos, ch_u)
+            ch_col, ch_tf = generate_state_at(scene, ch_pos, ch_u)
 
             def body(_, carry):
                 (t_u, t_tf, t_col, nb_visit,
@@ -283,7 +283,7 @@ class IntegratorSMCMC:
                 um, stream = _uniform(stream, (m, d))
                 u01, stream = _uniform(stream, (m, 2))
                 u_prop = mutate_smcmc(ch_u, um, u01)
-                col_p, tf_p = generate_state_at(scene_, new_pos, u_prop)
+                col_p, tf_p = generate_state_at(scene, new_pos, u_prop)
                 ua, stream = _uniform(stream, (m,))
                 a = jnp.minimum(1.0, tf_p / jnp.maximum(ch_tf, 1e-30))
                 acc = (ua < a) & (tf_p > 0.0)
@@ -305,10 +305,9 @@ class IntegratorSMCMC:
         schedule = [None, ("h", 0), None, ("v", 0), None, ("h", 1), None, ("v", 1)]
 
         @jax.jit
-        def run(scene_):
-            stream0 = stream_fold(base, 31337)
+        def run(base_fold):
             u0, tf0, col0, b_acc0, nb_u0, acc_mc0, stream0 = init_states(
-                scene_, stream0)
+                scene, base_fold)
             carry0 = (u0, tf0, col0, jnp.zeros(n),
                       jnp.zeros((n, 5, 3)), acc_mc0, jnp.zeros(n, jnp.int32),
                       b_acc0, nb_u0)
@@ -316,12 +315,12 @@ class IntegratorSMCMC:
             branches = []
             for step in schedule:
                 if step is None:
-                    branches.append(lambda c, st: mcmc_step(scene_, c, st))
+                    branches.append(lambda c, st: mcmc_step(scene, c, st))
                 else:
                     ax, off = step
                     branches.append(
                         lambda c, st, ax=ax, off=off: mcmc_step(
-                            scene_, c, st, exchange_axis=ax, offset=off))
+                            scene, c, st, exchange_axis=ax, offset=off))
 
             def body(s, state):
                 carry, stream = state
@@ -333,7 +332,7 @@ class IntegratorSMCMC:
 
         import time
         t0 = time.time()
-        (u, tf, col, wgt, acc_v, acc_mc, nb_s, b_acc, nb_u) = run(scene)
+        (u, tf, col, wgt, acc_v, acc_mc, nb_s, b_acc, nb_u) = run(stream_fold(base, 31337))
         # flush final states
         good = tf > 0.0
         acc_v = acc_v + jnp.where(
