@@ -103,6 +103,7 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("point-normal")
     p.add_argument("-k", "--splitting", type=float, default=None)
     p.add_argument("-x", "--use-mis", action="store_true")
+    p.add_argument("-z", "--disable-aa", action="store_true")
     p.add_argument("-s", "--strategy", default="tr_ex")
     p.add_argument("-w", "--warps", default="T",
                    help="warp chain chars from {T,P,N} (cli.rs -w)")
@@ -261,7 +262,7 @@ def build_integrator(args):
         }.get(args.strategy, ("tr", "equiangular"))
         return I.IntegratorPointNormal(
             strategies=strategies, splitting=args.splitting,
-            warps=args.warps,
+            warps=args.warps, use_aa=not args.disable_aa,
             warps_strategy="bezier" if args.warps_strategy == "B" else "linear")
     if cmd == "gradient-path":
         # reconnection shift (src/integrators/gradient/path.rs)

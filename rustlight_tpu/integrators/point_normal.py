@@ -195,13 +195,15 @@ def _equiangular_pdf(dist, delta, d_l, theta_a, theta_b, clamped):
 class IntegratorPointNormal(Integrator):
     def __init__(self, strategies: Sequence[str] = (STRATEGY_EQUIANGULAR,),
                  splitting: Optional[float] = None,
-                 warps: str = "T", warps_strategy: str = "linear"):
+                 warps: str = "T", warps_strategy: str = "linear",
+                 use_aa: bool = True):
         for s in strategies:
             assert s in _ALL_STRATEGIES, s
         self.strategies = tuple(strategies)
         self.splitting = splitting
         self.warps = warps          # chars from {T, P, N} (point_normal.rs -w)
         self.warps_strategy = warps_strategy  # linear | bezier
+        self.use_aa = use_aa        # -z disable_aa: pixel centers, no jitter
 
     # -------------------------- warp chains (MultipleWrap, rs:327-385)
     def _warp_params(self, scene, o, d, ls0, eq):
@@ -418,6 +420,8 @@ class IntegratorPointNormal(Integrator):
         n = pix.shape[0]
         K = 8
         u_pix, stream = stream_next2d(stream, (n,))
+        if not self.use_aa:
+            u_pix = jnp.full_like(u_pix, 0.5)   # cli.rs:2592-2596
         o, d = generate_rays(scene.camera, pix.astype(jnp.float32) + u_pix)
         rh = intersect_rays(geom, o, d)
         tmax = jnp.where(rh.hit, rh.t, 1e7)
@@ -471,6 +475,8 @@ class IntegratorPointNormal(Integrator):
         vol = scene.volume
         n = pix.shape[0]
         u_pix, stream = stream_next2d(stream, (n,))
+        if not self.use_aa:
+            u_pix = jnp.full_like(u_pix, 0.5)   # cli.rs:2592-2596
         o, d = generate_rays(scene.camera, pix.astype(jnp.float32) + u_pix)
         rh = intersect_rays(scene.geom, o, d)
         tmax = jnp.where(rh.hit, rh.t, 1e7)

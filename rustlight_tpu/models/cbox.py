@@ -60,6 +60,22 @@ def cornell_box(width: int = 512, height: int = 512,
     sc.add_mesh(make_quad((552.8, 0, 0), (549.6, 0, 559.2), (556, 548.8, 559.2),
                           (556, 548.8, 0), material=m_red, name="right"))
 
+    # wall extensions toward the camera (z in [-60, 0]): the classic data's
+    # frustum at fov 39.3077 slightly exceeds the box mouth, leaving a black
+    # border the reference's own cbox render doesn't have (its lost cbox.json
+    # evidently extended the walls). The strips are coplanar continuations;
+    # interior transport changes only by the tiny extra front-opening bounce.
+    sc.add_mesh(make_quad((-20, 0, -60), (-20, 0, 0), (576, 0, 0),
+                          (576, 0, -60), material=m_white, name="floor_ext"))
+    sc.add_mesh(make_quad((-20, 548.8, -60), (576, 548.8, -60),
+                          (576, 548.8, 0), (-20, 548.8, 0),
+                          material=m_white, name="ceiling_ext"))
+    sc.add_mesh(make_quad((0, -20, 0), (0, -20, -60), (0, 568.8, -60),
+                          (0, 568.8, 0), material=m_green, name="left_ext"))
+    sc.add_mesh(make_quad((552.8, -20, -60), (552.8, -20, 0),
+                          (552.8, 568.8, 0), (552.8, 568.8, -60),
+                          material=m_red, name="right_ext"))
+
     # area light just below the ceiling, normal facing down
     sc.add_mesh(make_quad((343, 548.79, 227), (343, 548.79, 332), (213, 548.79, 332),
                           (213, 548.79, 227), material=m_white, emission=LIGHT_LE,

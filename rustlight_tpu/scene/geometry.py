@@ -17,12 +17,13 @@ import numpy as np
 from flax import struct
 
 # Triangle-count padding quantum. Counterintuitively, SMALLER is much faster
-# on v5e for small scenes: padding cbox's 32 triangles to 128 made every
-# dense trace process 4x the columns, and the measured cost was 26x (XLA's
-# fused matmul+resolve tiles far better at 96 than 384 minor columns) —
-# 2.72 ms -> 0.106 ms per 262k-ray trace, 4.4 s -> 0.9 s for the 128 spp
-# cbox benchmark. Renders are bitwise identical across pad sizes.
-TRI_PAD = 32
+# on v5e for small scenes: padding cbox's ~40 triangles to 128 made every
+# dense trace process 3x the columns, and the measured cost was ~25x (XLA's
+# fused matmul+resolve tiles far better at ~120 than 384 minor columns) —
+# 2.72 ms -> 0.11 ms per 262k-ray trace. Renders are bitwise identical
+# across pad sizes; trace cost tracks the padded count nearly linearly, so
+# pad to the finest quantum that keeps the one-hot gathers sublane-aligned.
+TRI_PAD = 8
 
 
 @dataclass
