@@ -1,11 +1,15 @@
 """Wavefront OBJ (+MTL) loader.
 
-Reference: src/geometry.rs:13-97 (tobj-based load with diffuse material and
-texture import). Pure-Python parser producing TriMesh objects per material
-group; polygon faces triangulate as fans.
+Reference: src/geometry.rs:13-97 — the reference loads OBJ through the
+*native* tobj crate; the hot path here is likewise native: a C++ parser
+(native/obj_loader.cpp, compiled on demand, ctypes) feeds numpy-vectorized
+corner dedup. A pure-Python line parser covers environments without g++.
+Polygon faces triangulate as fans; per-material TriMesh groups.
 """
 from __future__ import annotations
 
+import ctypes
+import subprocess
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
 
@@ -13,6 +17,71 @@ import numpy as np
 
 from ...bsdfs import diffuse, MaterialDesc, TEX_BITMAP
 from ..geometry import TriMesh
+
+_NATIVE_DIR = Path(__file__).parent / "native"
+_LIB = None
+_LIB_FAILED = False
+
+
+def _load_native():
+    global _LIB, _LIB_FAILED
+    if _LIB is not None or _LIB_FAILED:
+        return _LIB
+    so = _NATIVE_DIR / "libobj.so"
+    src = _NATIVE_DIR / "obj_loader.cpp"
+    try:
+        if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
+            subprocess.run(
+                ["g++", "-O2", "-shared", "-fPIC", "-o", str(so), str(src)],
+                check=True, capture_output=True)
+        lib = ctypes.CDLL(str(so))
+        lib.rl_obj_parse.restype = ctypes.c_void_p
+        lib.rl_obj_parse.argtypes = [ctypes.c_char_p]
+        lib.rl_obj_counts.argtypes = [ctypes.c_void_p,
+                                      ctypes.POINTER(ctypes.c_longlong)]
+        lib.rl_obj_fill.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_char_p, ctypes.c_char_p]
+        lib.rl_obj_free.argtypes = [ctypes.c_void_p]
+        _LIB = lib
+    except Exception:
+        _LIB_FAILED = True
+    return _LIB
+
+
+def _parse_obj_native(path: Path):
+    """C++ parse -> flat numpy arrays, or None if the library is missing."""
+    lib = _load_native()
+    if lib is None:
+        return None
+    h = lib.rl_obj_parse(str(path).encode())
+    if not h:
+        return None
+    try:
+        c = (ctypes.c_longlong * 6)()
+        lib.rl_obj_counts(h, c)
+        nv, nn, nt, nf, ml, bl = (int(x) for x in c)
+        pos = np.empty((nv, 3), np.float32)
+        nrm = np.empty((nn, 3), np.float32)
+        uv = np.empty((nt, 2), np.float32)
+        fv = np.empty((nf, 3), np.int32)
+        fvt = np.empty((nf, 3), np.int32)
+        fvn = np.empty((nf, 3), np.int32)
+        fmat = np.empty(nf, np.int32)
+        mats = ctypes.create_string_buffer(ml + 1)
+        mtllib = ctypes.create_string_buffer(bl + 1)
+        fp = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        ip = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        lib.rl_obj_fill(h, fp(pos), fp(nrm), fp(uv), ip(fv), ip(fvt),
+                        ip(fvn), ip(fmat), mats, mtllib)
+        names = mats.raw[:ml].decode(errors="ignore").split("\n") if ml else []
+        return (pos, nrm, uv, fv, fvt, fvn, fmat, names,
+                mtllib.raw[:bl].decode(errors="ignore"))
+    finally:
+        lib.rl_obj_free(h)
 
 
 def _parse_mtl(path: Path) -> Dict[str, dict]:
@@ -41,21 +110,14 @@ def _parse_mtl(path: Path) -> Dict[str, dict]:
     return mats
 
 
-def load_obj(path, default_material: int = 0):
-    """Parse an OBJ file.
-
-    Returns (meshes, materials, textures): per-material TriMesh groups, the
-    corresponding MaterialDesc list (indices are *local*; the caller offsets
-    them), and a list of texture file paths (may be empty).
-    """
-    path = Path(path)
-    vs: List[Tuple[float, float, float]] = []
-    vns: List[Tuple[float, float, float]] = []
-    vts: List[Tuple[float, float]] = []
-    mtl: Dict[str, dict] = {}
-
-    groups: Dict[str, list] = {}
-    cur_mat = ""
+def _parse_obj_py(path: Path):
+    """Pure-Python fallback parser producing the same flat arrays."""
+    vs, vns, vts = [], [], []
+    fv, fvt, fvn, fmat = [], [], [], []
+    names: List[str] = []
+    mat_ids: Dict[str, int] = {}
+    cur_mat = -1
+    mtllib = ""
 
     for line in path.read_text(errors="ignore").splitlines():
         tok = line.split()
@@ -69,9 +131,13 @@ def load_obj(path, default_material: int = 0):
         elif t == "vt":
             vts.append(tuple(float(x) for x in tok[1:3]))
         elif t == "mtllib":
-            mtl.update(_parse_mtl(path.parent / tok[1]))
+            mtllib = tok[1]
         elif t == "usemtl":
-            cur_mat = tok[1]
+            nm = tok[1]
+            if nm not in mat_ids:
+                mat_ids[nm] = len(names)
+                names.append(nm)
+            cur_mat = mat_ids[nm]
         elif t == "f":
             corners = []
             for c in tok[1:]:
@@ -86,12 +152,40 @@ def load_obj(path, default_material: int = 0):
                     ni = int(parts[2])
                     ni = ni - 1 if ni > 0 else len(vns) + ni
                 corners.append((vi, ti, ni))
-            g = groups.setdefault(cur_mat, [])
             for i in range(1, len(corners) - 1):  # fan triangulation
-                g.append((corners[0], corners[i], corners[i + 1]))
+                for k in (0, i, i + 1):
+                    fv.append(corners[k][0])
+                    fvt.append(corners[k][1])
+                    fvn.append(corners[k][2])
+                fmat.append(cur_mat)
+
+    return (np.asarray(vs, np.float32).reshape(-1, 3),
+            np.asarray(vns, np.float32).reshape(-1, 3),
+            np.asarray(vts, np.float32).reshape(-1, 2),
+            np.asarray(fv, np.int32).reshape(-1, 3),
+            np.asarray(fvt, np.int32).reshape(-1, 3),
+            np.asarray(fvn, np.int32).reshape(-1, 3),
+            np.asarray(fmat, np.int32),
+            names, mtllib)
+
+
+def load_obj(path, default_material: int = 0):
+    """Parse an OBJ file (native C++ parser when available).
+
+    Returns (meshes, materials, textures): per-material TriMesh groups, the
+    corresponding MaterialDesc list (indices are *local*; the caller offsets
+    them), and a list of texture file paths (may be empty).
+    """
+    path = Path(path)
+    flat = _parse_obj_native(path)
+    if flat is None:
+        flat = _parse_obj_py(path)
+    pos, nrm, uv, fv, fvt, fvn, fmat, names, mtllib = flat
+    mtl = _parse_mtl(path.parent / mtllib) if mtllib else {}
 
     meshes, materials, textures = [], [], []
-    for mat_name, faces in groups.items():
+    for gid in np.unique(fmat):
+        mat_name = names[gid] if gid >= 0 else ""
         md = mtl.get(mat_name, {})
         kd = md.get("kd", (0.8, 0.8, 0.8))
         desc = diffuse(kd)
@@ -103,32 +197,23 @@ def load_obj(path, default_material: int = 0):
         materials.append(desc)
         emission = np.asarray(md.get("ke", (0, 0, 0)), np.float32)
 
-        # build indexed arrays with deduped (v, t, n) corners
-        remap: Dict[Tuple[int, int, int], int] = {}
-        verts, uvs, norms, idx = [], [], [], []
-        has_uv = has_n = False
-        for tri in faces:
-            ids = []
-            for corner in tri:
-                if corner not in remap:
-                    remap[corner] = len(verts)
-                    vi, ti, ni = corner
-                    verts.append(vs[vi])
-                    uvs.append(vts[ti] if ti >= 0 else (0.0, 0.0))
-                    norms.append(vns[ni] if ni >= 0 else (0.0, 0.0, 0.0))
-                    if ti >= 0:
-                        has_uv = True
-                    if ni >= 0:
-                        has_n = True
-                ids.append(remap[corner])
-            idx.append(ids)
+        # numpy-vectorized (v, t, n) corner dedup
+        sel = fmat == gid
+        corners = np.stack([fv[sel], fvt[sel], fvn[sel]], -1).reshape(-1, 3)
+        uniq, inv = np.unique(corners, axis=0, return_inverse=True)
+        idx = inv.reshape(-1, 3).astype(np.int32)
+        verts = pos[uniq[:, 0]]
+        has_uv = bool((uniq[:, 1] >= 0).any()) and uv.shape[0] > 0
+        has_n = bool((uniq[:, 2] >= 0).any()) and nrm.shape[0] > 0
+        uvs = np.where((uniq[:, 1] >= 0)[:, None],
+                       uv[np.clip(uniq[:, 1], 0, max(uv.shape[0] - 1, 0))],
+                       0.0).astype(np.float32) if has_uv else None
+        norms = np.where((uniq[:, 2] >= 0)[:, None],
+                         nrm[np.clip(uniq[:, 2], 0, max(nrm.shape[0] - 1, 0))],
+                         0.0).astype(np.float32) if has_n else None
         meshes.append(TriMesh(
-            vertices=np.asarray(verts, np.float32),
-            indices=np.asarray(idx, np.int32),
-            normals=np.asarray(norms, np.float32) if has_n else None,
-            uvs=np.asarray(uvs, np.float32) if has_uv else None,
-            material=len(materials) - 1,
-            emission=emission,
+            vertices=verts, indices=idx, normals=norms, uvs=uvs,
+            material=len(materials) - 1, emission=emission,
             name=f"{path.stem}:{mat_name}",
         ))
     return meshes, materials, textures

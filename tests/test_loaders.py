@@ -194,3 +194,42 @@ WorldEnd
         sc = load_scene(str(tmp_path / "s.xml"))
         assert sc.textures is not None
         assert any(m.tex_kind == TEX_BITMAP for m in sc.materials)
+
+
+class TestNativeObjParser:
+    """C++ OBJ parser (native/obj_loader.cpp) must match the Python parser
+    bit for bit (it is ~8x faster on multi-MB meshes; tobj analogue)."""
+
+    def test_native_matches_python(self, tmp_path):
+        import rustlight_tpu.scene.loaders.obj as O
+        rng = np.random.RandomState(0)
+        verts = rng.uniform(-1, 1, (300, 3))
+        lines = ["mtllib m.mtl"]
+        for v in verts:
+            lines.append(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}")
+        for v in verts[:150]:
+            lines.append(f"vn {v[0]:.4f} {v[1]:.4f} {v[2]:.4f}")
+        for v in verts[:100]:
+            lines.append(f"vt {abs(v[0]):.4f} {abs(v[1]):.4f}")
+        lines.append("usemtl red")
+        for i in range(0, 290, 4):   # quads with v/t/n
+            lines.append(f"f {i+1}/{i%100+1}/{i%150+1} {i+2}/{i%100+2}/{i%150+2} "
+                         f"{i+3}/{i%100+3}/{i%150+3} {i+4}/{i%100+4}/{i%150+4}")
+        lines.append("usemtl blue")
+        for i in range(1, 60, 3):    # negative position-only indices
+            lines.append(f"f {-i} {-(i+1)} {-(i+2)}")
+        (tmp_path / "t.obj").write_text("\n".join(lines))
+        (tmp_path / "m.mtl").write_text(
+            "newmtl red\nKd 0.8 0.1 0.1\nnewmtl blue\nKd 0.1 0.1 0.8\n")
+
+        flat_n = O._parse_obj_native(tmp_path / "t.obj")
+        flat_p = O._parse_obj_py(tmp_path / "t.obj")
+        if flat_n is None:
+            pytest.skip("no native toolchain")
+        for a, b in zip(flat_n, flat_p):
+            if isinstance(a, np.ndarray):
+                np.testing.assert_array_equal(a, b)
+            else:
+                assert a == b
+        meshes, mats, _ = O.load_obj(str(tmp_path / "t.obj"))
+        assert len(meshes) == 2 and len(mats) == 2
