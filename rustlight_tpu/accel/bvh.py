@@ -167,7 +167,15 @@ def build_bvh(geom, max_leaf: int = 8) -> BvhTables:
 
 
 def intersect_bvh(bvh: BvhTables, o, d, tnear=None, tfar=None) -> RayHit:
-    """Closest-hit traversal for a ray wavefront (vmapped stackless walk)."""
+    """Closest-hit traversal for a ray wavefront (vmapped stackless walk).
+
+    Backend note: this path targets CPU (tests, host-side tooling) and small
+    wavefronts. The axon/v5e XLA backend lowers per-lane dynamic table access
+    inside vmapped while_loops by broadcasting the operand per lane (an
+    [N, T*12] buffer — tens of GB at scene scale), so large-wavefront TPU
+    traversal is not viable on this hardware generation; the dense MXU
+    intersector (accel/dense.py) is the production TPU path, with cost linear
+    in the padded triangle count (~0.03 ms per 262k rays per 8 triangles)."""
     n = o.shape[0]
     if tnear is None:
         tnear = jnp.full(n, EPSILON)
@@ -197,7 +205,13 @@ def intersect_bvh(bvh: BvhTables, o, d, tnear=None, tfar=None) -> RayHit:
             def leaf_test(args):
                 best_t, best_i, best_u, best_v = args
                 start = bvh.prim_start[node]
-                rows = lax.dynamic_slice_in_dim(bvh.inter_rows, start, k, axis=0)
+                # flat 1-D element gather, NOT dynamic_slice/row-take: under
+                # vmap those batch by broadcasting the whole row table per
+                # lane ([N, T, 3, 4] — tens of GB at scene scale); a flat
+                # gather stays [N, k*12]
+                flat = bvh.inter_rows.reshape(-1)
+                idx = start * 12 + lax.iota(jnp.int32, k * 12)
+                rows = jnp.take(flat, idx).reshape(k, 3, 4)
                 o4 = jnp.concatenate([o1, jnp.ones(1)])[None]
                 d4 = jnp.concatenate([d1, jnp.zeros(1)])[None]
                 t, u, v, valid = _chunk_test(rows, o4, d4, tn[None], tf[None])
