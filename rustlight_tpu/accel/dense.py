@@ -16,7 +16,10 @@ Precision.HIGHEST (6-pass bf16 emulation) to keep geometric precision.
 
 For scenes beyond a few thousand triangles this becomes the *leaf kernel* of a
 two-level scheme (cluster BVH -> dense cluster test); for Cornell-box-class
-scenes the dense path alone beats any traversal. Triangle chunking bounds the
+scenes the dense path alone beats any traversal. Measured v5e scaling is
+linear in the padded triangle count and VPU-resolve-bound: ~0.11 ms per 262k
+rays at 40 padded triangles, ~85 ms at 3928 (insensitive to TRI_CHUNK).
+Triangle chunking bounds the
 [N, 3T] intermediate so HBM working sets stay small.
 """
 from __future__ import annotations
