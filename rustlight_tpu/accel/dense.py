@@ -162,17 +162,26 @@ def _intersect_impl(inter_rows, o, d, tnear, tfar, any_hit: bool):
 
 
 def intersect_rays(geom, o, d, tnear=None, tfar=None) -> RayHit:
-    """Closest-hit for a ray wavefront. o, d [n, 3]."""
+    """Closest-hit for a ray wavefront. o, d [n, 3]. Large scenes route to
+    the two-level clustered intersector (accel/clustered.py)."""
     n = o.shape[0]
     if tnear is None:
         tnear = jnp.full(n, EPSILON, jnp.float32)
     if tfar is None:
         tfar = jnp.full(n, jnp.inf, jnp.float32)
+    if getattr(geom, "clusters", None) is not None:
+        from .clustered import _intersect_clustered_impl
+        return _intersect_clustered_impl(geom.clusters, o, d, tnear, tfar,
+                                         False)
     return _intersect_impl(geom.inter_rows, o, d, tnear, tfar, False)
 
 
 def occluded_rays(geom, o, d, tnear, tfar):
     """Any-hit (shadow ray) test; True = blocked."""
+    if getattr(geom, "clusters", None) is not None:
+        from .clustered import _intersect_clustered_impl
+        return _intersect_clustered_impl(geom.clusters, o, d, tnear, tfar,
+                                         True)
     return _intersect_impl(geom.inter_rows, o, d, tnear, tfar, True)
 
 

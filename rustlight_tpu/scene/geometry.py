@@ -25,6 +25,10 @@ from flax import struct
 # pad to the finest quantum that keeps the one-hot gathers sublane-aligned.
 TRI_PAD = 8
 
+# above this triangle count the flat dense scan loses to the two-level
+# clustered intersector (measured crossover ~1k on v5e; see accel/clustered.py)
+CLUSTER_THRESHOLD = 1024
+
 
 @dataclass
 class TriMesh:
@@ -116,6 +120,10 @@ class GeometryTables:
     mesh_id: Any     # [T] int32
     emitter_id: Any  # [T] int32, -1 if not emissive (index into emitter table)
     has_normals: Any  # [T] bool (use vertex-normal interpolation)
+    # two-level clustered intersector tables for large scenes
+    # (accel/clustered.py), attached by build_geometry_tables when the
+    # triangle count crosses CLUSTER_THRESHOLD; None = flat dense path
+    clusters: Any = None
 
 
 def _baldwin_weber_rows(v0, e1, e2, n):
@@ -191,7 +199,7 @@ def build_geometry_tables(meshes: List[TriMesh], mesh_emitter_id: List[int]) -> 
 
     # Degenerate pad triangles: n=0 rows make Nd==0 so they never report hits.
     # numpy leaves — Scene.compile device_puts the assembled pytree once.
-    return GeometryTables(
+    gt = GeometryTables(
         n_tris=t, n_pad=t_pad,
         v0=padz(v0), e1=padz(e1), e2=padz(e2),
         n_g=padz(ng),
@@ -202,6 +210,10 @@ def build_geometry_tables(meshes: List[TriMesh], mesh_emitter_id: List[int]) -> 
         emitter_id=padz(eid, -1),
         has_normals=padz(hn, False),
     )
+    if gt.n_tris > CLUSTER_THRESHOLD:
+        from ..accel.clustered import build_clusters
+        gt = gt.replace(clusters=build_clusters(gt))
+    return gt
 
 
 def scene_bounds(meshes: List[TriMesh]):

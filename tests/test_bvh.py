@@ -49,3 +49,74 @@ class TestBVH:
         idx = np.arange(bvh.n_nodes)
         fw = skips[skips >= 0] > idx[skips >= 0]
         assert fw.all()
+
+
+class TestClustered:
+    """Two-level clustered intersector (accel/clustered.py) — the large-scene
+    TPU path — must agree with the flat dense scan."""
+
+    def _scene(self):
+        from rustlight_tpu.scene import (Scene, make_camera, look_at,
+                                         make_sphere, make_quad)
+        from rustlight_tpu import bsdfs as B
+        sc = Scene()
+        m = sc.add_material(B.diffuse((0.7,) * 3))
+        rng = np.random.RandomState(0)
+        for i in range(16):
+            c = rng.uniform(-8, 8, 3)
+            c[1] = abs(c[1]) + 0.5
+            sc.add_mesh(make_sphere(c, 0.9, material=m, n_theta=8, n_phi=7))
+        sc.add_mesh(make_quad((-20, 0, -20), (20, 0, -20), (20, 0, 20),
+                              (-20, 0, 20), material=m))
+        sc.add_mesh(make_quad((-3, 18, -3), (3, 18, -3), (3, 18, 3),
+                              (-3, 18, 3), material=m, emission=(30,) * 3))
+        sc.camera = make_camera(24, 24, fov=60.0,
+                                to_world=look_at((0, 8, -25), (0, 4, 0),
+                                                 (0, 1, 0)))
+        return sc
+
+    def test_matches_dense(self):
+        import jax
+        import jax.numpy as jnp
+        from rustlight_tpu.accel import intersect_rays
+        from rustlight_tpu.accel.clustered import (build_clusters,
+                                                   intersect_clustered,
+                                                   occluded_clustered)
+        from rustlight_tpu.accel.dense import occluded_rays
+        sd = self._scene().compile()
+        assert sd.geom.clusters is not None   # above CLUSTER_THRESHOLD
+        n = 4096
+        key = jax.random.PRNGKey(1)
+        o = jnp.tile(jnp.asarray([[0.0, 8.0, -25.0]]), (n, 1))
+        d0 = jax.random.normal(key, (n, 3))
+        d = d0 / jnp.linalg.norm(d0, axis=-1, keepdims=True)
+        rd = intersect_rays(sd.geom.replace(clusters=None), o, d)
+        rc = intersect_clustered(sd.geom.clusters, o, d)
+        np.testing.assert_array_equal(np.asarray(rd.hit), np.asarray(rc.hit))
+        both = np.asarray(rd.hit)
+        np.testing.assert_array_equal(np.asarray(rd.tri)[both],
+                                      np.asarray(rc.tri)[both])
+        np.testing.assert_allclose(np.asarray(rd.t)[both],
+                                   np.asarray(rc.t)[both], rtol=1e-4)
+        tfar = jnp.full(n, 12.0)
+        tnear = jnp.full(n, 1e-4)
+        od = occluded_rays(sd.geom.replace(clusters=None), o, d, tnear, tfar)
+        oc = occluded_clustered(sd.geom.clusters, o, d, tnear, tfar)
+        np.testing.assert_array_equal(np.asarray(od), np.asarray(oc))
+
+    def test_end_to_end_render_identical(self):
+        import rustlight_tpu.scene.geometry as G
+        from rustlight_tpu.integrators import IntegratorPathTracing, render
+        sc = self._scene()
+        sd = sc.compile()
+        f1 = render(sd, IntegratorPathTracing(max_depth=3, hard_cap=3),
+                    spp=8, seed=0)["primal"]
+        thr = G.CLUSTER_THRESHOLD
+        try:
+            G.CLUSTER_THRESHOLD = 10 ** 9
+            sd2 = sc.compile()
+        finally:
+            G.CLUSTER_THRESHOLD = thr
+        f2 = render(sd2, IntegratorPathTracing(max_depth=3, hard_cap=3),
+                    spp=8, seed=0)["primal"]
+        np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=1e-5)
