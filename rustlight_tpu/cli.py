@@ -242,6 +242,12 @@ def build_integrator(args):
             uncorrelated=cmd.startswith("uncorrelated"))
     if cmd == "point-normal":
         # strategy names mirror examples/cli.rs:455-494
+        connection = "phase" if args.strategy.endswith("_phase") else "ex"
+        phase_map = {
+            "eq_phase": ("equiangular",),
+            "tr_phase": ("tr",),
+            "eq_clamped_phase": ("eq_clamp",),
+        }
         strategies = {
             "tr_ex": ("tr", "equiangular"),
             "tr": ("tr",),
@@ -259,10 +265,13 @@ def build_integrator(args):
             "pn_tr_taylor_ex": ("pn_taylor_tr",),
             "pn_phase_taylor_ex": ("pn_taylor_phase",),
             "all": ("tr", "equiangular", "eq_clamp"),
-        }.get(args.strategy, ("tr", "equiangular"))
+        }.get(args.strategy)
+        if strategies is None:
+            strategies = phase_map.get(args.strategy, ("tr", "equiangular"))
         return I.IntegratorPointNormal(
             strategies=strategies, splitting=args.splitting,
             warps=args.warps, use_aa=not args.disable_aa,
+            connection=connection,
             warps_strategy="bezier" if args.warps_strategy == "B" else "linear")
     if cmd == "gradient-path":
         # reconnection shift (src/integrators/gradient/path.rs)

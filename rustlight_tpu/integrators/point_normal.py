@@ -196,14 +196,19 @@ class IntegratorPointNormal(Integrator):
     def __init__(self, strategies: Sequence[str] = (STRATEGY_EQUIANGULAR,),
                  splitting: Optional[float] = None,
                  warps: str = "T", warps_strategy: str = "linear",
-                 use_aa: bool = True):
+                 use_aa: bool = True, connection: str = "ex"):
         for s in strategies:
             assert s in _ALL_STRATEGIES, s
+        assert connection in ("ex", "phase")
         self.strategies = tuple(strategies)
         self.splitting = splitting
         self.warps = warps          # chars from {T, P, N} (point_normal.rs -w)
         self.warps_strategy = warps_strategy  # linear | bezier
         self.use_aa = use_aa        # -z disable_aa: pixel centers, no jitter
+        # EX = explicit light connection; PHASE = sample the phase function
+        # and intersect the emitter (Strategies::{EX,PHASE} contribution
+        # branches, point_normal.rs:2373-2470)
+        self.connection = connection
 
     # -------------------------- warp chains (MultipleWrap, rs:327-385)
     def _warp_params(self, scene, o, d, ls0, eq):
@@ -568,9 +573,6 @@ class IntegratorPointNormal(Integrator):
             # re-evaluate the light sample from the scatter point
             ls = sample_light(scene.emitters, scene.geom, x_t, u_sel, u_lpos)
             tr_cam = transmittance(vol, t)
-            tr_light = transmittance(vol, ls.dist)
-            ph = phase_eval(vol.phase_g, -d, ls.d)
-            vis = visible(scene.geom, x_t, ls.p)
 
             # balance-heuristic MIS over distance strategies
             pdf_sum = jnp.zeros_like(pdf_t)
@@ -580,9 +582,30 @@ class IntegratorPointNormal(Integrator):
             w = jnp.where(pdf_t > 0.0,
                           pdf_t / jnp.maximum(pdf_sum, 1e-30), 0.0)
 
-            contrib = (vol.sigma_s[None, :] * tr_cam * tr_light
-                       * ls.weight * (ph / jnp.maximum(pdf_t, 1e-30) * w)[:, None])
-            ok = strat_valid & ls.valid & vis & (t > 0.0) & (t < tmax)
+            if self.connection == "phase":
+                # PHASE connection: sample the phase function, intersect the
+                # emitter geometry directly (point_normal.rs:2373-2395)
+                from ..scene.volume import phase_sample
+                from ..scene import fill_hit, emitted_radiance
+                u_ph, stream = stream_next2d(stream, (n,))
+                d_ph, w_ph, _ = phase_sample(vol.phase_g, -d, u_ph)
+                rh2 = intersect_rays(scene.geom, x_t, d_ph)
+                hit2 = fill_hit(scene, x_t, d_ph, rh2)
+                le = emitted_radiance(scene.emitters, scene.geom, hit2.tri,
+                                      d_ph, uv=hit2.uv)
+                tr_light = transmittance(vol, jnp.where(rh2.hit, rh2.t, 0.0))
+                contrib = (vol.sigma_s[None, :] * tr_cam * tr_light * w_ph
+                           * le * (w / jnp.maximum(pdf_t, 1e-30))[:, None])
+                ok = (strat_valid & hit2.valid & hit2.is_light
+                      & (t > 0.0) & (t < tmax))
+            else:
+                tr_light = transmittance(vol, ls.dist)
+                ph = phase_eval(vol.phase_g, -d, ls.d)
+                vis = visible(scene.geom, x_t, ls.p)
+                contrib = (vol.sigma_s[None, :] * tr_cam * tr_light
+                           * ls.weight
+                           * (ph / jnp.maximum(pdf_t, 1e-30) * w)[:, None])
+                ok = strat_valid & ls.valid & vis & (t > 0.0) & (t < tmax)
             li = li + jnp.where(ok[:, None], contrib, 0.0)
 
         return li

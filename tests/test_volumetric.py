@@ -133,3 +133,23 @@ class TestWarpStrategies:
         f = render(sd, IntegratorPointNormal(strategies=("warp",), warps=chars,
                                              warps_strategy=ws), spp=24, seed=2)
         assert abs(f["primal"].mean() - ref) / ref < 0.15
+
+
+class TestPhaseConnection:
+    """PHASE contribution strategy (sample the phase function, intersect the
+    emitter; Strategies::PHASE, point_normal.rs:2373-2395) must agree with
+    the explicit connection in expectation (high variance: the light's solid
+    angle is small, so the tolerance is loose)."""
+
+    def test_phase_agrees_with_ex(self):
+        from rustlight_tpu.models import cornell_box
+        sc = cornell_box(16, 16)
+        sc.volume = make_volume(sigma_s=(0.003,) * 3, g=0.4)
+        sd = sc.compile()
+        ref = render(sd, IntegratorPointNormal(strategies=("equiangular",)),
+                     spp=64, seed=3)["primal"].mean()
+        f = render(sd, IntegratorPointNormal(strategies=("equiangular",),
+                                             connection="phase"),
+                   spp=256, seed=9)
+        m = f["primal"].mean()
+        assert abs(m - ref) / ref < 0.2, (m, ref)
