@@ -233,3 +233,24 @@ class TestNativeObjParser:
                 assert a == b
         meshes, mats, _ = O.load_obj(str(tmp_path / "t.obj"))
         assert len(meshes) == 2 and len(mats) == 2
+
+
+class TestExampleScenes:
+    def test_pbrt_cbox_matches_procedural(self):
+        """examples/cbox.pbrt (the file-based cbox the reference's README
+        points at but no longer ships) must reproduce the procedural scene
+        exactly."""
+        from pathlib import Path
+        from rustlight_tpu.scene.loaders import load_scene
+        from rustlight_tpu.models import cornell_box
+        from rustlight_tpu.integrators import IntegratorPathTracing, render
+        root = Path(__file__).parent.parent
+        sc_file = load_scene(str(root / "examples" / "cbox.pbrt"))
+        sc_file.camera = sc_file.camera.replace(width=24, height=24)
+        f1 = render(sc_file.compile(),
+                    IntegratorPathTracing(max_depth=3, hard_cap=3),
+                    spp=8, seed=0)["primal"]
+        f2 = render(cornell_box(24, 24).compile(),
+                    IntegratorPathTracing(max_depth=3, hard_cap=3),
+                    spp=8, seed=0)["primal"]
+        np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=1e-5)
