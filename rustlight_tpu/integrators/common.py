@@ -70,6 +70,13 @@ def _pixel_grid(width, height):
 
 
 _BLOCK_CACHE = {}   # (id(scene), id(integ), spp, w, h) -> compiled block fn
+_BLOCK_CACHE_CAP = 64   # each entry pins its closed-over scene; bound it
+
+
+def _cache_put(key, fn):
+    if len(_BLOCK_CACHE) >= _BLOCK_CACHE_CAP:
+        _BLOCK_CACHE.pop(next(iter(_BLOCK_CACHE)))   # FIFO eviction
+    _BLOCK_CACHE[key] = fn
 
 
 def render(scene: SceneData, integrator: Integrator, spp: int, seed: int = 0,
@@ -112,7 +119,7 @@ def render(scene: SceneData, integrator: Integrator, spp: int, seed: int = 0,
                 ok = jnp.all(jnp.isfinite(acc), axis=-1) & jnp.all(
                     acc >= 0.0, axis=-1)
                 return jnp.where(ok[:, None], acc, 0.0)
-            _BLOCK_CACHE[ck] = run_block
+            _cache_put(ck, run_block)
 
         t0 = time.time()
         img = np.asarray(
@@ -147,7 +154,7 @@ def render(scene: SceneData, integrator: Integrator, spp: int, seed: int = 0,
                 return acc + jnp.where(ok[:, None], li, 0.0)
             return jax.lax.fori_loop(0, chunk, one,
                                      jnp.zeros((h * w, 3), jnp.float32))
-        _BLOCK_CACHE[ck] = run_chunk
+        _cache_put(ck, run_chunk)
 
     base_stream = make_stream(seed)
     acc = jnp.zeros((h * w, 3), jnp.float32)
@@ -194,7 +201,7 @@ def render_splat(scene: SceneData, integrator: SplattingIntegrator, spp: int,
             vals = jnp.where(ok[:, None], vals, 0.0)
             film = jnp.zeros((h * w, 3), jnp.float32)
             return film.at[pids].add(vals, mode="drop")
-        _BLOCK_CACHE[ck] = one_pass
+        _cache_put(ck, one_pass)
 
     base_stream = make_stream(seed)
     acc = jnp.zeros((h * w, 3), jnp.float32)
