@@ -76,9 +76,22 @@ class IntegratorGradientPath:
         py = pix[:, 1]
         pid = py * w + px
 
-        # scene closed over: compile-time constants (2.25x on v5e)
+        # scene closed over: compile-time constants (2.25x on v5e);
+        # the RNG base is an argument so avg-mode passes reuse the executable
+        from ..common import _BLOCK_CACHE, _cache_put
+        ck = (id(scene), id(self), w, h, "gdpt-replay")
+        one_pass_c = _BLOCK_CACHE.get(ck)
+        if one_pass_c is None:
+            one_pass_c = self._make_pass(scene, pix, px, py, pid, w, h, n, d)
+            _cache_put(ck, one_pass_c)
+        one_pass = lambda s: one_pass_c(base, s)
+
+        return _render_gradient_film(scene, spp, one_pass, self.nb_buffers,
+                                     self.recons, self.iterations, w, h)
+
+    def _make_pass(self, scene, pix, px, py, pid, w, h, n, d):
         @jax.jit
-        def one_pass(s):
+        def one_pass(base, s):
             stream = stream_fold(base, s)
             u, stream = _uniform(stream, (n, d))
             lb = self._eval(scene, pix, u)
@@ -118,8 +131,7 @@ class IntegratorGradientPath:
                     gyb = gbuf
             return primal * 0.25, gxb, gyb
 
-        return _render_gradient_film(scene, spp, one_pass, self.nb_buffers,
-                                     self.recons, self.iterations, w, h)
+        return one_pass
 
 
 def _render_gradient_film(scene, spp, one_pass, nb, recons, iterations, w, h):

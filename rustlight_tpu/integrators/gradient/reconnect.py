@@ -433,9 +433,23 @@ class IntegratorGradientPathReconnect:
         else:
             has_delta = True
 
-        # scene closed over: compile-time constants (2.25x on v5e)
+        # scene closed over: compile-time constants; RNG base as argument so
+        # avg-mode passes reuse the executable
+        from ..common import _BLOCK_CACHE, _cache_put
+        ck = (id(scene), id(self), w, h, "gdpt-reconnect")
+        one_pass_c = _BLOCK_CACHE.get(ck)
+        if one_pass_c is None:
+            one_pass_c = self._make_pass(scene, pix, px, py, pid, w, h, n,
+                                         has_delta)
+            _cache_put(ck, one_pass_c)
+        one_pass = lambda s: one_pass_c(base, s)
+
+        return _render_gradient_film(scene, spp, one_pass, self.nb_buffers,
+                                     self.recons, self.iterations, w, h)
+
+    def _make_pass(self, scene, pix, px, py, pid, w, h, n, has_delta):
         @jax.jit
-        def one_pass(s):
+        def one_pass(base, s):
             stream = stream_fold(base, s)
             l_main, l_off, l_grad, vdir = self.compute_pixel_gradient(
                 scene, pix, stream, has_delta)
@@ -465,5 +479,4 @@ class IntegratorGradientPathReconnect:
             vdirect = jnp.zeros((n, 3), jnp.float32).at[pid].add(vdir)
             return primal * 0.25, gxb, gyb, vdirect
 
-        return _render_gradient_film(scene, spp, one_pass, self.nb_buffers,
-                                     self.recons, self.iterations, w, h)
+        return one_pass

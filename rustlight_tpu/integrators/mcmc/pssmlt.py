@@ -73,18 +73,26 @@ class IntegratorPSSMLT:
         steps = max(1, total // c)
         base = make_stream(seed)
 
+        # executables cached per (scene, config); the RNG base is an argument
+        # so repeated avg-mode passes with fresh seeds reuse the compilation
+        from ..common import _BLOCK_CACHE, _cache_put
+
         # ---------------- normalization + seed pool
         n_batches = max(1, (self.nb_samples_norm + c - 1) // c)
 
-        @jax.jit
-        def norm_batch(i):
-            u, _ = _uniform(stream_fold(base, 1000 + i), (c, d))
-            _, _, tf = self._sample_fn(scene, u)
-            return u, tf
+        nk = (id(scene), id(self), c, d, "pssmlt-norm")
+        norm_batch = _BLOCK_CACHE.get(nk)
+        if norm_batch is None:
+            @jax.jit
+            def norm_batch(base, i):
+                u, _ = _uniform(stream_fold(base, 1000 + i), (c, d))
+                _, _, tf = self._sample_fn(scene, u)
+                return u, tf
+            _cache_put(nk, norm_batch)
 
         seeds_u, seeds_tf = [], []
         for i in range(n_batches):
-            u, tf = norm_batch(jnp.int32(i))
+            u, tf = norm_batch(base, jnp.int32(i))
             seeds_u.append(u)
             seeds_tf.append(tf)
         seeds_u = jnp.concatenate(seeds_u, 0)
@@ -103,8 +111,30 @@ class IntegratorPSSMLT:
         pid0, col0, _ = self._sample_fn(scene, u0)
 
         # ---------------- chain evolution
+        rk = (id(scene), id(self), c, d, steps, w, h, "pssmlt-run")
+        run = _BLOCK_CACHE.get(rk)
+        if run is None:
+            run = self._make_run(scene, c, d, steps, w, h)
+            _cache_put(rk, run)
+
+        t0 = time.time()
+        film_dev = run(base, u0, tf0, pid0, col0)
+        film_dev.block_until_ready()
+        if verbose:
+            print(f"pssmlt: {c} chains x {steps} steps in {time.time()-t0:.2f}s")
+
+        img = np.asarray(film_dev).reshape(h, w, 3)
+        # final rescale to absolute units (pssmlt.rs:114-118)
+        avg_lum = img.mean()
+        if avg_lum > 0:
+            img = img * (b / avg_lum)
+        film = Film(w, h)
+        film.buffers["primal"] = img
+        return film
+
+    def _make_run(self, scene, c, d, steps, w, h):
         @jax.jit
-        def run(u0, tf0, pid0, col0):
+        def run(base, u0, tf0, pid0, col0):
             def step(s, carry):
                 u, tf, pid, col, wgt, film, stream = carry
                 ul, stream = _uniform(stream, (c,))
@@ -149,17 +179,4 @@ class IntegratorPSSMLT:
             film = film.at[pid].add(val, mode="drop")
             return film
 
-        t0 = time.time()
-        film_dev = run(u0, tf0, pid0, col0)
-        film_dev.block_until_ready()
-        if verbose:
-            print(f"pssmlt: {c} chains x {steps} steps in {time.time()-t0:.2f}s")
-
-        img = np.asarray(film_dev).reshape(h, w, 3)
-        # final rescale to absolute units (pssmlt.rs:114-118)
-        avg_lum = img.mean()
-        if avg_lum > 0:
-            img = img * (b / avg_lum)
-        film = Film(w, h)
-        film.buffers["primal"] = img
-        return film
+        return run
