@@ -36,9 +36,45 @@ def make_taker(idx, n_rows: int):
     """
     idx = jnp.clip(idx, 0, n_rows - 1).astype(jnp.int32)
     if n_rows > MAX_ONEHOT_ROWS:
-        def take_slow(table):
-            return jnp.take(table, idx, axis=0)
-        return take_slow
+        # chunked one-hot: scan 4096-row blocks and accumulate the (single)
+        # matching block's contribution — ceil(T/4096) MXU matmuls instead of
+        # a serial per-lane gather (seconds at wavefront width on this relay)
+        n_chunks = (n_rows + MAX_ONEHOT_ROWS - 1) // MAX_ONEHOT_ROWS
+        pad_rows = n_chunks * MAX_ONEHOT_ROWS
+
+        def take_chunked(table):
+            t = table.shape[0]
+            assert t == n_rows, (t, n_rows)
+            trailing = table.shape[1:]
+            flat = table.reshape(t, -1)
+            dt = flat.dtype
+            f32 = flat.astype(jnp.float32) if dt != jnp.float32 else flat
+            if pad_rows != n_rows:
+                f32 = jnp.concatenate(
+                    [f32, jnp.zeros((pad_rows - n_rows, f32.shape[1]),
+                                    jnp.float32)], 0)
+            blocks = f32.reshape(n_chunks, MAX_ONEHOT_ROWS, -1)
+            iota = lax.broadcasted_iota(
+                jnp.int32, (idx.shape[0], MAX_ONEHOT_ROWS), 1)
+
+            def body(acc, args):
+                blk, base = args
+                oh = ((idx[:, None] - base) == iota).astype(jnp.float32)
+                return acc + jnp.dot(oh, blk,
+                                     precision=lax.Precision.HIGHEST), None
+
+            bases = (lax.iota(jnp.int32, n_chunks) * MAX_ONEHOT_ROWS)
+            acc0 = jnp.zeros((idx.shape[0], f32.shape[1]), jnp.float32)
+            vals, _ = lax.scan(body, acc0, (blocks, bases))
+            if dt == jnp.bool_:
+                out = vals > 0.5
+            elif jnp.issubdtype(dt, jnp.integer):
+                out = jnp.round(vals).astype(dt)
+            else:
+                out = vals
+            return out.reshape(idx.shape + trailing)
+
+        return take_chunked
 
     iota = lax.broadcasted_iota(jnp.int32, (idx.shape[0], n_rows), 1)
     oh = (idx[:, None] == iota).astype(jnp.float32)
