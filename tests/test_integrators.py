@@ -179,3 +179,20 @@ class TestPersistentWavefront:
         pix = jnp.asarray(_pixel_grid(16, 16))
         acc = integ.compute_block(CBOX, pix, make_stream(0), 8)
         assert np.all(np.isfinite(np.asarray(acc)))
+
+
+class TestVeachMIS:
+    """Veach MIS grid (models/veach.py): emitter-only and bsdf-only
+    strategies must converge to the same image mean; `all` (MIS) agrees
+    within its (heavy-tailed) variance."""
+
+    def test_strategies_consistent(self):
+        from rustlight_tpu.models import veach_mis
+        sd = veach_mis(48, 36).compile()
+        pt = lambda s: IntegratorPathTracing(max_depth=2, hard_cap=2,
+                                             strategy=s)
+        em = render(sd, pt("emitter"), spp=1024, seed=1)["primal"].mean()
+        bs = render(sd, pt("bsdf"), spp=2048, seed=1)["primal"].mean()
+        assert abs(em - bs) / em < 0.06, (em, bs)
+        al = render(sd, pt("all"), spp=128, seed=3)["primal"].mean()
+        assert abs(al - em) / em < 0.2, (al, em)
