@@ -126,52 +126,66 @@ def _intersect_clustered_impl(ct: ClusterTables, o, d, tnear, tfar,
     def cond(s):
         return jnp.any(s["active"])
 
+    # clusters processed per while-loop step: amortizes the [N, C] done-mask
+    # carry traffic (the dominant HBM cost at large C) over several fetches
+    K_PER_STEP = 4
+
     def body(s):
         ent = jnp.where(s["done"], jnp.inf, entry)
-        emin = jnp.min(ent, 1)
-        # nearest unvisited cluster (min + iota compare; no argmin gathers)
-        csel = jnp.min(jnp.where(ent == emin[:, None], c_iota, C), 1)
-        lane = s["active"] & (emin < s["best_t"]) & jnp.isfinite(emin)
-        onehot = ((c_iota == csel[:, None]) & lane[:, None]).astype(jnp.float32)
+        best_t = s["best_t"]
+        best_tri = s["best_tri"]
+        best_u = s["best_u"]
+        best_v = s["best_v"]
+        occluded = s["occluded"]
+        done = s["done"]
+        active = s["active"]
 
-        # bit-exact f32 row fetch: one-hot matmul at HIGHEST precision
-        # (ops/gather.py make_taker trick); [N, 4*3k]
-        rows = jnp.dot(onehot, ct.rows, precision=_PREC)
-        p = rows.reshape(n, 4, 3 * k)
-        ao = jnp.einsum("nk,nkc->nc", o4, p)            # 4 FMAs per column
-        ad = jnp.einsum("nk,nkc->nc", d4, p)
-        no, uo, vo = ao[:, :k], ao[:, k:2 * k], ao[:, 2 * k:]
-        nd, ud, vd = ad[:, :k], ad[:, k:2 * k], ad[:, 2 * k:]
-        live = jnp.abs(nd) > 1e-20
-        t = -no / jnp.where(live, nd, 1.0)
-        u = uo + t * ud
-        v = vo + t * vd
-        valid = (live & (t > tnear[:, None]) & (t < jnp.minimum(
-            s["best_t"], tfar)[:, None])
-            & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & lane[:, None])
-        tm = jnp.where(valid, t, jnp.inf)
-        bt = jnp.min(tm, 1)
-        better = bt < s["best_t"]
-        j = jnp.minimum(jnp.min(jnp.where(tm == bt[:, None], k_iota, k), 1),
-                        k - 1)
-        jhot = (k_iota == j[:, None]) & better[:, None]
-        # original triangle id via the same one-hot chain (ids exact in f32)
-        ids = jnp.dot(onehot, ct.orig_id, precision=_PREC)   # [N, k]
-        tri_new = jnp.sum(jnp.where(jhot, ids, 0.0), 1).astype(jnp.int32)
-        u_new = jnp.sum(jnp.where(jhot, u, 0.0), 1)
-        v_new = jnp.sum(jnp.where(jhot, v, 0.0), 1)
+        for _ in range(K_PER_STEP):
+            emin = jnp.min(ent, 1)
+            # nearest unvisited cluster (min + iota compare; no argmin)
+            csel = jnp.min(jnp.where(ent == emin[:, None], c_iota, C), 1)
+            lane = active & (emin < best_t) & jnp.isfinite(emin)
+            sel = (c_iota == csel[:, None]) & lane[:, None]
+            onehot = sel.astype(jnp.float32)
+            ent = jnp.where(sel, jnp.inf, ent)
+            done = done | sel
 
-        best_t = jnp.where(better, bt, s["best_t"])
-        best_tri = jnp.where(better, tri_new, s["best_tri"])
-        best_u = jnp.where(better, u_new, s["best_u"])
-        best_v = jnp.where(better, v_new, s["best_v"])
-        done = s["done"] | (onehot > 0.0)
-        if any_hit:
-            occluded = s["occluded"] | better
-            active = lane & (~occluded)
-        else:
-            occluded = s["occluded"]
-            active = lane
+            # bit-exact f32 row fetch: one-hot matmul at HIGHEST precision
+            # (ops/gather.py make_taker trick); [N, 4*3k]
+            rows = jnp.dot(onehot, ct.rows, precision=_PREC)
+            p = rows.reshape(n, 4, 3 * k)
+            ao = jnp.einsum("nk,nkc->nc", o4, p)        # 4 FMAs per column
+            ad = jnp.einsum("nk,nkc->nc", d4, p)
+            no, uo, vo = ao[:, :k], ao[:, k:2 * k], ao[:, 2 * k:]
+            nd, ud, vd = ad[:, :k], ad[:, k:2 * k], ad[:, 2 * k:]
+            live = jnp.abs(nd) > 1e-20
+            t = -no / jnp.where(live, nd, 1.0)
+            u = uo + t * ud
+            v = vo + t * vd
+            valid = (live & (t > tnear[:, None]) & (t < jnp.minimum(
+                best_t, tfar)[:, None])
+                & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & lane[:, None])
+            tm = jnp.where(valid, t, jnp.inf)
+            bt = jnp.min(tm, 1)
+            better = bt < best_t
+            j = jnp.minimum(jnp.min(jnp.where(tm == bt[:, None], k_iota, k),
+                                    1), k - 1)
+            jhot = (k_iota == j[:, None]) & better[:, None]
+            # original triangle id via the same one-hot chain (exact in f32)
+            ids = jnp.dot(onehot, ct.orig_id, precision=_PREC)   # [N, k]
+            tri_new = jnp.sum(jnp.where(jhot, ids, 0.0), 1).astype(jnp.int32)
+            best_u = jnp.where(better, jnp.sum(jnp.where(jhot, u, 0.0), 1),
+                               best_u)
+            best_v = jnp.where(better, jnp.sum(jnp.where(jhot, v, 0.0), 1),
+                               best_v)
+            best_t = jnp.where(better, bt, best_t)
+            best_tri = jnp.where(better, tri_new, best_tri)
+            if any_hit:
+                occluded = occluded | better
+                active = lane & (~occluded)
+            else:
+                active = lane
+
         return dict(best_t=best_t, best_tri=best_tri, best_u=best_u,
                     best_v=best_v, done=done, active=active,
                     occluded=occluded)
