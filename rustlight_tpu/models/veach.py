@@ -28,22 +28,36 @@ def veach_mis(width: int = 256, height: int = 192) -> Scene:
     sc.add_mesh(make_quad((-12, -2, 14), (12, -2, 14), (12, 12, 14),
                           (-12, 12, 14), material=m_back, name="back"))
 
-    # four tilted glossy plates, exponent 40 -> 5000 (top = roughest)
-    exps = [40.0, 200.0, 1000.0, 5000.0]
+    # four glossy plates, exponent 40 -> 5000 (bottom = roughest); each is
+    # oriented so the mirror direction from the light row reaches the camera
+    # (normal = half vector of light dir and eye dir at the plate center)
+    eye = np.asarray([0.0, 4.5, -12.0])
+    light_c = np.asarray([0.0, 8.0, 8.0])
+    exps = [5000.0, 1000.0, 200.0, 40.0]
     for i, ex in enumerate(exps):
-        m = sc.add_material(phong(kd=(0.02,) * 3, ks=(0.6, 0.6, 0.6),
-                                  exponent=ex, weight_specular=0.95))
-        y0 = 0.0 + 1.3 * i
-        z0 = 6.0 - 1.3 * i
-        # plate tilted toward the camera, facing up toward the lights
-        sc.add_mesh(make_quad((-9, y0, z0 + 1.6), (9, y0, z0 + 1.6),
-                              (9, y0 + 0.7, z0), (-9, y0 + 0.7, z0),
+        m = sc.add_material(phong(kd=(0.04,) * 3, ks=(0.6, 0.6, 0.6),
+                                  exponent=ex, weight_specular=0.9))
+        c = np.asarray([0.0, 0.0 + 1.5 * i, 7.0 - 2.2 * i])
+        wl = light_c - c
+        wl /= np.linalg.norm(wl)
+        we = eye - c
+        we /= np.linalg.norm(we)
+        nrm = wl + we
+        nrm /= np.linalg.norm(nrm)
+        tang = np.cross(np.asarray([1.0, 0.0, 0.0]), nrm)  # depth direction
+        tang /= np.linalg.norm(tang)
+        half_w, half_d = 9.0, 0.55
+        p00 = c - np.asarray([half_w, 0, 0]) - tang * half_d
+        p10 = c + np.asarray([half_w, 0, 0]) - tang * half_d
+        p11 = c + np.asarray([half_w, 0, 0]) + tang * half_d
+        p01 = c - np.asarray([half_w, 0, 0]) + tang * half_d
+        sc.add_mesh(make_quad(tuple(p00), tuple(p10), tuple(p11), tuple(p01),
                               material=m, name=f"plate{i}"))
 
     # four sphere-ish lights (small quads): radius doubles, power equal
     # Le scales as 1/area so every light carries the same flux
-    sizes = [0.1, 0.35, 1.0, 2.5]
-    power = 30.0
+    sizes = [0.15, 0.4, 1.0, 2.2]
+    power = 6.0
     xs = [-7.5, -2.5, 2.5, 7.5]
     for x, s in zip(xs, sizes):
         le = power / (s * s)

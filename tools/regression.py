@@ -35,10 +35,15 @@ def build_tests():
         sc.volume = make_volume(sigma_s=(0.0025,) * 3)
         return sc
 
+    def veach():
+        from rustlight_tpu.models import veach_mis
+        return veach_mis(128, 96)
+
     return {
         "cbox_ao": dict(scene=cbox, techniques=["ao"]),
         "cbox_path": dict(scene=cbox, techniques=GI_ALGO[:]),
         "cbox_medium": dict(scene=cbox_medium, techniques=["path"]),
+        "veach_mis": dict(scene=veach, techniques=["path"]),
         # single-scatter estimators compare against a single-scatter ref
         "cbox_medium_single": dict(scene=cbox_medium,
                                    techniques=["point-normal", "path-single"],
