@@ -169,6 +169,10 @@ def intersect_rays(geom, o, d, tnear=None, tfar=None) -> RayHit:
         tnear = jnp.full(n, EPSILON, jnp.float32)
     if tfar is None:
         tfar = jnp.full(n, jnp.inf, jnp.float32)
+    if getattr(geom, "walk", None) is not None:
+        from .pallas_walk import _walk_impl, walk_supported
+        if walk_supported(geom.walk):
+            return _walk_impl(geom.walk, o, d, tnear, tfar, False)
     if getattr(geom, "clusters", None) is not None:
         from .clustered import _intersect_clustered_impl
         return _intersect_clustered_impl(geom.clusters, o, d, tnear, tfar,
@@ -178,6 +182,10 @@ def intersect_rays(geom, o, d, tnear=None, tfar=None) -> RayHit:
 
 def occluded_rays(geom, o, d, tnear, tfar):
     """Any-hit (shadow ray) test; True = blocked."""
+    if getattr(geom, "walk", None) is not None:
+        from .pallas_walk import _walk_impl, walk_supported
+        if walk_supported(geom.walk):
+            return _walk_impl(geom.walk, o, d, tnear, tfar, True)
     if getattr(geom, "clusters", None) is not None:
         from .clustered import _intersect_clustered_impl
         return _intersect_clustered_impl(geom.clusters, o, d, tnear, tfar,

@@ -1,0 +1,434 @@
+"""Pallas tile-walk intersector: per-ray-tile cluster traversal in VMEM.
+
+The reference's production path is a per-ray recursive SAH BVH walk
+(src/accel.rs:243-288) — per-lane pointer chasing that this backend cannot
+vectorize. The XLA clustered intersector (accel/clustered.py) replaces the
+walk with per-visit one-hot MXU fetches, but every visit then costs
+2*N*C*384 matmul FLOPs — one visit is as expensive as a full flat pass, so
+it only wins by being less HBM-bound.
+
+This kernel is the real TPU traversal: Pallas supports *scalar* dynamic
+slicing of VMEM refs inside a kernel, so cluster fetches cost O(1) instead
+of O(C). Shape of the algorithm:
+
+  * host build (shared with accel/clustered.py): triangles in SAH-BVH
+    preorder, grouped into clusters of K=128 with AABBs; all cluster tables
+    (Baldwin-Weber rows, ids, bounds) live whole in VMEM (fits to ~250k
+    triangles on a 16 MB core);
+  * grid over ray tiles of R=256 rays. Each program computes one [R, C]
+    slab pass reduced to a per-cluster tile entry distance ent[c] =
+    min over the tile's rays of that ray's AABB entry (inf if all miss);
+  * a scalar while_loop walks clusters front-to-back by ent: pop the
+    minimum, fetch its rows with a dynamic VMEM slice ([4] x [1, 3K] —
+    O(K), not O(C*K)), test all R rays against the K triangles on the VPU,
+    update per-ray closest hits;
+  * termination: stop when the nearest remaining cluster entry exceeds
+    every ray's current best hit — per-tile front-to-back proof: for all
+    rays r, entry_r(c) >= min_r entry_r(c) = ent[c] > max_r best_t[r]
+    >= best_t[r], so no remaining cluster can improve any ray.
+
+Per visit this does R*3K VPU lanes of work (~100k flops) versus the XLA
+clustered path's 2*N*C*384 (~300 GFLOP at 51k tris) — the asymptotic win
+that makes 100k+ triangle scenes practical. Measured v5e, 262k coherent
+rays: 51k tris 449 ms (XLA clustered) -> ~8 ms (this kernel).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import EPSILON
+from .dense import RayHit
+
+K = 128               # triangles per cluster (3K = 384 lanes, MXU/VPU tiles)
+RAY_TILE = 256        # rays per program
+# VMEM budget for the resident tables: rows [4, C, 3K] f32 dominates at
+# 6 KB/cluster; leave room for ray tiles + scratch on a 16 MB core
+# (the entry pass is chunked, so C=2048 = 12.6 MB of rows fits).
+MAX_VMEM_CLUSTERS = 2048          # ~262k triangles
+_BIG = 1e30
+
+
+@struct.dataclass
+class WalkTables:
+    n_tris: int = struct.field(pytree_node=False)
+    n_clusters: int = struct.field(pytree_node=False)   # padded C (mult 128)
+    rows: Any       # [4, C, 3K] f32 Baldwin-Weber rows by o4/d4 component
+    ids: Any        # [C, K] int32 original triangle ids (-1 pad)
+    lo: Any         # [3, C] f32 cluster AABB (pads are distant points)
+    hi: Any         # [3, C] f32
+    world_lo: Any = None   # [3] scene bounds (ray-sorting morton grid)
+    world_hi: Any = None   # [3]
+
+
+def build_walk_tables(geom) -> WalkTables:
+    """Host build: SAH-BVH preorder (same ordering as accel/clustered.py),
+    chunked into clusters of K with lane-aligned layouts."""
+    from .bvh import build_bvh
+    if hasattr(geom, "host") and geom.host is not None:
+        geom = geom.host.data.geom
+    bvh = build_bvh(geom, max_leaf=8)
+    order = np.asarray(bvh.prim_index)                   # SAH preorder
+    t = order.shape[0]
+    rows = np.asarray(geom.inter_rows[: geom.n_tris])[order]   # [T, 3, 4]
+
+    c = max(1, (t + K - 1) // K)
+    cp = ((c + 127) // 128) * 128                        # lane-pad C
+    pad = cp * K - t
+    if pad:
+        rows = np.concatenate([rows, np.zeros((pad, 3, 4), np.float32)], 0)
+        order = np.concatenate([order, np.full(pad, -1, np.int64)], 0)
+
+    v0 = np.asarray(geom.v0[: geom.n_tris])[order[:t]]
+    e1 = np.asarray(geom.e1[: geom.n_tris])[order[:t]]
+    e2 = np.asarray(geom.e2[: geom.n_tris])[order[:t]]
+    p0, p1, p2 = v0, v0 + e1, v0 + e2
+    tri_lo = np.minimum(np.minimum(p0, p1), p2)
+    tri_hi = np.maximum(np.maximum(p0, p1), p2)
+    if pad:
+        # pad AABBs are a distant degenerate point: a finite sentinel keeps
+        # the slab arithmetic NaN-free (true +/-inf bounds make an
+        # empty-interval test ambiguous); the kernel also masks c >= n_real
+        tri_lo = np.concatenate([tri_lo, np.full((pad, 3), _BIG)], 0)
+        tri_hi = np.concatenate([tri_hi, np.full((pad, 3), _BIG)], 0)
+    lo = tri_lo.reshape(cp, K, 3).min(1).T               # [3, C]
+    hi = tri_hi.reshape(cp, K, 3).max(1).T
+
+    # [4, C, 3K]: component j of the o4/d4 dot, N|U|V column blocks of K
+    packed = (rows.reshape(cp, K, 3, 4)
+              .transpose(3, 0, 2, 1)                      # [4, C, 3, K]
+              .reshape(4, cp, 3 * K)).astype(np.float32)
+    return WalkTables(
+        n_tris=t, n_clusters=cp,
+        rows=packed,
+        ids=order.reshape(cp, K).astype(np.int32),
+        lo=lo.astype(np.float32), hi=hi.astype(np.float32),
+        world_lo=tri_lo[:t].min(0).astype(np.float32),
+        world_hi=tri_hi[:t].max(0).astype(np.float32),
+    )
+
+
+def _sort_key(wt: WalkTables, o, d):
+    """Wavefront coherence key: direction octant (major) then a 5-bit/axis
+    morton code of the origin — rays landing in the same RAY_TILE then share
+    a spatial cell and an octant, which bounds the tile's cluster union.
+    Divergent bounce/shadow wavefronts trace ~2.4x faster sorted (v5e)."""
+    octant = ((d[:, 0] > 0).astype(jnp.int32) * 4
+              + (d[:, 1] > 0).astype(jnp.int32) * 2
+              + (d[:, 2] > 0).astype(jnp.int32))
+    ext = jnp.maximum(wt.world_hi - wt.world_lo, 1e-9)
+    q = jnp.clip(((o - wt.world_lo[None, :]) / ext[None, :] * 32.0)
+                 .astype(jnp.int32), 0, 31)
+    m = jnp.zeros_like(octant)
+    for b in range(5):
+        for ax in range(3):
+            m = m | (((q[:, ax] >> b) & 1) << (3 * b + ax))
+    return (octant << 15) | m
+
+
+_ID_BITS = 12           # cluster id packed into the entry's low mantissa bits
+
+
+def _tile_entries(lo_ref, hi_ref, o, d, tnear, tfar, n_real, cp):
+    """Per-cluster tile entry distance: min over rays of the slab entry.
+
+    Returns [1, C] f32 with the cluster id PACKED into the low _ID_BITS
+    mantissa bits (entry rounded down to 2^-11 relative precision — order is
+    only a heuristic, and rounding down keeps the front-to-back termination
+    test conservative). +inf where no ray in the tile enters the AABB, so a
+    single min-reduce yields both the next entry distance and its cluster."""
+    inv = 1.0 / jnp.where(jnp.abs(d) > 1e-12, d,
+                          jnp.where(d >= 0, 1e-12, -1e-12))
+    # chunk over clusters so the [R, C] intermediates stay within VMEM
+    # headroom next to the resident row tables at large C
+    cc = min(cp, 512)
+    parts = []
+    for c0 in range(0, cp, cc):
+        tmin = jnp.full((o.shape[0], cc), -jnp.inf)
+        tmax = jnp.full((o.shape[0], cc), jnp.inf)
+        for j in range(3):
+            t0 = ((lo_ref[j, c0:c0 + cc][None, :] - o[:, j][:, None])
+                  * inv[:, j][:, None])
+            t1 = ((hi_ref[j, c0:c0 + cc][None, :] - o[:, j][:, None])
+                  * inv[:, j][:, None])
+            tmin = jnp.maximum(tmin, jnp.minimum(t0, t1))
+            tmax = jnp.minimum(tmax, jnp.maximum(t0, t1))
+        entry = jnp.maximum(tmin, tnear[:, None])
+        ok = (tmax >= entry) & (entry < tfar[:, None])
+        parts.append(jnp.min(jnp.where(ok, entry, jnp.inf), axis=0,
+                             keepdims=True))
+    ent = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+    ciota = lax.broadcasted_iota(jnp.int32, (1, cp), 1)
+    fin = (ciota < n_real) & jnp.isfinite(ent)
+    bits = lax.bitcast_convert_type(jnp.maximum(ent, 0.0), jnp.int32)
+    packed = lax.bitcast_convert_type(
+        (bits & ~((1 << _ID_BITS) - 1)) | ciota, jnp.float32)
+    return jnp.where(fin, packed, jnp.inf)
+
+
+def _pop_min(ent_scr):
+    """One min-reduce pops the nearest unvisited cluster.
+
+    All ordering runs in int32 space: non-negative IEEE floats order
+    identically as their integer bits, and Mosaic only bitcasts vectors, not
+    scalars. Returns (entry bits as sortable i32, cluster id)."""
+    ent = ent_scr[:]
+    bits = lax.bitcast_convert_type(ent, jnp.int32)      # vector bitcast
+    bmin = jnp.min(bits)
+    ent_scr[:] = jnp.where(bits == bmin, jnp.inf, ent)
+    csel = bmin & ((1 << _ID_BITS) - 1)
+    cp = ent.shape[1]
+    # bmin == inf-bits gives csel = 0: harmless re-test, loop is ending
+    return bmin, jnp.minimum(csel, cp - 1)
+
+
+def _sortable_max(x):
+    """max over a non-negative f32 vector, returned as sortable i32 bits."""
+    return jnp.max(lax.bitcast_convert_type(x, jnp.int32))
+
+
+def _test_cluster(rows_ref, csel, o, d, tnear, tcap):
+    """Test all rays of the tile against cluster csel's K triangles.
+
+    Returns (t, u, v, valid) each [R, K]."""
+    r0 = rows_ref[0, pl.ds(csel, 1), :][0]               # [3K]
+    r1 = rows_ref[1, pl.ds(csel, 1), :][0]
+    r2 = rows_ref[2, pl.ds(csel, 1), :][0]
+    r3 = rows_ref[3, pl.ds(csel, 1), :][0]
+    # o4 = [o, 1], d4 = [d, 0] fold into the affine rows directly
+    ao = (o[:, 0][:, None] * r0[None, :] + o[:, 1][:, None] * r1[None, :]
+          + o[:, 2][:, None] * r2[None, :] + r3[None, :])
+    ad = (d[:, 0][:, None] * r0[None, :] + d[:, 1][:, None] * r1[None, :]
+          + d[:, 2][:, None] * r2[None, :])
+    no, uo, vo = ao[:, :K], ao[:, K:2 * K], ao[:, 2 * K:]
+    nd, ud, vd = ad[:, :K], ad[:, K:2 * K], ad[:, 2 * K:]
+    live = jnp.abs(nd) > 1e-20
+    t = -no / jnp.where(live, nd, 1.0)
+    u = uo + t * ud
+    v = vo + t * vd
+    valid = (live & (t > tnear[:, None]) & (t < tcap[:, None])
+             & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0))
+    return t, u, v, valid
+
+
+def _closest_kernel(n_real, lo_ref, hi_ref, rows_ref, ids_ref,
+                    o_ref, d_ref, tnear_ref, tfar_ref,
+                    t_ref, tri_ref, u_ref, v_ref, ent_scr):
+    cp = lo_ref.shape[1]
+    o = o_ref[:]
+    d = d_ref[:]
+    tnear = tnear_ref[:, 0]
+    tfar = tfar_ref[:, 0]
+    ent_scr[:] = _tile_entries(lo_ref, hi_ref, o, d, tnear, tfar, n_real, cp)
+    kiota = lax.broadcasted_iota(jnp.int32, (o.shape[0], K), 1)
+
+    emin0, csel0 = _pop_min(ent_scr)
+
+    def cond(s):
+        nv, emin, _, thresh, *_ = s
+        # front-to-back: nothing left that could beat any ray's best.
+        # thresh = max over rays of best_t, refreshed once per (2-visit)
+        # iteration — a stale (larger) threshold only delays the stop.
+        # nv bound: every iteration pops 2 entries, so cp iterations exhaust
+        # the heap — a hard stop even if inputs smuggle NaNs past sanitizing.
+        return (emin < thresh) & (nv < cp)
+
+    def visit(emin, csel, best_t, best_i, best_u, best_v):
+        t, u, v, valid = _test_cluster(rows_ref, csel, o, d, tnear,
+                                       jnp.minimum(best_t, tfar))
+        tm = jnp.where(valid, t, jnp.inf)
+        bt = jnp.min(tm, axis=1)
+        better = bt < best_t
+        j = jnp.minimum(jnp.min(jnp.where(tm == bt[:, None], kiota, K), 1),
+                        K - 1)
+        jhot = (kiota == j[:, None]) & better[:, None]
+        ids = ids_ref[pl.ds(csel, 1), :]                 # [1, K]
+        tri_new = jnp.sum(jnp.where(jhot, ids, 0), axis=1)
+        best_u = jnp.where(better, jnp.sum(jnp.where(jhot, u, 0.0), 1),
+                           best_u)
+        best_v = jnp.where(better, jnp.sum(jnp.where(jhot, v, 0.0), 1),
+                           best_v)
+        best_t = jnp.where(better, bt, best_t)
+        best_i = jnp.where(better, tri_new, best_i)
+        emin, csel = _pop_min(ent_scr)
+        return emin, csel, best_t, best_i, best_u, best_v
+
+    def body(s):
+        nv, emin, csel, _, best_t, best_i, best_u, best_v = s
+        out = visit(emin, csel, best_t, best_i, best_u, best_v)
+        out = visit(*out)          # 2 visits per iteration: amortizes the
+        emin, csel, best_t, best_i, best_u, best_v = out
+        return (nv + 1, emin, csel, _sortable_max(best_t),   # [R]->scalar
+                best_t, best_i, best_u, best_v)
+
+    r = o.shape[0]
+    best_t0 = jnp.minimum(tfar, jnp.inf)
+    init = (jnp.int32(0), emin0, csel0, _sortable_max(best_t0), best_t0,
+            jnp.full(r, -1, jnp.int32), jnp.zeros(r), jnp.zeros(r))
+    _, _, _, _, best_t, best_i, best_u, best_v = lax.while_loop(cond, body,
+                                                                init)
+    hit = best_i >= 0
+    t_ref[:, 0] = jnp.where(hit, best_t, jnp.inf)
+    tri_ref[:, 0] = best_i
+    u_ref[:, 0] = best_u
+    v_ref[:, 0] = best_v
+
+
+def _anyhit_kernel(n_real, lo_ref, hi_ref, rows_ref, ids_ref,
+                   o_ref, d_ref, tnear_ref, tfar_ref, occ_ref, ent_scr):
+    cp = lo_ref.shape[1]
+    o = o_ref[:]
+    d = d_ref[:]
+    tnear = tnear_ref[:, 0]
+    tfar = tfar_ref[:, 0]
+    ent_scr[:] = _tile_entries(lo_ref, hi_ref, o, d, tnear, tfar, n_real, cp)
+
+    emin0, csel0 = _pop_min(ent_scr)
+
+    def cond(s):
+        nv, emin, _, thresh, _ = s
+        # a cluster matters only for not-yet-occluded rays within range
+        # (occ carried as int32: Mosaic cannot yield i1 vectors in scf.while)
+        return (emin < thresh) & (nv < cp)
+
+    def visit(emin, csel, occ):
+        _, _, _, valid = _test_cluster(rows_ref, csel, o, d, tnear, tfar)
+        occ = jnp.maximum(occ, jnp.any(valid, axis=1).astype(jnp.int32))
+        emin, csel = _pop_min(ent_scr)
+        return emin, csel, occ
+
+    def body(s):
+        nv, emin, csel, _, occ = s
+        emin, csel, occ = visit(*visit(emin, csel, occ))
+        thresh = _sortable_max(jnp.where(occ > 0, 0.0, tfar))
+        return nv + 1, emin, csel, thresh, occ
+
+    occ0 = jnp.zeros(o.shape[0], jnp.int32)
+    init = (jnp.int32(0), emin0, csel0, _sortable_max(tfar), occ0)
+    _, _, _, _, occ = lax.while_loop(cond, body, init)
+    occ_ref[:, 0] = occ
+
+
+@partial(jax.jit, static_argnames=("any_hit", "interpret", "sort_rays"))
+def _walk_impl(wt: WalkTables, o, d, tnear, tfar, any_hit: bool,
+               interpret: bool = False, sort_rays: bool = True):
+    n = o.shape[0]
+    cp = wt.n_clusters
+    # sanitize: dead wavefront lanes can carry NaN rays/ranges. A NaN best_t
+    # would bitcast ABOVE +inf in the kernel's sortable-int ordering and spin
+    # the walk loop forever (TPU watchdog kill). NaN/negative tfar -> 0
+    # (inert ray), NaN tnear -> +inf.
+    tfar = jnp.where(tfar > 0, tfar, 0.0)
+    tnear = jnp.where(tnear >= 0, tnear, jnp.inf)
+
+    # coherence sort (payload sort, no gathers); un-sorted by lane id below
+    sort_rays = sort_rays and n >= 2 * RAY_TILE and wt.world_lo is not None
+    if sort_rays:
+        key = _sort_key(wt, jnp.where(jnp.isfinite(o), o, 0.0),
+                        jnp.where(jnp.isfinite(d), d, 0.0))
+        lane = lax.iota(jnp.int32, n)
+        (_, o0, o1, o2, d0, d1, d2, tnear, tfar, lane) = lax.sort(
+            (key, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+             tnear, tfar, lane), dimension=0, num_keys=1)
+        o = jnp.stack([o0, o1, o2], -1)
+        d = jnp.stack([d0, d1, d2], -1)
+
+    pad = (-n) % RAY_TILE
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)], 0)
+        d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)], 0)
+        tnear = jnp.concatenate([tnear, jnp.full(pad, jnp.inf)], 0)
+        tfar = jnp.concatenate([tfar, jnp.zeros(pad)], 0)
+    n_pad = o.shape[0]
+    g = n_pad // RAY_TILE
+    grid = (g,)
+    # per-ray scalars ride as [n, 1] columns: 1D blocks fight XLA's
+    # 1024-element tiling for f32[n] operands, and (1, R) row blocks violate
+    # the 8-sublane block rule
+    tnear2 = tnear.reshape(n_pad, 1)
+    tfar2 = tfar.reshape(n_pad, 1)
+
+    const = lambda spec_shape: pl.BlockSpec(
+        spec_shape, lambda i: tuple(0 for _ in spec_shape),
+        memory_space=pltpu.VMEM)
+    ray2 = pl.BlockSpec((RAY_TILE, 3), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    row = pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    in_specs = [
+        const((3, cp)), const((3, cp)),                  # lo, hi
+        const((4, cp, 3 * K)),                           # rows
+        const((cp, K)),                                  # ids
+        ray2, ray2, row, row,
+    ]
+    n_real = max(1, (wt.n_tris + K - 1) // K)
+    args = (wt.lo, wt.hi, wt.rows, wt.ids, o, d, tnear2, tfar2)
+    scratch = [pltpu.VMEM((1, cp), jnp.float32)]
+
+    if any_hit:
+        occ = pl.pallas_call(
+            partial(_anyhit_kernel, n_real),
+            grid=grid, in_specs=in_specs, out_specs=row,
+            out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+            scratch_shapes=scratch, interpret=interpret,
+        )(*args)
+        occ = occ[:n, 0]
+        if sort_rays:
+            _, occ = lax.sort((lane, occ), dimension=0, num_keys=1)
+        return occ > 0
+
+    t, tri, u, v = pl.pallas_call(
+        partial(_closest_kernel, n_real),
+        grid=grid, in_specs=in_specs,
+        out_specs=(row, row, row, row),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+        ),
+        scratch_shapes=scratch, interpret=interpret,
+    )(*args)
+    t, tri = t[:n, 0], tri[:n, 0]
+    u, v = u[:n, 0], v[:n, 0]
+    if sort_rays:
+        _, t, tri, u, v = lax.sort((lane, t, tri, u, v), dimension=0,
+                                   num_keys=1)
+    hit = tri >= 0
+    return RayHit(t=jnp.where(hit, t, jnp.inf), tri=tri, u=u, v=v, hit=hit)
+
+
+def walk_supported(wt) -> bool:
+    import os
+    if os.environ.get("RUSTLIGHT_TPU_NO_PALLAS_WALK") == "1":
+        return False
+    return (wt is not None and wt.n_clusters <= MAX_VMEM_CLUSTERS
+            and jax.default_backend() == "tpu")
+
+
+def intersect_walk(wt: WalkTables, o, d, tnear=None, tfar=None,
+                   interpret: bool = False):
+    n = o.shape[0]
+    if tnear is None:
+        tnear = jnp.full(n, EPSILON, jnp.float32)
+    if tfar is None:
+        tfar = jnp.full(n, jnp.inf, jnp.float32)
+    return _walk_impl(wt, o, d, tnear, tfar, False, interpret)
+
+
+def occluded_walk(wt: WalkTables, o, d, tnear=None, tfar=None,
+                  interpret: bool = False):
+    n = o.shape[0]
+    if tnear is None:
+        tnear = jnp.full(n, EPSILON, jnp.float32)
+    if tfar is None:
+        tfar = jnp.full(n, jnp.inf, jnp.float32)
+    return _walk_impl(wt, o, d, tnear, tfar, True, interpret)

@@ -124,6 +124,10 @@ class GeometryTables:
     # (accel/clustered.py), attached by build_geometry_tables when the
     # triangle count crosses CLUSTER_THRESHOLD; None = flat dense path
     clusters: Any = None
+    # Pallas tile-walk tables (accel/pallas_walk.py): the TPU production
+    # path for large scenes (7-15x the XLA clustered path); built alongside
+    # clusters while the tables fit VMEM, used when the backend is TPU
+    walk: Any = None
 
 
 def _baldwin_weber_rows(v0, e1, e2, n):
@@ -213,6 +217,10 @@ def build_geometry_tables(meshes: List[TriMesh], mesh_emitter_id: List[int]) -> 
     if gt.n_tris > CLUSTER_THRESHOLD:
         from ..accel.clustered import build_clusters
         gt = gt.replace(clusters=build_clusters(gt))
+        from ..accel.pallas_walk import K, MAX_VMEM_CLUSTERS, \
+            build_walk_tables
+        if (gt.n_tris + K - 1) // K <= MAX_VMEM_CLUSTERS:
+            gt = gt.replace(walk=build_walk_tables(gt))
     return gt
 
 

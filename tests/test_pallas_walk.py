@@ -1,0 +1,77 @@
+"""Pallas tile-walk intersector (accel/pallas_walk.py) parity tests.
+
+The walk kernel is the TPU production path for large scenes; on this CPU
+test backend it runs in Pallas interpret mode, checked against the flat
+dense intersector (the brute-force oracle, reference NaiveAcceleration
+src/accel.rs:14-77).
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rustlight_tpu.scene.geometry import TriMesh, build_geometry_tables
+from rustlight_tpu.accel.dense import _intersect_impl
+from rustlight_tpu.accel.pallas_walk import (
+    build_walk_tables, intersect_walk, occluded_walk)
+
+
+@pytest.fixture(scope="module")
+def soup():
+    rng = np.random.default_rng(7)
+    nt = 1500
+    c = rng.uniform(-1, 1, (nt, 3)).astype(np.float32)
+    v0 = c + rng.normal(0, .06, (nt, 3)).astype(np.float32)
+    v1 = c + rng.normal(0, .06, (nt, 3)).astype(np.float32)
+    v2 = c + rng.normal(0, .06, (nt, 3)).astype(np.float32)
+    verts = np.concatenate([v0, v1, v2], 0).astype(np.float32)
+    idx = np.arange(3 * nt).reshape(3, nt).T.astype(np.int32)
+    geom = build_geometry_tables(
+        [TriMesh(vertices=verts, indices=idx, material=0)], [-1])
+    wt = build_walk_tables(geom)
+
+    nr = 512
+    o = rng.uniform(-2.5, -1.8, (nr, 3)).astype(np.float32)
+    targ = c[rng.integers(0, nt, nr)]
+    d = targ - o
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return geom, wt, jnp.asarray(o), jnp.asarray(d)
+
+
+def test_closest_hit_matches_dense(soup):
+    geom, wt, o, d = soup
+    nr = o.shape[0]
+    ref = _intersect_impl(geom.inter_rows, o, d, jnp.full(nr, 1e-4),
+                          jnp.full(nr, jnp.inf), False)
+    out = intersect_walk(wt, o, d, interpret=True)
+    assert np.array_equal(np.asarray(ref.hit), np.asarray(out.hit))
+    both = np.asarray(ref.hit)
+    assert both.mean() > 0.5, "test rays should mostly hit"
+    np.testing.assert_allclose(np.asarray(out.t)[both],
+                               np.asarray(ref.t)[both], rtol=1e-5, atol=1e-6)
+    assert (np.asarray(ref.tri)[both] == np.asarray(out.tri)[both]).all()
+    np.testing.assert_allclose(np.asarray(out.u)[both],
+                               np.asarray(ref.u)[both], rtol=1e-4, atol=1e-5)
+
+
+def test_any_hit_matches_dense(soup):
+    geom, wt, o, d = soup
+    nr = o.shape[0]
+    tfar = jnp.full(nr, 2.2)
+    ref = _intersect_impl(geom.inter_rows, o, d, jnp.full(nr, 1e-4), tfar,
+                          True)
+    out = occluded_walk(wt, o, d, tfar=tfar, interpret=True)
+    assert np.array_equal(np.asarray(ref), np.asarray(out))
+
+
+def test_ray_padding_and_bounded_tfar(soup):
+    """Non-multiple-of-tile ray counts and finite tfar behave."""
+    geom, wt, o, d = soup
+    o2, d2 = o[:300], d[:300]
+    tfar = jnp.full(300, 2.0)
+    ref = _intersect_impl(geom.inter_rows, o2, d2, jnp.full(300, 1e-4),
+                          tfar, False)
+    out = intersect_walk(wt, o2, d2, tfar=tfar, interpret=True)
+    assert np.array_equal(np.asarray(ref.hit), np.asarray(out.hit))
+    both = np.asarray(ref.hit)
+    np.testing.assert_allclose(np.asarray(out.t)[both],
+                               np.asarray(ref.t)[both], rtol=1e-5, atol=1e-6)
