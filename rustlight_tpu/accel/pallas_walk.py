@@ -61,10 +61,15 @@ _BIG = 1e30
 class WalkTables:
     n_tris: int = struct.field(pytree_node=False)
     n_clusters: int = struct.field(pytree_node=False)   # padded C (mult 128)
-    rows: Any       # [4, C, 3K] f32 Baldwin-Weber rows by o4/d4 component
-    ids: Any        # [C, K] int32 original triangle ids (-1 pad)
-    lo: Any         # [3, C] f32 cluster AABB (pads are distant points)
-    hi: Any         # [3, C] f32
+    # resident=True: rows [4, C, 3K] f32 + ids [C, K] i32, whole in VMEM.
+    # resident=False (HBM variant): rows [C, 8, 3K] f32 — per-cluster DMA
+    # block (8-sublane aligned) with the o4/d4 component rows in [:, 0:4, :]
+    # and the triangle ids BITCAST to f32 in [:, 4, :K]; ids is None.
+    resident: bool = struct.field(pytree_node=False, default=True)
+    rows: Any = None
+    ids: Any = None
+    lo: Any = None         # [3, C] f32 cluster AABB (pads: distant points)
+    hi: Any = None         # [3, C] f32
     world_lo: Any = None   # [3] scene bounds (ray-sorting morton grid)
     world_hi: Any = None   # [3]
 
@@ -106,10 +111,21 @@ def build_walk_tables(geom) -> WalkTables:
     packed = (rows.reshape(cp, K, 3, 4)
               .transpose(3, 0, 2, 1)                      # [4, C, 3, K]
               .reshape(4, cp, 3 * K)).astype(np.float32)
+    ids = order.reshape(cp, K).astype(np.int32)
+    resident = cp <= MAX_VMEM_CLUSTERS
+    if resident:
+        rows_out, ids_out = packed, ids
+    else:
+        # HBM DMA layout: the dynamically sliced cluster dim must be the
+        # untiled major dim; ids ride bitcast-as-f32 in component row 4 so
+        # each visit is ONE [1, 5, 3K] DMA
+        blk = np.zeros((cp, 8, 3 * K), np.float32)
+        blk[:, 0:4, :] = packed.transpose(1, 0, 2)
+        blk[:, 4, :K] = ids.view(np.float32)
+        rows_out, ids_out = blk, None
     return WalkTables(
-        n_tris=t, n_clusters=cp,
-        rows=packed,
-        ids=order.reshape(cp, K).astype(np.int32),
+        n_tris=t, n_clusters=cp, resident=resident,
+        rows=rows_out, ids=ids_out,
         lo=lo.astype(np.float32), hi=hi.astype(np.float32),
         world_lo=tri_lo[:t].min(0).astype(np.float32),
         world_hi=tri_hi[:t].max(0).astype(np.float32),
@@ -134,16 +150,18 @@ def _sort_key(wt: WalkTables, o, d):
     return (octant << 15) | m
 
 
-_ID_BITS = 12           # cluster id packed into the entry's low mantissa bits
+# cluster id packed into the entry's low mantissa bits: caps scenes at
+# 2^14 clusters = ~2.1M triangles, quantizing the front-to-back order to
+# 2^-9 relative — order is a heuristic and rounding DOWN keeps the
+# termination test conservative, so this costs only a few extra visits
+_ID_BITS = 14
 
 
 def _tile_entries(lo_ref, hi_ref, o, d, tnear, tfar, n_real, cp):
     """Per-cluster tile entry distance: min over rays of the slab entry.
 
     Returns [1, C] f32 with the cluster id PACKED into the low _ID_BITS
-    mantissa bits (entry rounded down to 2^-11 relative precision — order is
-    only a heuristic, and rounding down keeps the front-to-back termination
-    test conservative). +inf where no ray in the tile enters the AABB, so a
+    mantissa bits. +inf where no ray in the tile enters the AABB, so a
     single min-reduce yields both the next entry distance and its cluster."""
     inv = 1.0 / jnp.where(jnp.abs(d) > 1e-12, d,
                           jnp.where(d >= 0, 1e-12, -1e-12))
@@ -152,12 +170,13 @@ def _tile_entries(lo_ref, hi_ref, o, d, tnear, tfar, n_real, cp):
     cc = min(cp, 512)
     parts = []
     for c0 in range(0, cp, cc):
-        tmin = jnp.full((o.shape[0], cc), -jnp.inf)
-        tmax = jnp.full((o.shape[0], cc), jnp.inf)
+        w = min(cc, cp - c0)             # last chunk may be narrower
+        tmin = jnp.full((o.shape[0], w), -jnp.inf)
+        tmax = jnp.full((o.shape[0], w), jnp.inf)
         for j in range(3):
-            t0 = ((lo_ref[j, c0:c0 + cc][None, :] - o[:, j][:, None])
+            t0 = ((lo_ref[j, c0:c0 + w][None, :] - o[:, j][:, None])
                   * inv[:, j][:, None])
-            t1 = ((hi_ref[j, c0:c0 + cc][None, :] - o[:, j][:, None])
+            t1 = ((hi_ref[j, c0:c0 + w][None, :] - o[:, j][:, None])
                   * inv[:, j][:, None])
             tmin = jnp.maximum(tmin, jnp.minimum(t0, t1))
             tmax = jnp.minimum(tmax, jnp.maximum(t0, t1))
@@ -196,13 +215,16 @@ def _sortable_max(x):
 
 
 def _test_cluster(rows_ref, csel, o, d, tnear, tcap):
-    """Test all rays of the tile against cluster csel's K triangles.
-
-    Returns (t, u, v, valid) each [R, K]."""
+    """Test all rays of the tile against cluster csel's K triangles
+    (VMEM-resident rows). Returns (t, u, v, valid) each [R, K]."""
     r0 = rows_ref[0, pl.ds(csel, 1), :][0]               # [3K]
     r1 = rows_ref[1, pl.ds(csel, 1), :][0]
     r2 = rows_ref[2, pl.ds(csel, 1), :][0]
     r3 = rows_ref[3, pl.ds(csel, 1), :][0]
+    return _test_rows(r0, r1, r2, r3, o, d, tnear, tcap)
+
+
+def _test_rows(r0, r1, r2, r3, o, d, tnear, tcap):
     # o4 = [o, 1], d4 = [d, 0] fold into the affine rows directly
     ao = (o[:, 0][:, None] * r0[None, :] + o[:, 1][:, None] * r1[None, :]
           + o[:, 2][:, None] * r2[None, :] + r3[None, :])
@@ -317,6 +339,133 @@ def _anyhit_kernel(n_real, lo_ref, hi_ref, rows_ref, ids_ref,
     occ_ref[:, 0] = occ
 
 
+def _closest_kernel_hbm(n_real, lo_ref, hi_ref, rows_hbm,
+                        o_ref, d_ref, tnear_ref, tfar_ref,
+                        t_ref, tri_ref, u_ref, v_ref,
+                        ent_scr, rbuf, sem):
+    """HBM-resident variant: cluster blocks stay in HBM; each visit DMAs one
+    cluster's [1, 8, 3K] block (rows + bitcast ids) into a double-buffered
+    VMEM scratch, prefetching the next cluster while the current one is
+    tested. Slots are STATIC (two visits per loop iteration, slot0 then
+    slot1) so buffer reads never need a dynamic leading index. Invariant at
+    loop entry: slot0 holds the current cluster's in-flight DMA; exactly
+    slot0 is outstanding at loop exit."""
+    cp = lo_ref.shape[1]
+    o = o_ref[:]
+    d = d_ref[:]
+    tnear = tnear_ref[:, 0]
+    tfar = tfar_ref[:, 0]
+    ent_scr[:] = _tile_entries(lo_ref, hi_ref, o, d, tnear, tfar, n_real, cp)
+    kiota = lax.broadcasted_iota(jnp.int32, (o.shape[0], K), 1)
+
+    def dma_rows(csel, slot):
+        return pltpu.make_async_copy(
+            rows_hbm.at[pl.ds(csel, 1), :, :], rbuf.at[slot], sem.at[slot])
+
+    def test_update(slot, best_t, best_i, best_u, best_v):
+        r = rbuf[slot]                                   # [1, 8, 3K] static
+        t, u, v, valid = _test_rows(r[0, 0], r[0, 1], r[0, 2], r[0, 3],
+                                    o, d, tnear, jnp.minimum(best_t, tfar))
+        tm = jnp.where(valid, t, jnp.inf)
+        bt = jnp.min(tm, axis=1)
+        better = bt < best_t
+        j = jnp.minimum(jnp.min(jnp.where(tm == bt[:, None], kiota, K), 1),
+                        K - 1)
+        jhot = (kiota == j[:, None]) & better[:, None]
+        ids = lax.bitcast_convert_type(r[0, 4:5, :K], jnp.int32)   # [1, K]
+        tri_new = jnp.sum(jnp.where(jhot, ids, 0), axis=1)
+        best_u = jnp.where(better, jnp.sum(jnp.where(jhot, u, 0.0), 1),
+                           best_u)
+        best_v = jnp.where(better, jnp.sum(jnp.where(jhot, v, 0.0), 1),
+                           best_v)
+        return (jnp.where(better, bt, best_t),
+                jnp.where(better, tri_new, best_i), best_u, best_v)
+
+    emin0, csel0 = _pop_min(ent_scr)
+    dma_rows(csel0, 0).start()
+    emin1, csel1 = _pop_min(ent_scr)
+
+    def cond(s):
+        nv, emin_c, *_ = s
+        thresh = s[5]
+        return (emin_c < thresh) & (nv < cp)
+
+    def body(s):
+        nv, emin_c, csel_c, emin_n, csel_n, _, bt, bi, bu, bv = s
+        dma_rows(csel_n, 1).start()       # prefetch next while testing cur
+        dma_rows(csel_c, 0).wait()
+        bt, bi, bu, bv = test_update(0, bt, bi, bu, bv)
+        emin_2, csel_2 = _pop_min(ent_scr)
+        dma_rows(csel_2, 0).start()       # prefetch new cur into slot0
+        dma_rows(csel_n, 1).wait()
+        bt, bi, bu, bv = test_update(1, bt, bi, bu, bv)
+        emin_3, csel_3 = _pop_min(ent_scr)
+        return (nv + 1, emin_2, csel_2, emin_3, csel_3,
+                _sortable_max(bt), bt, bi, bu, bv)
+
+    r = o.shape[0]
+    best_t0 = jnp.minimum(tfar, jnp.inf)
+    init = (jnp.int32(0), emin0, csel0, emin1, csel1, _sortable_max(best_t0),
+            best_t0, jnp.full(r, -1, jnp.int32), jnp.zeros(r), jnp.zeros(r))
+    out = lax.while_loop(cond, body, init)
+    _, _, csel_c, _, _, _, best_t, best_i, best_u, best_v = out
+    dma_rows(csel_c, 0).wait()            # drain the outstanding slot-0 DMA
+    hit = best_i >= 0
+    t_ref[:, 0] = jnp.where(hit, best_t, jnp.inf)
+    tri_ref[:, 0] = best_i
+    u_ref[:, 0] = best_u
+    v_ref[:, 0] = best_v
+
+
+def _anyhit_kernel_hbm(n_real, lo_ref, hi_ref, rows_hbm,
+                       o_ref, d_ref, tnear_ref, tfar_ref, occ_ref,
+                       ent_scr, rbuf, sem):
+    cp = lo_ref.shape[1]
+    o = o_ref[:]
+    d = d_ref[:]
+    tnear = tnear_ref[:, 0]
+    tfar = tfar_ref[:, 0]
+    ent_scr[:] = _tile_entries(lo_ref, hi_ref, o, d, tnear, tfar, n_real, cp)
+
+    def dma_rows(csel, slot):
+        return pltpu.make_async_copy(
+            rows_hbm.at[pl.ds(csel, 1), :, :], rbuf.at[slot], sem.at[slot])
+
+    def test(slot, occ):
+        r = rbuf[slot]
+        _, _, _, valid = _test_rows(r[0, 0], r[0, 1], r[0, 2], r[0, 3],
+                                    o, d, tnear, tfar)
+        return jnp.maximum(occ, jnp.any(valid, axis=1).astype(jnp.int32))
+
+    emin0, csel0 = _pop_min(ent_scr)
+    dma_rows(csel0, 0).start()
+    emin1, csel1 = _pop_min(ent_scr)
+
+    def cond(s):
+        nv, emin_c, _, _, _, thresh, _ = s
+        return (emin_c < thresh) & (nv < cp)
+
+    def body(s):
+        nv, emin_c, csel_c, emin_n, csel_n, _, occ = s
+        dma_rows(csel_n, 1).start()
+        dma_rows(csel_c, 0).wait()
+        occ = test(0, occ)
+        emin_2, csel_2 = _pop_min(ent_scr)
+        dma_rows(csel_2, 0).start()
+        dma_rows(csel_n, 1).wait()
+        occ = test(1, occ)
+        emin_3, csel_3 = _pop_min(ent_scr)
+        thresh = _sortable_max(jnp.where(occ > 0, 0.0, tfar))
+        return nv + 1, emin_2, csel_2, emin_3, csel_3, thresh, occ
+
+    occ0 = jnp.zeros(o.shape[0], jnp.int32)
+    init = (jnp.int32(0), emin0, csel0, emin1, csel1, _sortable_max(tfar),
+            occ0)
+    _, _, csel_c, _, _, _, occ = lax.while_loop(cond, body, init)
+    dma_rows(csel_c, 0).wait()
+    occ_ref[:, 0] = occ
+
+
 @partial(jax.jit, static_argnames=("any_hit", "interpret", "sort_rays"))
 def _walk_impl(wt: WalkTables, o, d, tnear, tfar, any_hit: bool,
                interpret: bool = False, sort_rays: bool = True):
@@ -363,19 +512,32 @@ def _walk_impl(wt: WalkTables, o, d, tnear, tfar, any_hit: bool,
                         memory_space=pltpu.VMEM)
     row = pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
+    if wt.resident:
+        table_specs = [const((4, cp, 3 * K)), const((cp, K))]
+        extra_scratch = []
+        k_closest, k_anyhit = _closest_kernel, _anyhit_kernel
+        tables = (wt.rows, wt.ids)
+    else:
+        # cluster blocks stay in HBM; kernels double-buffer per-visit DMAs
+        table_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+        extra_scratch = [
+            pltpu.VMEM((2, 1, 8, 3 * K), jnp.float32),   # rbuf
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+        k_closest, k_anyhit = _closest_kernel_hbm, _anyhit_kernel_hbm
+        tables = (wt.rows,)
     in_specs = [
         const((3, cp)), const((3, cp)),                  # lo, hi
-        const((4, cp, 3 * K)),                           # rows
-        const((cp, K)),                                  # ids
+        *table_specs,                                    # rows (+ids)
         ray2, ray2, row, row,
     ]
     n_real = max(1, (wt.n_tris + K - 1) // K)
-    args = (wt.lo, wt.hi, wt.rows, wt.ids, o, d, tnear2, tfar2)
-    scratch = [pltpu.VMEM((1, cp), jnp.float32)]
+    args = (wt.lo, wt.hi, *tables, o, d, tnear2, tfar2)
+    scratch = [pltpu.VMEM((1, cp), jnp.float32)] + extra_scratch
 
     if any_hit:
         occ = pl.pallas_call(
-            partial(_anyhit_kernel, n_real),
+            partial(k_anyhit, n_real),
             grid=grid, in_specs=in_specs, out_specs=row,
             out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
             scratch_shapes=scratch, interpret=interpret,
@@ -386,7 +548,7 @@ def _walk_impl(wt: WalkTables, o, d, tnear, tfar, any_hit: bool,
         return occ > 0
 
     t, tri, u, v = pl.pallas_call(
-        partial(_closest_kernel, n_real),
+        partial(k_closest, n_real),
         grid=grid, in_specs=in_specs,
         out_specs=(row, row, row, row),
         out_shape=(
@@ -410,7 +572,7 @@ def walk_supported(wt) -> bool:
     import os
     if os.environ.get("RUSTLIGHT_TPU_NO_PALLAS_WALK") == "1":
         return False
-    return (wt is not None and wt.n_clusters <= MAX_VMEM_CLUSTERS
+    return (wt is not None and wt.n_clusters <= (1 << _ID_BITS)
             and jax.default_backend() == "tpu")
 
 

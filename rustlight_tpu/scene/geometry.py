@@ -217,9 +217,8 @@ def build_geometry_tables(meshes: List[TriMesh], mesh_emitter_id: List[int]) -> 
     if gt.n_tris > CLUSTER_THRESHOLD:
         from ..accel.clustered import build_clusters
         gt = gt.replace(clusters=build_clusters(gt))
-        from ..accel.pallas_walk import K, MAX_VMEM_CLUSTERS, \
-            build_walk_tables
-        if (gt.n_tris + K - 1) // K <= MAX_VMEM_CLUSTERS:
+        from ..accel.pallas_walk import K, _ID_BITS, build_walk_tables
+        if (gt.n_tris + K - 1) // K <= (1 << _ID_BITS):
             gt = gt.replace(walk=build_walk_tables(gt))
     return gt
 

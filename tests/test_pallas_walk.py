@@ -63,6 +63,29 @@ def test_any_hit_matches_dense(soup):
     assert np.array_equal(np.asarray(ref), np.asarray(out))
 
 
+def test_hbm_variant_matches_dense(soup, monkeypatch):
+    """The double-buffered HBM-DMA kernels (>262k-tri scenes) produce the
+    same hits; forced here by shrinking the VMEM residency threshold."""
+    import rustlight_tpu.accel.pallas_walk as W
+    geom, _, o, d = soup
+    monkeypatch.setattr(W, "MAX_VMEM_CLUSTERS", 1)
+    wt = W.build_walk_tables(geom)
+    assert not wt.resident and wt.ids is None
+    nr = o.shape[0]
+    ref = _intersect_impl(geom.inter_rows, o, d, jnp.full(nr, 1e-4),
+                          jnp.full(nr, jnp.inf), False)
+    out = W.intersect_walk(wt, o, d, interpret=True)
+    assert np.array_equal(np.asarray(ref.hit), np.asarray(out.hit))
+    both = np.asarray(ref.hit)
+    np.testing.assert_allclose(np.asarray(out.t)[both],
+                               np.asarray(ref.t)[both], rtol=1e-5, atol=1e-6)
+    assert (np.asarray(ref.tri)[both] == np.asarray(out.tri)[both]).all()
+    occ_ref = _intersect_impl(geom.inter_rows, o, d, jnp.full(nr, 1e-4),
+                              jnp.full(nr, 2.2), True)
+    occ = W.occluded_walk(wt, o, d, tfar=jnp.full(nr, 2.2), interpret=True)
+    assert np.array_equal(np.asarray(occ_ref), np.asarray(occ))
+
+
 def test_ray_padding_and_bounded_tfar(soup):
     """Non-multiple-of-tile ray counts and finite tfar behave."""
     geom, wt, o, d = soup
