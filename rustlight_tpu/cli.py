@@ -305,8 +305,31 @@ def build_integrator(args):
     raise SystemExit(f"unknown command {cmd}")
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: renderer executables (especially the
+    Pallas walk kernels on large scenes) take 20-270 s to compile on remote
+    TPU relays; caching makes repeat CLI invocations near-instant. Disable
+    with RUSTLIGHT_TPU_NO_COMPILE_CACHE=1 or point the dir elsewhere with
+    JAX_COMPILATION_CACHE_DIR."""
+    import os
+    if os.environ.get("RUSTLIGHT_TPU_NO_COMPILE_CACHE") == "1":
+        return
+    try:
+        import jax
+        path = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache", "rustlight_tpu",
+                         "jax"))
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    _enable_compile_cache()
     logging.basicConfig(
         level=logging.INFO, stream=sys.stderr,
         format="%(levelname)s %(module)s - %(message)s",

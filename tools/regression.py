@@ -81,6 +81,8 @@ def render_one(scene_data, name, spp, seed=0):
 
 
 def main():
+    from rustlight_tpu.cli import _enable_compile_cache
+    _enable_compile_cache()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--out", default="regress")
     ap.add_argument("--spp", type=int, default=32)

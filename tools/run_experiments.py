@@ -68,6 +68,8 @@ def make_integrator(spec: str):
 
 
 def main():
+    from rustlight_tpu.cli import _enable_compile_cache
+    _enable_compile_cache()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--scene", default="cbox")
     ap.add_argument("--res", type=float, default=0.25)
