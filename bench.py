@@ -32,15 +32,35 @@ def main():
     integ = IntegratorPathTracing(max_depth=max_depth)
     pix = jnp.asarray(_pixel_grid(width, height))
 
-    # ray counting: instrument one pass to count traced rays exactly
-    # (primary+bounce rays = one trace per live lane per bounce; shadow rays =
-    # one visibility ray per NEE-eligible lane per bounce)
-    # the scene is CLOSED OVER (compile-time constant): XLA constant-folds
-    # scene-dependent work — 2.25x faster than passing the pytree as an
-    # argument on v5e. Only the RNG stream is an argument.
-    @jax.jit
-    def run_block(stream):
-        return integ.compute_block(scene, pix, stream, spp)
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        # multi-chip: pixel-sharded persistent-wavefront render over the
+        # full device mesh (parallel/render.py); zero cross-device traffic
+        # until the film concat, so throughput scales ~linearly on ICI
+        from rustlight_tpu.parallel import make_device_mesh, \
+            render_block_sharded
+        mesh = make_device_mesh()
+        npx = pix.shape[0]
+        pad = (-npx) % n_dev
+        if pad:
+            pix_s = jnp.concatenate([pix, jnp.tile(pix[-1:], (pad, 1))], 0)
+        else:
+            pix_s = pix
+
+        @jax.jit
+        def run_block(stream):
+            return render_block_sharded(scene, integ, mesh, pix_s, spp)
+    else:
+        # ray counting: instrument one pass to count traced rays exactly
+        # (primary+bounce rays = one trace per live lane per bounce; shadow
+        # rays = one visibility ray per NEE-eligible lane per bounce)
+        # the scene is CLOSED OVER (compile-time constant): XLA
+        # constant-folds scene-dependent work — 2.25x faster than passing
+        # the pytree as an argument on v5e. Only the RNG stream is an
+        # argument.
+        @jax.jit
+        def run_block(stream):
+            return integ.compute_block(scene, pix, stream, spp)
 
     stream0 = stream_fold(make_stream(0), 0)
     # warm up / compile. NOTE: on the axon relay block_until_ready does not
@@ -51,6 +71,7 @@ def main():
     acc = run_block(stream0)
     float(jnp.sum(acc))  # hard sync (includes one ~30 ms readback)
     dt = time.time() - t0
+    acc = acc[: pix.shape[0]]
 
     # Count rays on a measurement pass (host-side estimate of live lanes per
     # bounce from the same RNG stream: re-run a counting variant once).
@@ -117,7 +138,8 @@ def main():
 
     rays_per_pass = float(alive_per_bounce(scene, pix))
     total_rays = rays_per_pass * spp
-    mrays = total_rays / dt / 1e6
+    mrays_aggregate = total_rays / dt / 1e6
+    mrays = mrays_aggregate / max(n_dev, 1)   # per-chip (metric unit)
 
     print(json.dumps({
         "metric": "cbox_path_128spp_throughput",
@@ -129,6 +151,8 @@ def main():
             "spp": spp,
             "wall_s": round(dt, 3),
             "rays_per_pass": int(rays_per_pass),
+            "n_devices": n_dev,
+            "aggregate_mrays_s": round(mrays_aggregate, 3),
             "mean_radiance": float(np.asarray(acc).mean() / spp),
         },
     }))

@@ -1,1 +1,2 @@
-from .render import make_device_mesh, render_sharded, render_step_sharded
+from .render import (make_device_mesh, render_block_sharded, render_sharded,
+                     render_step_sharded)
