@@ -61,6 +61,7 @@ _BIG = 1e30
 class WalkTables:
     n_tris: int = struct.field(pytree_node=False)
     n_clusters: int = struct.field(pytree_node=False)   # padded C (mult 128)
+    n_real: int = struct.field(pytree_node=False, default=0)  # treelet count
     # resident=True: rows [4, C, 3K] f32 + ids [C, K] i32, whole in VMEM.
     # resident=False (HBM variant): rows [C, 8, 3K] f32 — per-cluster DMA
     # block (8-sublane aligned) with the o4/d4 component rows in [:, 0:4, :]
@@ -74,38 +75,97 @@ class WalkTables:
     world_hi: Any = None   # [3]
 
 
+def _treelet_cut(nodes: np.ndarray, max_tris: int):
+    """Cut the skip-link preorder BVH into maximal subtrees of <= max_tris
+    primitives. Returns [(prim_start, prim_count)] segments in preorder —
+    together they tile the preorder primitive array contiguously.
+
+    Fixed preorder chunks of exactly K can straddle unrelated subtrees,
+    inflating cluster bounds and therefore the number of clusters every ray
+    tile visits; subtree-aligned cut points keep each cluster spatially
+    tight. The caller re-packs consecutive segments up to K (>50% fill by
+    maximality: two mergeable neighbors would have been one treelet)."""
+    ints = nodes[:, 6:9].copy().view(np.int32)
+    skip, start, cnt = ints[:, 0], ints[:, 1], ints[:, 2]
+    m = nodes.shape[0]
+    sub_cnt = np.zeros(m, np.int64)
+    sub_start = np.zeros(m, np.int64)
+    for i in range(m - 1, -1, -1):
+        if cnt[i] > 0:                                   # leaf
+            sub_cnt[i] = cnt[i]
+            sub_start[i] = start[i]
+        else:                                            # left=i+1, right=
+            l = i + 1                                    # skip(left)
+            r = skip[l]
+            sub_cnt[i] = sub_cnt[l] + sub_cnt[r]
+            sub_start[i] = sub_start[l]
+    out = []
+    stack = [0]
+    while stack:
+        i = stack.pop()
+        if cnt[i] > 0 or sub_cnt[i] <= max_tris:
+            out.append((int(sub_start[i]), int(sub_cnt[i])))
+        else:
+            l = i + 1
+            stack.append(skip[l])                        # right after left
+            stack.append(l)
+    return out
+
+
 def build_walk_tables(geom) -> WalkTables:
-    """Host build: SAH-BVH preorder (same ordering as accel/clustered.py),
-    chunked into clusters of K with lane-aligned layouts."""
+    """Host build: SAH-BVH treelet cut points (segments of the preorder
+    primitive array aligned to subtree boundaries), greedily re-packed up
+    to K per cluster, with tight per-range triangle AABBs."""
     from .bvh import build_bvh
     if hasattr(geom, "host") and geom.host is not None:
         geom = geom.host.data.geom
     bvh = build_bvh(geom, max_leaf=8)
     order = np.asarray(bvh.prim_index)                   # SAH preorder
     t = order.shape[0]
-    rows = np.asarray(geom.inter_rows[: geom.n_tris])[order]   # [T, 3, 4]
+    nodes = np.stack([
+        np.asarray(bvh.bbox_lo), np.asarray(bvh.bbox_hi)], axis=1
+    ).reshape(-1, 6).astype(np.float32)
+    ints = np.stack([np.asarray(bvh.skip), np.asarray(bvh.prim_start),
+                     np.asarray(bvh.prim_count)], axis=1).astype(np.int32)
+    nodes = np.concatenate([nodes, ints.view(np.float32)], axis=1)
+    segs = _treelet_cut(nodes, K)
+    # greedy consecutive re-pack: segments tile the prim array in order, so
+    # merging neighbors keeps ranges contiguous; >50% fill guaranteed (two
+    # adjacent clusters never sum <= K, else they'd have merged)
+    cuts = []
+    cs, cn = segs[0]
+    for s, n in segs[1:]:
+        if cn + n <= K:
+            cn += n
+        else:
+            cuts.append((cs, cn))
+            cs, cn = s, n
+    cuts.append((cs, cn))
 
-    c = max(1, (t + K - 1) // K)
+    c = len(cuts)
+    if c > (1 << _ID_BITS):
+        return None          # beyond the packed-id ceiling (~2M triangles)
     cp = ((c + 127) // 128) * 128                        # lane-pad C
-    pad = cp * K - t
-    if pad:
-        rows = np.concatenate([rows, np.zeros((pad, 3, 4), np.float32)], 0)
-        order = np.concatenate([order, np.full(pad, -1, np.int64)], 0)
+    all_rows = np.asarray(geom.inter_rows[: geom.n_tris])[order]  # [T, 3, 4]
+    v0 = np.asarray(geom.v0[: geom.n_tris])[order]
+    e1 = np.asarray(geom.e1[: geom.n_tris])[order]
+    e2 = np.asarray(geom.e2[: geom.n_tris])[order]
+    p1, p2 = v0 + e1, v0 + e2
+    tri_lo = np.minimum(np.minimum(v0, p1), p2)          # [T, 3]
+    tri_hi = np.maximum(np.maximum(v0, p1), p2)
+    rows = np.zeros((cp * K, 3, 4), np.float32)
+    ids = np.full((cp, K), -1, np.int64)
+    lo = np.full((3, cp), _BIG, np.float32)              # pads: distant
+    hi = np.full((3, cp), _BIG, np.float32)              # points
+    for ci, (s0, n0) in enumerate(cuts):
+        rows[ci * K: ci * K + n0] = all_rows[s0: s0 + n0]
+        ids[ci, :n0] = order[s0: s0 + n0]
+        lo[:, ci] = tri_lo[s0: s0 + n0].min(0)
+        hi[:, ci] = tri_hi[s0: s0 + n0].max(0)
+    order = ids.reshape(-1)
 
-    v0 = np.asarray(geom.v0[: geom.n_tris])[order[:t]]
-    e1 = np.asarray(geom.e1[: geom.n_tris])[order[:t]]
-    e2 = np.asarray(geom.e2[: geom.n_tris])[order[:t]]
-    p0, p1, p2 = v0, v0 + e1, v0 + e2
-    tri_lo = np.minimum(np.minimum(p0, p1), p2)
-    tri_hi = np.maximum(np.maximum(p0, p1), p2)
-    if pad:
-        # pad AABBs are a distant degenerate point: a finite sentinel keeps
-        # the slab arithmetic NaN-free (true +/-inf bounds make an
-        # empty-interval test ambiguous); the kernel also masks c >= n_real
-        tri_lo = np.concatenate([tri_lo, np.full((pad, 3), _BIG)], 0)
-        tri_hi = np.concatenate([tri_hi, np.full((pad, 3), _BIG)], 0)
-    lo = tri_lo.reshape(cp, K, 3).min(1).T               # [3, C]
-    hi = tri_hi.reshape(cp, K, 3).max(1).T
+    world_lo = tri_lo.min(0).astype(np.float32)
+    world_hi = tri_hi.max(0).astype(np.float32)
 
     # [4, C, 3K]: component j of the o4/d4 dot, N|U|V column blocks of K
     packed = (rows.reshape(cp, K, 3, 4)
@@ -118,17 +178,17 @@ def build_walk_tables(geom) -> WalkTables:
     else:
         # HBM DMA layout: the dynamically sliced cluster dim must be the
         # untiled major dim; ids ride bitcast-as-f32 in component row 4 so
-        # each visit is ONE [1, 5, 3K] DMA
+        # each visit is ONE [1, 8, 3K] DMA
         blk = np.zeros((cp, 8, 3 * K), np.float32)
         blk[:, 0:4, :] = packed.transpose(1, 0, 2)
         blk[:, 4, :K] = ids.view(np.float32)
         rows_out, ids_out = blk, None
     return WalkTables(
-        n_tris=t, n_clusters=cp, resident=resident,
+        n_tris=t, n_clusters=cp, n_real=c, resident=resident,
         rows=rows_out, ids=ids_out,
-        lo=lo.astype(np.float32), hi=hi.astype(np.float32),
-        world_lo=tri_lo[:t].min(0).astype(np.float32),
-        world_hi=tri_hi[:t].max(0).astype(np.float32),
+        lo=np.ascontiguousarray(lo).astype(np.float32),
+        hi=np.ascontiguousarray(hi).astype(np.float32),
+        world_lo=world_lo, world_hi=world_hi,
     )
 
 
@@ -167,7 +227,7 @@ def _tile_entries(lo_ref, hi_ref, o, d, tnear, tfar, n_real, cp):
                           jnp.where(d >= 0, 1e-12, -1e-12))
     # chunk over clusters so the [R, C] intermediates stay within VMEM
     # headroom next to the resident row tables at large C
-    cc = min(cp, 512)
+    cc = min(cp, 512 if cp <= 1024 else 256)
     parts = []
     for c0 in range(0, cp, cc):
         w = min(cc, cp - c0)             # last chunk may be narrower
@@ -232,11 +292,12 @@ def _test_rows(r0, r1, r2, r3, o, d, tnear, tcap):
           + d[:, 2][:, None] * r2[None, :])
     no, uo, vo = ao[:, :K], ao[:, K:2 * K], ao[:, 2 * K:]
     nd, ud, vd = ad[:, :K], ad[:, K:2 * K], ad[:, 2 * K:]
-    live = jnp.abs(nd) > 1e-20
-    t = -no / jnp.where(live, nd, 1.0)
+    # IEEE saves the parallel-ray guard: nd == 0 gives t = +-inf (or NaN for
+    # zero-pad rows), and every inf/NaN falls out of the comparisons below
+    t = -no / nd
     u = uo + t * ud
     v = vo + t * vd
-    valid = (live & (t > tnear[:, None]) & (t < tcap[:, None])
+    valid = ((t > tnear[:, None]) & (t < tcap[:, None])
              & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0))
     return t, u, v, valid
 
@@ -264,8 +325,8 @@ def _closest_kernel(n_real, lo_ref, hi_ref, rows_ref, ids_ref,
         return (emin < thresh) & (nv < cp)
 
     def visit(emin, csel, best_t, best_i, best_u, best_v):
-        t, u, v, valid = _test_cluster(rows_ref, csel, o, d, tnear,
-                                       jnp.minimum(best_t, tfar))
+        # best_t starts at tfar and only decreases: it IS the t-cap
+        t, u, v, valid = _test_cluster(rows_ref, csel, o, d, tnear, best_t)
         tm = jnp.where(valid, t, jnp.inf)
         bt = jnp.min(tm, axis=1)
         better = bt < best_t
@@ -365,7 +426,7 @@ def _closest_kernel_hbm(n_real, lo_ref, hi_ref, rows_hbm,
     def test_update(slot, best_t, best_i, best_u, best_v):
         r = rbuf[slot]                                   # [1, 8, 3K] static
         t, u, v, valid = _test_rows(r[0, 0], r[0, 1], r[0, 2], r[0, 3],
-                                    o, d, tnear, jnp.minimum(best_t, tfar))
+                                    o, d, tnear, best_t)
         tm = jnp.where(valid, t, jnp.inf)
         bt = jnp.min(tm, axis=1)
         better = bt < best_t
@@ -531,9 +592,16 @@ def _walk_impl(wt: WalkTables, o, d, tnear, tfar, any_hit: bool,
         *table_specs,                                    # rows (+ids)
         ray2, ray2, row, row,
     ]
-    n_real = max(1, (wt.n_tris + K - 1) // K)
+    n_real = max(1, wt.n_real or (wt.n_tris + K - 1) // K)
     args = (wt.lo, wt.hi, *tables, o, d, tnear2, tfar2)
     scratch = [pltpu.VMEM((1, cp), jnp.float32)] + extra_scratch
+
+    # the 16 MB default scoped-vmem cap is conservative; the resident tables
+    # alone reach ~12.6 MB at MAX_VMEM_CLUSTERS, so lift the cap to what the
+    # tables + entry-pass intermediates actually need (v5e VMEM is larger)
+    cparams = pltpu.CompilerParams(
+        vmem_limit_bytes=(20 if wt.resident else 8) * 1024 * 1024
+        + (4 * cp * 3 * K * 4 if wt.resident else 0))
 
     if any_hit:
         occ = pl.pallas_call(
@@ -541,6 +609,7 @@ def _walk_impl(wt: WalkTables, o, d, tnear, tfar, any_hit: bool,
             grid=grid, in_specs=in_specs, out_specs=row,
             out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
             scratch_shapes=scratch, interpret=interpret,
+            compiler_params=cparams,
         )(*args)
         occ = occ[:n, 0]
         if sort_rays:
@@ -558,6 +627,7 @@ def _walk_impl(wt: WalkTables, o, d, tnear, tfar, any_hit: bool,
             jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
         ),
         scratch_shapes=scratch, interpret=interpret,
+        compiler_params=cparams,
     )(*args)
     t, tri = t[:n, 0], tri[:n, 0]
     u, v = u[:n, 0], v[:n, 0]

@@ -219,7 +219,9 @@ def build_geometry_tables(meshes: List[TriMesh], mesh_emitter_id: List[int]) -> 
         gt = gt.replace(clusters=build_clusters(gt))
         from ..accel.pallas_walk import K, _ID_BITS, build_walk_tables
         if (gt.n_tris + K - 1) // K <= (1 << _ID_BITS):
-            gt = gt.replace(walk=build_walk_tables(gt))
+            wt = build_walk_tables(gt)   # None past the packed-id ceiling
+            if wt is not None:
+                gt = gt.replace(walk=wt)
     return gt
 
 
