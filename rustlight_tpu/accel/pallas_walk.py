@@ -49,7 +49,13 @@ from .. import EPSILON
 from .dense import RayHit
 
 K = 128               # triangles per cluster (3K = 384 lanes, MXU/VPU tiles)
-RAY_TILE = 256        # rays per program
+# Rays per program. Visits per tile scale with the tile's cluster UNION, so
+# smaller tiles trade more (cheap, O(C) vector) pop_min/entry steps for far
+# fewer wasted [R, 3K] triangle tests on divergent wavefronts. Measured v5e,
+# 122k tris, 262k rays: 64 is ~2x over 256 on coherent AND incoherent sets
+# (and ~2x on the HBM DMA variant too); 32 is within noise of 64 trace-only
+# but no better end-to-end.
+RAY_TILE = 64
 # VMEM budget for the resident tables: rows [4, C, 3K] f32 dominates at
 # 6 KB/cluster; leave room for ray tiles + scratch on a 16 MB core
 # (the entry pass is chunked, so C=2048 = 12.6 MB of rows fits).
@@ -598,10 +604,11 @@ def _walk_impl(wt: WalkTables, o, d, tnear, tfar, any_hit: bool,
 
     # the 16 MB default scoped-vmem cap is conservative; the resident tables
     # alone reach ~12.6 MB at MAX_VMEM_CLUSTERS, so lift the cap to what the
-    # tables + entry-pass intermediates actually need (v5e VMEM is larger)
+    # tables + entry-pass intermediates actually need (v5e VMEM is larger).
+    # The HBM variant's working set fits the default cap.
     cparams = pltpu.CompilerParams(
-        vmem_limit_bytes=(20 if wt.resident else 8) * 1024 * 1024
-        + (4 * cp * 3 * K * 4 if wt.resident else 0))
+        vmem_limit_bytes=20 * 1024 * 1024 + 4 * cp * 3 * K * 4
+    ) if wt.resident else pltpu.CompilerParams()
 
     if any_hit:
         occ = pl.pallas_call(
