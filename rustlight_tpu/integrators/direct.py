@@ -41,7 +41,7 @@ class IntegratorDirect(Integrator):
         # directly visible emission
         li = li + jnp.where(front[:, None],
                             emitted_radiance(scene.emitters, scene.geom, hit.tri, d,
-                                             uv=hit.uv), 0.0)
+                                             uv=hit.uv, attr=hit.attr), 0.0)
 
         w_nb_b = 1.0 / self.nb_bsdf_samples if self.nb_bsdf_samples else 0.0
         w_nb_l = 1.0 / self.nb_light_samples if self.nb_light_samples else 0.0
@@ -75,9 +75,9 @@ class IntegratorDirect(Integrator):
 
             # hit an area light (emitted_radiance checks the front side)
             le2 = emitted_radiance(scene.emitters, scene.geom, hit2.tri, d2,
-                                   uv=hit2.uv)
+                                   uv=hit2.uv, attr=hit2.attr)
             pdf_l = direct_pdf_tri(scene.emitters, hit2.tri, o2, hit2.p,
-                                   hit2.n_g, d2)
+                                   hit2.n_g, d2, attr=hit2.attr)
             w = jnp.where(bs.is_delta, 1.0,
                           mis_power(bs.pdf * w_nb_b, pdf_l * w_nb_l))
             ok = front & bs.valid & hit2.valid

@@ -152,7 +152,8 @@ class IntegratorGradientPathReconnect:
             min_ok = True if min_d is None else depth >= min_d
 
             # ---- very direct (camera->light), depth==1 (path.rs:305-307)
-            le0 = emitted_radiance(em, geom, mh.tri, c["m_d"], uv=mh.uv)
+            le0 = emitted_radiance(em, geom, mh.tri, c["m_d"], uv=mh.uv,
+                                   attr=mh.attr)
             vdirect = c["vdirect"] + jnp.where(
                 ((depth == 1) & m_alive & jnp.asarray(min_ok))[:, None],
                 le0, 0.0)
@@ -251,10 +252,12 @@ class IntegratorGradientPathReconnect:
 
             is_l = nh.is_light & (nh.wi[:, 2] > 0.0) & hit_ok
             light_pdf = jnp.where(
-                is_l, direct_pdf_tri(em, nh.tri, mh.p, nh.p, nh.n_g, wo_w),
+                is_l, direct_pdf_tri(em, nh.tri, mh.p, nh.p, nh.n_g, wo_w,
+                                     attr=nh.attr),
                 0.0)
             rad = jnp.where(is_l[:, None],
-                            emitted_radiance(em, geom, nh.tri, wo_w, uv=nh.uv), 0.0)
+                            emitted_radiance(em, geom, nh.tri, wo_w,
+                                             uv=nh.uv, attr=nh.attr), 0.0)
 
             m_pdf_new = m_pdf * bs.pdf
             m_thr_new = m_thr * bs.weight
@@ -329,7 +332,8 @@ class IntegratorGradientPathReconnect:
                     hv_live = hv_ok & bs_s.valid & rh_s.hit & sh.valid
                     rad_hv = jnp.where(
                         (sh.is_light & hv_live)[:, None],
-                        emitted_radiance(em, geom, sh.tri, wo_sw, uv=sh.uv), 0.0)
+                        emitted_radiance(em, geom, sh.tri, wo_sw,
+                                         uv=sh.uv, attr=sh.attr), 0.0)
                     ctb_hv = jnp.where(hv_live[:, None], thr_hv * rad_hv, 0.0)
                     dem_hv = jnp.where(hv_live, pdf_hv, 0.0)
                 else:

@@ -146,7 +146,7 @@ class IntegratorPathTracing(Integrator):
             # ---- emission picked up through the BSDF/sensor edge (k+1 edges)
             min_ok = k >= self.min_depth
             le = emitted_radiance(scene.emitters, scene.geom, hit.tri, s.d,
-                                  uv=hit.uv)
+                                  uv=hit.uv, attr=hit.attr)
             # MIS vs the NEE strategy pdf at the previous vertex
             if scene.ats is not None:
                 from ..scene.emitters import direct_pdf_tri_ats
@@ -154,7 +154,8 @@ class IntegratorPathTracing(Integrator):
                                                scene.ats, hit.tri, s.o, hit.p,
                                                hit.n_g, s.d)
             else:
-                pdf_light = direct_pdf_tri(scene.emitters, hit.tri, s.o, hit.p, hit.n_g, s.d)
+                pdf_light = direct_pdf_tri(scene.emitters, hit.tri, s.o,
+                                           hit.p, hit.n_g, s.d, attr=hit.attr)
             w_hit = jnp.where(
                 s.prev_delta | (~s.prev_nee) | (~jnp.asarray(mis_on)),
                 1.0, mis_balance(s.prev_pdf, pdf_light))
@@ -342,7 +343,7 @@ class IntegratorPathTracing(Integrator):
             lane_hit = alive & hit.valid & (~scattered)
             min_ok = depth >= self.min_depth
             le = emitted_radiance(scene.emitters, scene.geom, hit.tri, d,
-                                  uv=hit.uv)
+                                  uv=hit.uv, attr=hit.attr)
             if scene.ats is not None:
                 from ..scene.emitters import direct_pdf_tri_ats
                 pdf_light = direct_pdf_tri_ats(scene.emitters, scene.geom,
@@ -350,7 +351,7 @@ class IntegratorPathTracing(Integrator):
                                                hit.n_g, d)
             else:
                 pdf_light = direct_pdf_tri(scene.emitters, hit.tri, o, hit.p,
-                                           hit.n_g, d)
+                                           hit.n_g, d, attr=hit.attr)
             w_hit = jnp.where(
                 prev_delta | (~prev_nee) | (~jnp.asarray(mis_on)),
                 1.0, mis_balance(prev_pdf, pdf_light))

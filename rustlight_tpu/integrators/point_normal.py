@@ -445,14 +445,16 @@ class IntegratorPointNormal(Integrator):
             tri = tris[:, k]
             ok = valid[:, k]
             psel = jnp.maximum(pdf_sel[:, k], 1e-30)
+            from ..scene.geometry import A_V0, A_E1, A_E2, A_NG, A_AREA, A_LE
             ttake = make_taker(jnp.maximum(tri, 0), geom.n_pad)
-            v0 = ttake(geom.v0)
-            p_l = v0 + b[..., 0:1] * ttake(geom.e1) + b[..., 1:2] * ttake(geom.e2)
-            n_l = ttake(geom.n_g)
-            area = ttake(geom.area)
-            le = ttake(em.tri_emission)
+            ta = ttake(geom.attr)
+            v0 = ta[:, A_V0]
+            p_l = v0 + b[..., 0:1] * ta[:, A_E1] + b[..., 1:2] * ta[:, A_E2]
+            n_l = ta[:, A_NG]
+            area = ta[:, A_AREA]
+            le = ta[:, A_LE]
             if em.has_em_uv:
-                le = _emission_at(em, ttake, le, _tri_uv_at(geom, ttake, b))
+                le = _emission_at(em, ta, le, _tri_uv_at(ta, b))
             # flux = Le*pi*area/pdf_sel, then *correct_flux(=1/pi)
             flux = le * (area / psel)[:, None]
 
@@ -592,7 +594,7 @@ class IntegratorPointNormal(Integrator):
                 rh2 = intersect_rays(scene.geom, x_t, d_ph)
                 hit2 = fill_hit(scene, x_t, d_ph, rh2)
                 le = emitted_radiance(scene.emitters, scene.geom, hit2.tri,
-                                      d_ph, uv=hit2.uv)
+                                      d_ph, uv=hit2.uv, attr=hit2.attr)
                 tr_light = transmittance(vol, jnp.where(rh2.hit, rh2.t, 0.0))
                 contrib = (vol.sigma_s[None, :] * tr_cam * tr_light * w_ph
                            * le * (w / jnp.maximum(pdf_t, 1e-30))[:, None])

@@ -294,7 +294,8 @@ class IntegratorVPL(Integrator):
             front = hit.valid & (hit.wi[..., 2] > 0.0) & (~scattered)
             li = li + jnp.where(front[:, None],
                                 emitted_radiance(scene.emitters, scene.geom,
-                                                 hit.tri, d, uv=hit.uv)
+                                                 hit.tri, d, uv=hit.uv,
+                                                 attr=hit.attr)
                                 * sdm.w, 0.0)
             gath = self._gather_surface(scene, hit, front, vpls,
                                         recv_scattered=scattered,
@@ -305,6 +306,6 @@ class IntegratorVPL(Integrator):
         front = hit.valid & (hit.wi[..., 2] > 0.0)
         li = li + jnp.where(front[:, None],
                             emitted_radiance(scene.emitters, scene.geom, hit.tri, d,
-                                             uv=hit.uv), 0.0)
+                                             uv=hit.uv, attr=hit.attr), 0.0)
         li = li + self._gather_surface(scene, hit, front, vpls)
         return li

@@ -340,19 +340,21 @@ def sample_light(em: EmitterTables, geom, p_ref, u_sel, u_pos) -> LightSample:
     kind = atake(em.atom_kind)
     ref = atake(em.atom_ref)
 
-    # ---- surface triangle atom
+    # ---- surface triangle atom (ONE fused-attr gather for all columns)
+    from .geometry import A_V0, A_E1, A_E2, A_NG, A_AREA, A_LE
     tri = ref
     b = warps.uniform_sample_triangle(u_pos)
     ttake = make_taker(tri, geom.n_pad)
-    v0 = ttake(geom.v0)
-    e1 = ttake(geom.e1)
-    e2 = ttake(geom.e2)
+    ta = ttake(geom.attr)
+    v0 = ta[:, A_V0]
+    e1 = ta[:, A_E1]
+    e2 = ta[:, A_E2]
     p_tri = v0 + b[..., 0:1] * e1 + b[..., 1:2] * e2
-    n_tri = ttake(geom.n_g)
-    area = ttake(geom.area)
-    le = ttake(em.tri_emission)
+    n_tri = ta[:, A_NG]
+    area = ta[:, A_AREA]
+    le = ta[:, A_LE]
     if em.has_em_uv:
-        le = _emission_at(em, ttake, le, _tri_uv_at(geom, ttake, b))
+        le = _emission_at(em, ta, le, _tri_uv_at(ta, b))
 
     delta_v = p_tri - p_ref
     dist_tri = jnp.linalg.norm(delta_v, axis=-1)
@@ -450,22 +452,30 @@ def sample_light(em: EmitterTables, geom, p_ref, u_sel, u_pos) -> LightSample:
                        is_delta=is_delta, valid=valid, tri=tri_out)
 
 
-def direct_pdf_tri(em: EmitterTables, tri_id, p_ref, p_hit, n_hit, d):
+def direct_pdf_tri(em: EmitterTables, tri_id, p_ref, p_hit, n_hit, d,
+                   attr=None):
     """Solid-angle NEE pdf of hitting emissive triangle tri_id from p_ref
-    (reference Mesh::direct_pdf x selection, emitter.rs:571-579)."""
-    pdf_area = table_take(em.tri_pdf_area, jnp.maximum(tri_id, 0))
+    (reference Mesh::direct_pdf x selection, emitter.rs:571-579). `attr` =
+    pre-gathered fused attribute rows (Hit.attr), if available."""
+    if attr is not None:
+        from .geometry import A_PDFA
+        pdf_area = attr[:, A_PDFA]
+    else:
+        pdf_area = table_take(em.tri_pdf_area, jnp.maximum(tri_id, 0))
     cos_l = jnp.maximum(jnp.sum(n_hit * (-d), axis=-1), 0.0)
     dist2 = jnp.sum((p_hit - p_ref) ** 2, axis=-1)
     pdf = jnp.where(cos_l > 0.0, pdf_area * dist2 / jnp.maximum(cos_l, 1e-20), 0.0)
     return jnp.where(tri_id >= 0, pdf, 0.0)
 
 
-def _emission_at(em: EmitterTables, ttake, base_le, uv):
+def _emission_at(em: EmitterTables, ta, base_le, uv):
     """uv-dependent emission (Mesh::emit, reference geometry.rs:184-206):
     kind 0 = constant `base_le`, 1 = HSV ramp x*red+(1-x)*green over u,
-    2 = texture atlas lookup. Only called when em.has_em_uv."""
-    kind = ttake(em.tri_em_kind)
-    scale = ttake(em.tri_em_scale)
+    2 = texture atlas lookup. Only called when em.has_em_uv. `ta` = fused
+    attribute rows (geom.attr gathered for these lanes)."""
+    from .geometry import A_EMKIND, A_EMSCALE, A_EMTEX
+    kind = jnp.round(ta[:, A_EMKIND]).astype(jnp.int32)
+    scale = ta[:, A_EMSCALE]
     x = jnp.mod(jnp.abs(uv[..., 0]), 1.0)
     hsv = scale[:, None] * jnp.stack([x, 1.0 - x, jnp.zeros_like(x)], -1)
     le = jnp.where((kind == 1)[:, None], hsv, base_le)
@@ -475,29 +485,35 @@ def _emission_at(em: EmitterTables, ttake, base_le, uv):
         fv = uv[..., 1] - jnp.floor(uv[..., 1])
         xi = jnp.clip((fu * tw).astype(jnp.int32), 0, tw - 1)
         yi = jnp.clip(((1.0 - fv) * th).astype(jnp.int32), 0, th - 1)
-        img = jnp.clip(ttake(em.tri_em_tex), 0, k - 1)
+        img = jnp.clip(jnp.round(ta[:, A_EMTEX]).astype(jnp.int32), 0, k - 1)
         texel = em.tex_atlas[img, yi, xi] * scale[:, None]
         le = jnp.where((kind == 2)[:, None], texel, le)
     return le
 
 
-def _tri_uv_at(geom, ttake, b):
-    """Interpolated uv at barycentric b on the taken triangles."""
-    vuv = ttake(geom.vuv)   # [n, 3, 2]
+def _tri_uv_at(ta, b):
+    """Interpolated uv at barycentric b from fused attribute rows."""
+    from .geometry import A_VUV
+    vuv = ta[:, A_VUV].reshape(ta.shape[0], 3, 2)
     w0 = (1.0 - b[..., 0] - b[..., 1])[:, None]
     return (vuv[:, 0] * w0 + vuv[:, 1] * b[..., 0:1]
             + vuv[:, 2] * b[..., 1:2])
 
 
-def emitted_radiance(em: EmitterTables, geom, tri_id, d, uv=None):
+def emitted_radiance(em: EmitterTables, geom, tri_id, d, uv=None, attr=None):
     """Le seen along -d when hitting triangle tri_id (front side only,
     reference `emit` + n_g orientation check in direct.rs:147). Pass the hit
-    uv to evaluate uv-dependent emission kinds exactly."""
-    t = make_taker(jnp.maximum(tri_id, 0), geom.n_pad)
-    le = t(em.tri_emission)
+    uv to evaluate uv-dependent emission kinds exactly. `attr` = fused
+    attribute rows already gathered for tri_id (Hit.attr) — skips the
+    re-gather of the big per-tri tables."""
+    from .geometry import A_NG, A_LE
+    if attr is None:
+        t = make_taker(jnp.maximum(tri_id, 0), geom.n_pad)
+        attr = t(geom.attr)
+    le = attr[:, A_LE]
     if em.has_em_uv and uv is not None:
-        le = _emission_at(em, t, le, uv)
-    ng = t(geom.n_g)
+        le = _emission_at(em, attr, le, uv)
+    ng = attr[:, A_NG]
     front = jnp.sum(ng * (-d), axis=-1) > 0.0
     return jnp.where((front & (tri_id >= 0))[:, None], le, 0.0)
 
@@ -513,18 +529,20 @@ def sample_position(em: EmitterTables, geom, u_sel, u_pos) -> PositionSample:
     ref = atake(em.atom_ref)
 
     # surface: uniform point on the triangle; Phi = Le*pi/pdf_area
+    from .geometry import A_V0, A_E1, A_E2, A_NG, A_AREA, A_LE
     tri = ref
     b = warps.uniform_sample_triangle(u_pos)
     ttake = make_taker(tri, geom.n_pad)
-    v0 = ttake(geom.v0)
-    e1 = ttake(geom.e1)
-    e2 = ttake(geom.e2)
+    ta = ttake(geom.attr)
+    v0 = ta[:, A_V0]
+    e1 = ta[:, A_E1]
+    e2 = ta[:, A_E2]
     p = v0 + b[..., 0:1] * e1 + b[..., 1:2] * e2
-    nrm = ttake(geom.n_g)
-    area = ttake(geom.area)
-    le = ttake(em.tri_emission)
+    nrm = ta[:, A_NG]
+    area = ta[:, A_AREA]
+    le = ta[:, A_LE]
     if em.has_em_uv:
-        le = _emission_at(em, ttake, le, _tri_uv_at(geom, ttake, b))
+        le = _emission_at(em, ta, le, _tri_uv_at(ta, b))
     pdf_area = sel_pdf / jnp.maximum(area, 1e-20)
     weight = le * (_PI / jnp.maximum(pdf_area, 1e-30))[:, None]
     valid = sel_pdf > 0.0
@@ -620,18 +638,20 @@ def sample_light_ats(em: EmitterTables, geom, ats, p_ref, n_ref, u_sel, u_pos
     emitter.rs:1629-1648 + direct_sample_tri)."""
     from .ats import ats_sample
 
+    from .geometry import A_V0, A_E1, A_E2, A_NG, A_AREA, A_LE
     tri, sel_pdf = ats_sample(ats, p_ref, n_ref, u_sel)
     ttake = make_taker(jnp.maximum(tri, 0), geom.n_pad)
     b = warps.uniform_sample_triangle(u_pos)
-    v0 = ttake(geom.v0)
-    e1 = ttake(geom.e1)
-    e2 = ttake(geom.e2)
+    ta = ttake(geom.attr)
+    v0 = ta[:, A_V0]
+    e1 = ta[:, A_E1]
+    e2 = ta[:, A_E2]
     p_tri = v0 + b[..., 0:1] * e1 + b[..., 1:2] * e2
-    n_tri = ttake(geom.n_g)
-    area = ttake(geom.area)
-    le = ttake(em.tri_emission)
+    n_tri = ta[:, A_NG]
+    area = ta[:, A_AREA]
+    le = ta[:, A_LE]
     if em.has_em_uv:
-        le = _emission_at(em, ttake, le, _tri_uv_at(geom, ttake, b))
+        le = _emission_at(em, ta, le, _tri_uv_at(ta, b))
 
     delta_v = p_tri - p_ref
     dist = jnp.linalg.norm(delta_v, axis=-1)

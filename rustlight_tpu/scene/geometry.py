@@ -29,6 +29,31 @@ TRI_PAD = 8
 # clustered intersector (measured crossover ~1k on v5e; see accel/clustered.py)
 CLUSTER_THRESHOLD = 1024
 
+# Fused per-triangle attribute row (GeometryTables.attr): every per-tri
+# quantity the hot paths read, in ONE f32 table, so a wavefront hit fetch is
+# a single one-hot gather (make_taker) instead of one scan per column —
+# at >4096 triangles each separate take re-scans every 4096-row chunk.
+# Ints/bools ride as exact small f32. Columns 0:N_ATTR_GEOM are built by
+# build_geometry_tables; Scene.compile appends the emission columns
+# (A_LE..A_EMTEX) once the emitter tables exist.
+A_V0 = slice(0, 3)
+A_E1 = slice(3, 6)
+A_E2 = slice(6, 9)
+A_NG = slice(9, 12)
+A_AREA = 12
+A_VN = slice(13, 22)      # 3 corners x 3
+A_VUV = slice(22, 28)     # 3 corners x 2
+A_HASN = 28
+A_MAT = 29
+A_EID = 30
+N_ATTR_GEOM = 31
+A_LE = slice(31, 34)      # em.tri_emission
+A_PDFA = 34               # em.tri_pdf_area
+A_EMKIND = 35             # em.tri_em_kind
+A_EMSCALE = 36            # em.tri_em_scale
+A_EMTEX = 37              # em.tri_em_tex
+N_ATTR = 38
+
 
 @dataclass
 class TriMesh:
@@ -120,6 +145,9 @@ class GeometryTables:
     mesh_id: Any     # [T] int32
     emitter_id: Any  # [T] int32, -1 if not emissive (index into emitter table)
     has_normals: Any  # [T] bool (use vertex-normal interpolation)
+    # fused attribute rows (see A_* column constants above): [T, N_ATTR_GEOM]
+    # as built here, widened to [T, N_ATTR] by Scene.compile
+    attr: Any = None
     # two-level clustered intersector tables for large scenes
     # (accel/clustered.py), attached by build_geometry_tables when the
     # triangle count crosses CLUSTER_THRESHOLD; None = flat dense path
@@ -214,6 +242,13 @@ def build_geometry_tables(meshes: List[TriMesh], mesh_emitter_id: List[int]) -> 
         emitter_id=padz(eid, -1),
         has_normals=padz(hn, False),
     )
+    gt = gt.replace(attr=np.concatenate([
+        gt.v0, gt.e1, gt.e2, gt.n_g, gt.area[:, None],
+        gt.vn.reshape(t_pad, 9), gt.vuv.reshape(t_pad, 6),
+        gt.has_normals[:, None].astype(np.float32),
+        gt.mat_id[:, None].astype(np.float32),
+        gt.emitter_id[:, None].astype(np.float32),
+    ], axis=1).astype(np.float32))
     if gt.n_tris > CLUSTER_THRESHOLD:
         from ..accel.clustered import build_clusters
         gt = gt.replace(clusters=build_clusters(gt))

@@ -106,6 +106,16 @@ class Scene:
             bsphere_center=center, bsphere_radius=radius,
             textures=self.textures,
         )
+        # widen the fused per-tri attribute rows with the emission columns
+        # (A_LE..A_EMTEX) so one gather serves hit fill, Le and NEE-pdf reads
+        geom = geom.replace(attr=np.concatenate([
+            geom.attr,
+            emitters.tri_emission,
+            emitters.tri_pdf_area[:, None],
+            emitters.tri_em_kind[:, None].astype(np.float32),
+            emitters.tri_em_scale[:, None],
+            emitters.tri_em_tex[:, None].astype(np.float32),
+        ], axis=1).astype(np.float32))
         materials = build_material_table(self.materials, textures=self.textures)
         ats = None
         if use_ats:
@@ -134,6 +144,11 @@ class Hit(NamedTuple):
     wi: Any      # [n, 3] local incoming (toward previous vertex)
     mat: Any     # [n] int32 material id
     is_light: Any  # [n] bool
+    # fused attribute rows [n, N_ATTR] gathered once for these lanes —
+    # downstream emission/pdf reads (emitted_radiance, direct_pdf_tri) slice
+    # this instead of re-gathering the big tables; None on scenes compiled
+    # without emitter columns
+    attr: Any = None
 
 
 def fill_hit(scene: SceneData, o, d, rh,
@@ -144,18 +159,22 @@ def fill_hit(scene: SceneData, o, d, rh,
     normal/uv interpolation, shading-normal alignment with n_g, two-sided flip
     for non-light two-sided materials.
     """
+    from .geometry import (
+        A_NG, A_VN, A_VUV, A_HASN, A_MAT, A_EID, N_ATTR)
     g = scene.geom
     if use_shading_normals is None:
         use_shading_normals = scene.use_shading_normals
     tri = jnp.maximum(rh.tri, 0)
     b0 = 1.0 - rh.u - rh.v
 
-    take = make_taker(tri, g.n_pad)   # one one-hot for every per-tri column
-    n_g = take(g.n_g)
-    vn = take(g.vn)                                      # [n, 3, 3]
+    take = make_taker(tri, g.n_pad)
+    a = take(g.attr)                  # ONE fused gather for every column
+    nl = a.shape[0]
+    n_g = a[:, A_NG]
+    vn = a[:, A_VN].reshape(nl, 3, 3)
     n_s_raw = (vn[:, 0] * b0[:, None] + vn[:, 1] * rh.u[:, None]
                + vn[:, 2] * rh.v[:, None])
-    has_n = take(g.has_normals) & use_shading_normals
+    has_n = (a[:, A_HASN] > 0.5) & use_shading_normals
     # flip n_g toward interpolated shading normal
     flip_g = jnp.sum(n_g * n_s_raw, axis=-1) < 0.0
     n_g = jnp.where((has_n & flip_g)[:, None], -n_g, n_g)
@@ -163,12 +182,12 @@ def fill_hit(scene: SceneData, o, d, rh,
     n_s = jnp.where(l2 > 0.0, n_s_raw / jnp.sqrt(jnp.maximum(l2, 1e-30)), n_g)
     n_s = jnp.where(has_n[:, None], n_s, n_g)
 
-    vuv = take(g.vuv)
+    vuv = a[:, A_VUV].reshape(nl, 3, 2)
     uv = (vuv[:, 0] * b0[:, None] + vuv[:, 1] * rh.u[:, None]
           + vuv[:, 2] * rh.v[:, None])
 
-    mat = take(g.mat_id)
-    is_light = take(g.emitter_id) >= 0
+    mat = jnp.round(a[:, A_MAT]).astype(jnp.int32)
+    is_light = jnp.round(a[:, A_EID]).astype(jnp.int32) >= 0
     two_sided = table_take(scene.materials.two_sided, mat)
     backface = jnp.sum(d * n_s, axis=-1) > 0.0
     do_flip = two_sided & (~is_light) & backface
@@ -179,7 +198,8 @@ def fill_hit(scene: SceneData, o, d, rh,
     frame = make_frame(n_s)
     wi = to_local(frame, -d)
     return Hit(valid=rh.hit, t=rh.t, tri=rh.tri, p=p, n_g=n_g, n_s=n_s, uv=uv,
-               frame=frame, wi=wi, mat=mat, is_light=is_light)
+               frame=frame, wi=wi, mat=mat, is_light=is_light,
+               attr=a if a.shape[1] >= N_ATTR else None)
 
 
 def offset_ray_origin(p, n_g, d):
