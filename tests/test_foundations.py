@@ -225,3 +225,38 @@ class TestSolvers:
                 val = np.polyval(coeffs[i], r)
                 scale = np.abs(coeffs[i]).sum() * max(1.0, abs(r)) ** 3
                 assert abs(val) < 1e-3 * scale, (i, r, val)
+
+
+def test_fused_attr_columns():
+    """GeometryTables.attr fused rows mirror the individual columns, and
+    Scene.compile appends the emission columns (scene/geometry.py A_*)."""
+    import numpy as np
+    from rustlight_tpu.scene import Scene, make_camera, look_at, make_quad, make_sphere
+    from rustlight_tpu.bsdfs.table import MaterialDesc
+    from rustlight_tpu.scene.geometry import (
+        A_V0, A_E1, A_E2, A_NG, A_AREA, A_VN, A_VUV, A_HASN, A_MAT, A_EID,
+        A_LE, A_PDFA, N_ATTR)
+
+    sc = Scene(camera=make_camera(16, 16, 40.0,
+                                  look_at((0., 1., -4.), (0., 1., 0.), (0, 1, 0))))
+    m = sc.add_material(MaterialDesc(kd=(0.5, 0.5, 0.5)))
+    sc.add_mesh(make_sphere((0, 1, 0), 1.0, material=m, n_theta=8, n_phi=8))
+    sc.add_mesh(make_quad((1., 3., 1.), (2., 3., 1.), (2., 3., 2.), (1., 3., 2.),
+                          emission=(5., 5., 5.)))
+    sd = sc.compile()
+    g = sd.host.data.geom
+    em = sd.host.data.emitters
+    a = np.asarray(g.attr)
+    assert a.shape == (g.n_pad, N_ATTR)
+    np.testing.assert_array_equal(a[:, A_V0], g.v0)
+    np.testing.assert_array_equal(a[:, A_E1], g.e1)
+    np.testing.assert_array_equal(a[:, A_E2], g.e2)
+    np.testing.assert_array_equal(a[:, A_NG], g.n_g)
+    np.testing.assert_array_equal(a[:, A_AREA], g.area)
+    np.testing.assert_array_equal(a[:, A_VN], g.vn.reshape(g.n_pad, 9))
+    np.testing.assert_array_equal(a[:, A_VUV], g.vuv.reshape(g.n_pad, 6))
+    np.testing.assert_array_equal(a[:, A_HASN] > 0.5, g.has_normals)
+    np.testing.assert_array_equal(a[:, A_MAT].astype(np.int32), g.mat_id)
+    np.testing.assert_array_equal(a[:, A_EID].astype(np.int32), g.emitter_id)
+    np.testing.assert_array_equal(a[:, A_LE], em.tri_emission)
+    np.testing.assert_array_equal(a[:, A_PDFA], em.tri_pdf_area)
