@@ -157,12 +157,17 @@ def build_bvh(geom, max_leaf: int = 8) -> BvhTables:
     # slice would silently test the wrong primitives)
     rows = np.concatenate(
         [rows, np.zeros((max_leaf, 3, 4), np.float32)], axis=0)
+    # Leaves stay NUMPY: device consumers (intersect_bvh) jit-close over the
+    # tables, embedding them as compile-time constants exactly like the
+    # scene tables; host consumers (cluster/walk builders) read them without
+    # a device->host readback — any readback permanently degrades launch
+    # latency on the axon relay (see scene/scene.py HostMirror).
     return BvhTables(
         n_nodes=nodes.shape[0], leaf_size=max_leaf,
-        bbox_lo=jnp.asarray(nodes[:, :3]), bbox_hi=jnp.asarray(nodes[:, 3:6]),
-        skip=jnp.asarray(ints[:, 0]), prim_start=jnp.asarray(ints[:, 1]),
-        prim_count=jnp.asarray(ints[:, 2]),
-        inter_rows=jnp.asarray(rows), prim_index=jnp.asarray(order),
+        bbox_lo=nodes[:, :3].copy(), bbox_hi=nodes[:, 3:6].copy(),
+        skip=ints[:, 0].copy(), prim_start=ints[:, 1].copy(),
+        prim_count=ints[:, 2].copy(),
+        inter_rows=rows, prim_index=order,
     )
 
 
@@ -181,6 +186,9 @@ def intersect_bvh(bvh: BvhTables, o, d, tnear=None, tfar=None) -> RayHit:
         tnear = jnp.full(n, EPSILON)
     if tfar is None:
         tfar = jnp.full(n, jnp.inf)
+    # table leaves are host numpy (see build_bvh) — lift to device values
+    # here, the single device-consumption boundary
+    bvh = jax.tree.map(jnp.asarray, bvh)
     k = bvh.leaf_size
 
     def one_ray(o1, d1, tn, tf):

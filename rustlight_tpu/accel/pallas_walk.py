@@ -217,10 +217,19 @@ def _sort_key(wt: WalkTables, o, d):
 
 
 # cluster id packed into the entry's low mantissa bits: caps scenes at
-# 2^14 clusters = ~2.1M triangles, quantizing the front-to-back order to
-# 2^-9 relative — order is a heuristic and rounding DOWN keeps the
-# termination test conservative, so this costs only a few extra visits
+# 2^14 clusters (~1-2M triangles depending on treelet fill), quantizing the
+# front-to-back VISIT ORDER to 2^-9 relative — order is a heuristic, so the
+# id bits may round an entry up or down. The TERMINATION test must stay
+# conservative, so it compares the id-STRIPPED entry (a floor of the true
+# bits) against the threshold — see _entry_floor.
 _ID_BITS = 14
+
+
+def _entry_floor(emin_bits):
+    """Packed entry with the id bits cleared: <= the true entry's sortable
+    bits, so `floor < thresh` never terminates while an unvisited cluster
+    could still beat a ray's best hit."""
+    return emin_bits & ~((1 << _ID_BITS) - 1)
 
 
 def _tile_entries(lo_ref, hi_ref, o, d, tnear, tfar, n_real, cp):
@@ -298,12 +307,14 @@ def _test_rows(r0, r1, r2, r3, o, d, tnear, tcap):
           + d[:, 2][:, None] * r2[None, :])
     no, uo, vo = ao[:, :K], ao[:, K:2 * K], ao[:, 2 * K:]
     nd, ud, vd = ad[:, :K], ad[:, K:2 * K], ad[:, 2 * K:]
-    # IEEE saves the parallel-ray guard: nd == 0 gives t = +-inf (or NaN for
-    # zero-pad rows), and every inf/NaN falls out of the comparisons below
-    t = -no / nd
+    # same near-parallel guard as the dense oracle (accel/dense.py): rays
+    # with |nd| <= 1e-20 must MISS there too, or walk/dense parity breaks
+    # in the catastrophic-cancellation window just above nd == 0
+    live = jnp.abs(nd) > 1e-20
+    t = -no / jnp.where(live, nd, 1.0)
     u = uo + t * ud
     v = vo + t * vd
-    valid = ((t > tnear[:, None]) & (t < tcap[:, None])
+    valid = (live & (t > tnear[:, None]) & (t < tcap[:, None])
              & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0))
     return t, u, v, valid
 
@@ -326,9 +337,11 @@ def _closest_kernel(n_real, lo_ref, hi_ref, rows_ref, ids_ref,
         # front-to-back: nothing left that could beat any ray's best.
         # thresh = max over rays of best_t, refreshed once per (2-visit)
         # iteration — a stale (larger) threshold only delays the stop.
+        # _entry_floor: strip the packed id so the comparison is against a
+        # floor of the true entry (conservative — never stops early).
         # nv bound: every iteration pops 2 entries, so cp iterations exhaust
         # the heap — a hard stop even if inputs smuggle NaNs past sanitizing.
-        return (emin < thresh) & (nv < cp)
+        return (_entry_floor(emin) < thresh) & (nv < cp)
 
     def visit(emin, csel, best_t, best_i, best_u, best_v):
         # best_t starts at tfar and only decreases: it IS the t-cap
@@ -386,7 +399,7 @@ def _anyhit_kernel(n_real, lo_ref, hi_ref, rows_ref, ids_ref,
         nv, emin, _, thresh, _ = s
         # a cluster matters only for not-yet-occluded rays within range
         # (occ carried as int32: Mosaic cannot yield i1 vectors in scf.while)
-        return (emin < thresh) & (nv < cp)
+        return (_entry_floor(emin) < thresh) & (nv < cp)
 
     def visit(emin, csel, occ):
         _, _, _, valid = _test_cluster(rows_ref, csel, o, d, tnear, tfar)
@@ -455,7 +468,7 @@ def _closest_kernel_hbm(n_real, lo_ref, hi_ref, rows_hbm,
     def cond(s):
         nv, emin_c, *_ = s
         thresh = s[5]
-        return (emin_c < thresh) & (nv < cp)
+        return (_entry_floor(emin_c) < thresh) & (nv < cp)
 
     def body(s):
         nv, emin_c, csel_c, emin_n, csel_n, _, bt, bi, bu, bv = s
@@ -510,7 +523,7 @@ def _anyhit_kernel_hbm(n_real, lo_ref, hi_ref, rows_hbm,
 
     def cond(s):
         nv, emin_c, _, _, _, thresh, _ = s
-        return (emin_c < thresh) & (nv < cp)
+        return (_entry_floor(emin_c) < thresh) & (nv < cp)
 
     def body(s):
         nv, emin_c, csel_c, emin_n, csel_n, _, occ = s
@@ -598,7 +611,8 @@ def _walk_impl(wt: WalkTables, o, d, tnear, tfar, any_hit: bool,
         *table_specs,                                    # rows (+ids)
         ray2, ray2, row, row,
     ]
-    n_real = max(1, wt.n_real or (wt.n_tris + K - 1) // K)
+    assert wt.n_real > 0, "WalkTables built without n_real"
+    n_real = wt.n_real
     args = (wt.lo, wt.hi, *tables, o, d, tnear2, tfar2)
     scratch = [pltpu.VMEM((1, cp), jnp.float32)] + extra_scratch
 

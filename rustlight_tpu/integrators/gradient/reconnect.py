@@ -312,7 +312,7 @@ class IntegratorGradientPathReconnect:
                 pdf_re = s.pdf * pdf_reb * jac
                 sh_em_pdf = jnp.where(
                     is_l, direct_pdf_tri(em, nh.tri, s.its.p, nh.p, nh.n_g,
-                                         wo_s), 0.0)
+                                         wo_s, attr=nh.attr), 0.0)
                 dem_re = ratio * (pdf_reb + sh_em_pdf)
                 ctb_re = thr_re * rad   # rad already 0 when main missed light
                 ok_re = reconn & vis_r

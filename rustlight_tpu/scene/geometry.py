@@ -254,9 +254,18 @@ def build_geometry_tables(meshes: List[TriMesh], mesh_emitter_id: List[int]) -> 
         gt = gt.replace(clusters=build_clusters(gt))
         from ..accel.pallas_walk import K, _ID_BITS, build_walk_tables
         if (gt.n_tris + K - 1) // K <= (1 << _ID_BITS):
+            # necessary precheck only: treelet packing can still overflow
+            # the 2^14-cluster id ceiling (fill >= 50%, so the true ceiling
+            # is 1-2M triangles depending on geometry)
             wt = build_walk_tables(gt)   # None past the packed-id ceiling
             if wt is not None:
                 gt = gt.replace(walk=wt)
+        if gt.walk is None:
+            import logging
+            logging.getLogger(__name__).warning(
+                "scene exceeds the Pallas walk id ceiling (%d tris); TPU "
+                "renders fall back to the much slower XLA clustered "
+                "intersector", gt.n_tris)
     return gt
 
 
