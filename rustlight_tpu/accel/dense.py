@@ -193,12 +193,21 @@ def occluded_rays(geom, o, d, tnear, tfar):
     return _intersect_impl(geom.inter_rows, o, d, tnear, tfar, True)
 
 
-def visible(geom, p0, p1):
+def visible(geom, p0, p1, mask=None):
     """Mutual visibility p0 <-> p1 with the reference's shadow epsilons
-    (Ray tnear=EPSILON, tfar slightly short of the target; src/accel.rs visible)."""
+    (Ray tnear=EPSILON, tfar slightly short of the target; src/accel.rs
+    visible).
+
+    mask [n] bool (optional): lanes where the caller will NOT consume the
+    result (dead lanes, delta BSDFs, invalid light samples). They get
+    tfar = 0 — an inert ray that cannot hit anything, so on the Pallas walk
+    they stop inflating their tile's cluster union. Masked lanes return
+    True (unoccluded); callers must gate on their own mask."""
     delta = p1 - p0
     dist = jnp.linalg.norm(delta, axis=-1)
     d = delta / jnp.maximum(dist, 1e-20)[:, None]
     tnear = jnp.full(dist.shape, EPSILON, jnp.float32)
     tfar = dist * (1.0 - 1e-3)
+    if mask is not None:
+        tfar = jnp.where(mask, tfar, 0.0)
     return ~occluded_rays(geom, p0, d, tnear, tfar)

@@ -53,14 +53,16 @@ class IntegratorDirect(Integrator):
             u_pos, stream = stream_next2d(stream, (n,))
             ls = sample_light(scene.emitters, scene.geom, hit.p, u_sel, u_pos)
             wo_l = to_local(hit.frame, ls.d)
-            vis = visible(scene.geom, offset_ray_origin(hit.p, hit.n_g, ls.d), ls.p)
+            pre_ok = front & (~smooth) & ls.valid
+            vis = visible(scene.geom, offset_ray_origin(hit.p, hit.n_g, ls.d),
+                          ls.p, mask=pre_ok)
             pdf_b = bsdf_pdf(scene.materials, hit.mat, hit.uv, hit.wi, wo_l,
                              TRANSPORT_IMPORTANCE)
             w = jnp.where(ls.is_delta, 1.0,
                           mis_power(ls.pdf * w_nb_l, pdf_b * w_nb_b))
             f = bsdf_eval(scene.materials, hit.mat, hit.uv, hit.wi, wo_l,
                           TRANSPORT_IMPORTANCE)
-            ok = front & (~smooth) & ls.valid & vis
+            ok = pre_ok & vis
             li = li + jnp.where(ok[:, None], f * ls.weight * (w * w_nb_l)[:, None], 0.0)
 
         # ---------------- BSDF sampling

@@ -66,7 +66,8 @@ class IntegratorLightTracing(SplattingIntegrator):
             w_e, pixel = sample_direct(cam, p)
             d_cam = normalize(cam_pos[None, :] - p)
             o = offset_ray_origin(p, n_vec, d_cam)
-            vis = visible(scene.geom, o, jnp.broadcast_to(cam_pos, p.shape))
+            vis = visible(scene.geom, o, jnp.broadcast_to(cam_pos, p.shape),
+                          mask=active & (w_e > 0.0))
             if scene.volume is not None:
                 dist = jnp.linalg.norm(cam_pos[None, :] - p, axis=-1)
                 tr = transmittance(scene.volume, dist)

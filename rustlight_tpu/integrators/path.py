@@ -125,7 +125,10 @@ class IntegratorPathTracing(Integrator):
         def body(s):
             k = s.k
             stream = s.stream
-            rh = intersect_rays(scene.geom, s.o, s.d)
+            # dead lanes trace inert (tfar=0) rays: they cannot hit, and on
+            # the walk kernel they stop inflating the tile's cluster union
+            rh = intersect_rays(scene.geom, s.o, s.d,
+                                tfar=jnp.where(s.alive, jnp.inf, 0.0))
             hit = fill_hit(scene, s.o, s.d, rh)
 
             # ---- medium: free-flight sampling along the segment
@@ -217,12 +220,16 @@ class IntegratorPathTracing(Integrator):
                 p_shadow = jnp.where(
                     scattered[:, None], p_v,
                     offset_ray_origin(hit.p, hit.n_g, ls.d))
-                vis = visible(scene.geom, p_shadow, ls.p)
+                pre_ok = (can_expand & (scattered | (lane_surface & (~smooth)))
+                          & ls.valid & ((k + 1) >= self.min_depth))
+                # lanes that cannot contribute shoot an inert (tfar=0)
+                # shadow ray — on the walk kernel they stop inflating their
+                # tile's cluster union (bit-identical: nee_ok gates on pre_ok)
+                vis = visible(scene.geom, p_shadow, ls.p, mask=pre_ok)
                 w_nee = jnp.where(
                     ls.is_delta | (~jnp.asarray(mis_on)),
                     1.0, mis_balance(ls.pdf, pdf_other))
-                nee_ok = (can_expand & (scattered | (lane_surface & (~smooth)))
-                          & ls.valid & vis & ((k + 1) >= self.min_depth))
+                nee_ok = pre_ok & vis
                 radiance = radiance + jnp.where(
                     nee_ok[:, None],
                     thr * f * tr_sh * ls.weight * w_nee[:, None], 0.0)
@@ -325,7 +332,8 @@ class IntegratorPathTracing(Integrator):
             prev_nee = jnp.where(need, False, s.prev_nee)
             alive = s.alive | need
 
-            rh = intersect_rays(scene.geom, o, d)
+            rh = intersect_rays(scene.geom, o, d,
+                                tfar=jnp.where(alive, jnp.inf, 0.0))
             hit = fill_hit(scene, o, d, rh)
 
             if has_med:
@@ -410,12 +418,15 @@ class IntegratorPathTracing(Integrator):
                 p_shadow = jnp.where(
                     scattered[:, None], p_v,
                     offset_ray_origin(hit.p, hit.n_g, ls.d))
-                vis = visible(scene.geom, p_shadow, ls.p)
+                pre_ok = (can_expand & (scattered | (lane_surface & (~smooth)))
+                          & ls.valid & ((depth + 1) >= self.min_depth))
+                # inert shadow rays for non-contributing lanes (see
+                # compute_pixel)
+                vis = visible(scene.geom, p_shadow, ls.p, mask=pre_ok)
                 w_nee = jnp.where(
                     ls.is_delta | (~jnp.asarray(mis_on)),
                     1.0, mis_balance(ls.pdf, pdf_other))
-                nee_ok = (can_expand & (scattered | (lane_surface & (~smooth)))
-                          & ls.valid & vis & ((depth + 1) >= self.min_depth))
+                nee_ok = pre_ok & vis
                 rad_path = rad_path + jnp.where(
                     nee_ok[:, None],
                     thr * f * tr_sh * ls.weight * w_nee[:, None], 0.0)

@@ -264,10 +264,11 @@ class IntegratorVPL(Integrator):
                 o_shadow = jnp.where(bc_p(recv_scattered)[:, None], p_pix, o_shadow)
             target = jnp.where(inf_vpl[:, None],
                                p_pix + dir_ * 1e7, bc_v(chunk['pos']))
-            vis = visible(scene.geom, o_shadow, target)
             recv_ok = front & (~smooth)
             if recv_scattered is not None:
                 recv_ok = recv_ok | recv_scattered
+            vis = visible(scene.geom, o_shadow, target,
+                          mask=bc_p(recv_ok) & (kind != VPL_NONE))
             ok = (bc_p(recv_ok) & vis & (kind != VPL_NONE))
             contrib = jnp.where(ok[:, None], contrib, 0.0)
             return acc + contrib.reshape(n, vc, 3).sum(axis=1), None
