@@ -445,16 +445,20 @@ class IntegratorPointNormal(Integrator):
             tri = tris[:, k]
             ok = valid[:, k]
             psel = jnp.maximum(pdf_sel[:, k], 1e-30)
-            from ..scene.geometry import A_V0, A_E1, A_E2, A_NG, A_AREA, A_LE
+            from ..scene.emitters import _take_tri_cols
             ttake = make_taker(jnp.maximum(tri, 0), geom.n_pad)
-            ta = ttake(geom.attr)
-            v0 = ta[:, A_V0]
-            p_l = v0 + b[..., 0:1] * ta[:, A_E1] + b[..., 1:2] * ta[:, A_E2]
-            n_l = ta[:, A_NG]
-            area = ta[:, A_AREA]
-            le = ta[:, A_LE]
+            fields = ["v0", "e1", "e2", "ng", "area", "le"]
             if em.has_em_uv:
-                le = _emission_at(em, ta, le, _tri_uv_at(ta, b))
+                fields += ["vuv", "kind", "scale", "tex"]
+            tc = _take_tri_cols(geom, em, ttake, fields)
+            v0 = tc["v0"]
+            p_l = v0 + b[..., 0:1] * tc["e1"] + b[..., 1:2] * tc["e2"]
+            n_l = tc["ng"]
+            area = tc["area"]
+            le = tc["le"]
+            if em.has_em_uv:
+                le = _emission_at(em, tc["kind"], tc["scale"], tc["tex"], le,
+                                  _tri_uv_at(tc["vuv"], b))
             # flux = Le*pi*area/pdf_sel, then *correct_flux(=1/pi)
             flux = le * (area / psel)[:, None]
 

@@ -340,21 +340,22 @@ def sample_light(em: EmitterTables, geom, p_ref, u_sel, u_pos) -> LightSample:
     kind = atake(em.atom_kind)
     ref = atake(em.atom_ref)
 
-    # ---- surface triangle atom (ONE fused-attr gather for all columns)
-    from .geometry import A_V0, A_E1, A_E2, A_NG, A_AREA, A_LE
+    # ---- surface triangle atom (one fused gather on large tables)
     tri = ref
     b = warps.uniform_sample_triangle(u_pos)
     ttake = make_taker(tri, geom.n_pad)
-    ta = ttake(geom.attr)
-    v0 = ta[:, A_V0]
-    e1 = ta[:, A_E1]
-    e2 = ta[:, A_E2]
-    p_tri = v0 + b[..., 0:1] * e1 + b[..., 1:2] * e2
-    n_tri = ta[:, A_NG]
-    area = ta[:, A_AREA]
-    le = ta[:, A_LE]
+    fields = ["v0", "e1", "e2", "ng", "area", "le"]
     if em.has_em_uv:
-        le = _emission_at(em, ta, le, _tri_uv_at(ta, b))
+        fields += ["vuv", "kind", "scale", "tex"]
+    tc = _take_tri_cols(geom, em, ttake, fields)
+    v0, e1, e2 = tc["v0"], tc["e1"], tc["e2"]
+    p_tri = v0 + b[..., 0:1] * e1 + b[..., 1:2] * e2
+    n_tri = tc["ng"]
+    area = tc["area"]
+    le = tc["le"]
+    if em.has_em_uv:
+        le = _emission_at(em, tc["kind"], tc["scale"], tc["tex"], le,
+                          _tri_uv_at(tc["vuv"], b))
 
     delta_v = p_tri - p_ref
     dist_tri = jnp.linalg.norm(delta_v, axis=-1)
@@ -468,14 +469,48 @@ def direct_pdf_tri(em: EmitterTables, tri_id, p_ref, p_hit, n_hit, d,
     return jnp.where(tri_id >= 0, pdf, 0.0)
 
 
-def _emission_at(em: EmitterTables, ta, base_le, uv):
+def _take_tri_cols(geom, em: EmitterTables, take, fields):
+    """Per-tri columns for gathered triangle indices, as a dict.
+
+    Above the one-hot threshold ONE fused gather of geom.attr serves every
+    column (each separate take re-scans the table in 4096-row chunks);
+    below it, narrow per-column takes sharing the one-hot measure faster
+    (see fill_hit). `fields` from: v0 e1 e2 ng area le vuv kind scale tex.
+    """
+    from ..ops.gather import MAX_ONEHOT_ROWS
+    from .geometry import (A_V0, A_E1, A_E2, A_NG, A_AREA, A_LE, A_VUV,
+                           A_EMKIND, A_EMSCALE, A_EMTEX)
+    out = {}
+    if geom.n_pad > MAX_ONEHOT_ROWS:
+        a = take(geom.attr)
+        nl = a.shape[0]
+        spec = {"v0": a[:, A_V0], "e1": a[:, A_E1], "e2": a[:, A_E2],
+                "ng": a[:, A_NG], "area": a[:, A_AREA], "le": a[:, A_LE]}
+        for f in fields:
+            if f == "vuv":
+                out[f] = a[:, A_VUV].reshape(nl, 3, 2)
+            elif f == "kind":
+                out[f] = jnp.round(a[:, A_EMKIND]).astype(jnp.int32)
+            elif f == "scale":
+                out[f] = a[:, A_EMSCALE]
+            elif f == "tex":
+                out[f] = jnp.round(a[:, A_EMTEX]).astype(jnp.int32)
+            else:
+                out[f] = spec[f]
+        return out
+    narrow = {"v0": geom.v0, "e1": geom.e1, "e2": geom.e2, "ng": geom.n_g,
+              "area": geom.area, "le": em.tri_emission, "vuv": geom.vuv,
+              "kind": em.tri_em_kind, "scale": em.tri_em_scale,
+              "tex": em.tri_em_tex}
+    for f in fields:
+        out[f] = take(narrow[f])
+    return out
+
+
+def _emission_at(em: EmitterTables, kind, scale, tex, base_le, uv):
     """uv-dependent emission (Mesh::emit, reference geometry.rs:184-206):
     kind 0 = constant `base_le`, 1 = HSV ramp x*red+(1-x)*green over u,
-    2 = texture atlas lookup. Only called when em.has_em_uv. `ta` = fused
-    attribute rows (geom.attr gathered for these lanes)."""
-    from .geometry import A_EMKIND, A_EMSCALE, A_EMTEX
-    kind = jnp.round(ta[:, A_EMKIND]).astype(jnp.int32)
-    scale = ta[:, A_EMSCALE]
+    2 = texture atlas lookup. Only called when em.has_em_uv."""
     x = jnp.mod(jnp.abs(uv[..., 0]), 1.0)
     hsv = scale[:, None] * jnp.stack([x, 1.0 - x, jnp.zeros_like(x)], -1)
     le = jnp.where((kind == 1)[:, None], hsv, base_le)
@@ -485,16 +520,14 @@ def _emission_at(em: EmitterTables, ta, base_le, uv):
         fv = uv[..., 1] - jnp.floor(uv[..., 1])
         xi = jnp.clip((fu * tw).astype(jnp.int32), 0, tw - 1)
         yi = jnp.clip(((1.0 - fv) * th).astype(jnp.int32), 0, th - 1)
-        img = jnp.clip(jnp.round(ta[:, A_EMTEX]).astype(jnp.int32), 0, k - 1)
+        img = jnp.clip(tex, 0, k - 1)
         texel = em.tex_atlas[img, yi, xi] * scale[:, None]
         le = jnp.where((kind == 2)[:, None], texel, le)
     return le
 
 
-def _tri_uv_at(ta, b):
-    """Interpolated uv at barycentric b from fused attribute rows."""
-    from .geometry import A_VUV
-    vuv = ta[:, A_VUV].reshape(ta.shape[0], 3, 2)
+def _tri_uv_at(vuv, b):
+    """Interpolated uv at barycentric b from per-corner uvs [n, 3, 2]."""
     w0 = (1.0 - b[..., 0] - b[..., 1])[:, None]
     return (vuv[:, 0] * w0 + vuv[:, 1] * b[..., 0:1]
             + vuv[:, 2] * b[..., 1:2])
@@ -506,14 +539,25 @@ def emitted_radiance(em: EmitterTables, geom, tri_id, d, uv=None, attr=None):
     uv to evaluate uv-dependent emission kinds exactly. `attr` = fused
     attribute rows already gathered for tri_id (Hit.attr) — skips the
     re-gather of the big per-tri tables."""
-    from .geometry import A_NG, A_LE
-    if attr is None:
+    from .geometry import A_NG, A_LE, A_EMKIND, A_EMSCALE, A_EMTEX
+    uv_on = em.has_em_uv and uv is not None
+    if attr is not None:
+        le = attr[:, A_LE]
+        ng = attr[:, A_NG]
+        if uv_on:
+            le = _emission_at(em,
+                              jnp.round(attr[:, A_EMKIND]).astype(jnp.int32),
+                              attr[:, A_EMSCALE],
+                              jnp.round(attr[:, A_EMTEX]).astype(jnp.int32),
+                              le, uv)
+    else:
         t = make_taker(jnp.maximum(tri_id, 0), geom.n_pad)
-        attr = t(geom.attr)
-    le = attr[:, A_LE]
-    if em.has_em_uv and uv is not None:
-        le = _emission_at(em, attr, le, uv)
-    ng = attr[:, A_NG]
+        tc = _take_tri_cols(geom, em, t, ["le", "ng"]
+                            + (["kind", "scale", "tex"] if uv_on else []))
+        le = tc["le"]
+        ng = tc["ng"]
+        if uv_on:
+            le = _emission_at(em, tc["kind"], tc["scale"], tc["tex"], le, uv)
     front = jnp.sum(ng * (-d), axis=-1) > 0.0
     return jnp.where((front & (tri_id >= 0))[:, None], le, 0.0)
 
@@ -529,20 +573,21 @@ def sample_position(em: EmitterTables, geom, u_sel, u_pos) -> PositionSample:
     ref = atake(em.atom_ref)
 
     # surface: uniform point on the triangle; Phi = Le*pi/pdf_area
-    from .geometry import A_V0, A_E1, A_E2, A_NG, A_AREA, A_LE
     tri = ref
     b = warps.uniform_sample_triangle(u_pos)
     ttake = make_taker(tri, geom.n_pad)
-    ta = ttake(geom.attr)
-    v0 = ta[:, A_V0]
-    e1 = ta[:, A_E1]
-    e2 = ta[:, A_E2]
-    p = v0 + b[..., 0:1] * e1 + b[..., 1:2] * e2
-    nrm = ta[:, A_NG]
-    area = ta[:, A_AREA]
-    le = ta[:, A_LE]
+    fields = ["v0", "e1", "e2", "ng", "area", "le"]
     if em.has_em_uv:
-        le = _emission_at(em, ta, le, _tri_uv_at(ta, b))
+        fields += ["vuv", "kind", "scale", "tex"]
+    tc = _take_tri_cols(geom, em, ttake, fields)
+    v0, e1, e2 = tc["v0"], tc["e1"], tc["e2"]
+    p = v0 + b[..., 0:1] * e1 + b[..., 1:2] * e2
+    nrm = tc["ng"]
+    area = tc["area"]
+    le = tc["le"]
+    if em.has_em_uv:
+        le = _emission_at(em, tc["kind"], tc["scale"], tc["tex"], le,
+                          _tri_uv_at(tc["vuv"], b))
     pdf_area = sel_pdf / jnp.maximum(area, 1e-20)
     weight = le * (_PI / jnp.maximum(pdf_area, 1e-30))[:, None]
     valid = sel_pdf > 0.0
@@ -638,20 +683,21 @@ def sample_light_ats(em: EmitterTables, geom, ats, p_ref, n_ref, u_sel, u_pos
     emitter.rs:1629-1648 + direct_sample_tri)."""
     from .ats import ats_sample
 
-    from .geometry import A_V0, A_E1, A_E2, A_NG, A_AREA, A_LE
     tri, sel_pdf = ats_sample(ats, p_ref, n_ref, u_sel)
     ttake = make_taker(jnp.maximum(tri, 0), geom.n_pad)
     b = warps.uniform_sample_triangle(u_pos)
-    ta = ttake(geom.attr)
-    v0 = ta[:, A_V0]
-    e1 = ta[:, A_E1]
-    e2 = ta[:, A_E2]
-    p_tri = v0 + b[..., 0:1] * e1 + b[..., 1:2] * e2
-    n_tri = ta[:, A_NG]
-    area = ta[:, A_AREA]
-    le = ta[:, A_LE]
+    fields = ["v0", "e1", "e2", "ng", "area", "le"]
     if em.has_em_uv:
-        le = _emission_at(em, ta, le, _tri_uv_at(ta, b))
+        fields += ["vuv", "kind", "scale", "tex"]
+    tc = _take_tri_cols(geom, em, ttake, fields)
+    v0, e1, e2 = tc["v0"], tc["e1"], tc["e2"]
+    p_tri = v0 + b[..., 0:1] * e1 + b[..., 1:2] * e2
+    n_tri = tc["ng"]
+    area = tc["area"]
+    le = tc["le"]
+    if em.has_em_uv:
+        le = _emission_at(em, tc["kind"], tc["scale"], tc["tex"], le,
+                          _tri_uv_at(tc["vuv"], b))
 
     delta_v = p_tri - p_ref
     dist = jnp.linalg.norm(delta_v, axis=-1)

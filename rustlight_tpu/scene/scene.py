@@ -159,6 +159,7 @@ def fill_hit(scene: SceneData, o, d, rh,
     normal/uv interpolation, shading-normal alignment with n_g, two-sided flip
     for non-light two-sided materials.
     """
+    from ..ops.gather import MAX_ONEHOT_ROWS
     from .geometry import (
         A_NG, A_VN, A_VUV, A_HASN, A_MAT, A_EID, N_ATTR)
     g = scene.geom
@@ -168,13 +169,25 @@ def fill_hit(scene: SceneData, o, d, rh,
     b0 = 1.0 - rh.u - rh.v
 
     take = make_taker(tri, g.n_pad)
-    a = take(g.attr)                  # ONE fused gather for every column
-    nl = a.shape[0]
-    n_g = a[:, A_NG]
-    vn = a[:, A_VN].reshape(nl, 3, 3)
+    # Above the one-hot threshold every take re-scans the whole table in
+    # 4096-row chunks, so ONE fused gather of all columns wins big; below
+    # it, per-column takes sharing the one-hot measure ~20% faster on the
+    # cbox bench (narrow lane-0-aligned matmul outputs fuse better than a
+    # wide row + lane-shifted slices).
+    fused = g.n_pad > MAX_ONEHOT_ROWS
+    if fused:
+        a = take(g.attr)              # ONE fused gather for every column
+        nl = a.shape[0]
+        n_g = a[:, A_NG]
+        vn = a[:, A_VN].reshape(nl, 3, 3)
+        has_n = (a[:, A_HASN] > 0.5) & use_shading_normals
+    else:
+        a = None
+        n_g = take(g.n_g)
+        vn = take(g.vn)
+        has_n = take(g.has_normals) & use_shading_normals
     n_s_raw = (vn[:, 0] * b0[:, None] + vn[:, 1] * rh.u[:, None]
                + vn[:, 2] * rh.v[:, None])
-    has_n = (a[:, A_HASN] > 0.5) & use_shading_normals
     # flip n_g toward interpolated shading normal
     flip_g = jnp.sum(n_g * n_s_raw, axis=-1) < 0.0
     n_g = jnp.where((has_n & flip_g)[:, None], -n_g, n_g)
@@ -182,12 +195,16 @@ def fill_hit(scene: SceneData, o, d, rh,
     n_s = jnp.where(l2 > 0.0, n_s_raw / jnp.sqrt(jnp.maximum(l2, 1e-30)), n_g)
     n_s = jnp.where(has_n[:, None], n_s, n_g)
 
-    vuv = a[:, A_VUV].reshape(nl, 3, 2)
+    if fused:
+        vuv = a[:, A_VUV].reshape(nl, 3, 2)
+        mat = jnp.round(a[:, A_MAT]).astype(jnp.int32)
+        is_light = jnp.round(a[:, A_EID]).astype(jnp.int32) >= 0
+    else:
+        vuv = take(g.vuv)
+        mat = take(g.mat_id)
+        is_light = take(g.emitter_id) >= 0
     uv = (vuv[:, 0] * b0[:, None] + vuv[:, 1] * rh.u[:, None]
           + vuv[:, 2] * rh.v[:, None])
-
-    mat = jnp.round(a[:, A_MAT]).astype(jnp.int32)
-    is_light = jnp.round(a[:, A_EID]).astype(jnp.int32) >= 0
     two_sided = table_take(scene.materials.two_sided, mat)
     backface = jnp.sum(d * n_s, axis=-1) > 0.0
     do_flip = two_sided & (~is_light) & backface
@@ -199,7 +216,7 @@ def fill_hit(scene: SceneData, o, d, rh,
     wi = to_local(frame, -d)
     return Hit(valid=rh.hit, t=rh.t, tri=rh.tri, p=p, n_g=n_g, n_s=n_s, uv=uv,
                frame=frame, wi=wi, mat=mat, is_light=is_light,
-               attr=a if a.shape[1] >= N_ATTR else None)
+               attr=a if (a is not None and a.shape[1] >= N_ATTR) else None)
 
 
 def offset_ray_origin(p, n_g, d):
