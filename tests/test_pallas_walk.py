@@ -98,3 +98,30 @@ def test_ray_padding_and_bounded_tfar(soup):
     both = np.asarray(ref.hit)
     np.testing.assert_allclose(np.asarray(out.t)[both],
                                np.asarray(ref.t)[both], rtol=1e-5, atol=1e-6)
+
+
+def test_treelet_packing_invariants(soup):
+    """Treelet re-pack (build_walk_tables): clusters tile the primitive
+    array contiguously in preorder, fill exceeds 50% on average (maximality
+    of the cut), and every cluster AABB tightly contains its triangles."""
+    geom, wt, _, _ = soup
+    ids = np.asarray(wt.ids)                         # [C, K] global tri ids
+    real_rows = ids[ids.max(axis=1) >= 0]
+    counts = (real_rows >= 0).sum(axis=1)
+    assert counts.sum() == geom.n_tris
+    # ids unique and complete
+    flat = real_rows[real_rows >= 0]
+    assert len(np.unique(flat)) == geom.n_tris
+    # >50% average fill (guaranteed >50% pairwise; average is stronger)
+    assert counts.mean() > 0.5 * ids.shape[1]
+    # per-cluster bounds contain the member triangles
+    lo = np.asarray(wt.lo); hi = np.asarray(wt.hi)   # [3, C]
+    v0 = np.asarray(geom.v0[: geom.n_tris])
+    e1 = np.asarray(geom.e1[: geom.n_tris])
+    e2 = np.asarray(geom.e2[: geom.n_tris])
+    for ci in range(ids.shape[0]):
+        mem = ids[ci][ids[ci] >= 0]
+        if len(mem) == 0:
+            continue
+        pts = np.concatenate([v0[mem], v0[mem] + e1[mem], v0[mem] + e2[mem]])
+        assert (pts >= lo[:, ci] - 1e-5).all() and (pts <= hi[:, ci] + 1e-5).all()
