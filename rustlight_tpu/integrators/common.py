@@ -146,7 +146,8 @@ def render(scene: SceneData, integrator: Integrator, spp: int, seed: int = 0,
                     from ..utils.rng import StratifiedStream
                     pid = pix[:, 1] * w + pix[:, 0]
                     stream = StratifiedStream(inner=stream, pixel_ids=pid,
-                                              pass_idx=start_idx + s, spp=spp)
+                                              pass_idx=start_idx + s, spp=spp,
+                                              base_key=base.key)
                 li = integrator.compute_pixel(scene, pix, stream)
                 # guard invalid splats (accumulate_safe, mod.rs:160-175)
                 ok = jnp.all(jnp.isfinite(li), axis=-1) \

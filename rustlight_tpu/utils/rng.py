@@ -91,15 +91,31 @@ def astream_next2d(stream: ArrayStream, shape=()):
 
 @struct.dataclass
 class StratifiedStream:
-    """Wraps a base stream so the *first* 2D draw (the pixel jitter) is
-    stratified over the sample-pass axis (reference src/samplers/stratified.rs
-    stratifies the leading dimensions; wavefront integrators consume the
-    pixel jitter first)."""
+    """Wraps a base stream so the first NB_DIM 1D draws and first NB_DIM 2D
+    draws are stratified over the sample-pass axis (reference
+    src/samplers/stratified.rs with the CLI's nb_dim = 4,
+    examples/cli.rs:891-894; dimensions count in consumption order, pixel
+    jitter = 2D dim 0). The dim counters are DYNAMIC so the stream carries
+    through `lax.while_loop` bodies; draws beyond NB_DIM blend back to the
+    plain uniforms, matching the reference's fall-through past its tables."""
     inner: Any
     pixel_ids: Any  # [n] int32
     pass_idx: Any   # scalar
     spp: int = struct.field(pytree_node=False)
-    used: bool = struct.field(pytree_node=False, default=False)
+    # PASS-INDEPENDENT key for the stratum permutations: inner.key is folded
+    # per pass, so keying the permutation off it would redraw the (a, b)
+    # permutation every pass and void the coverage guarantee
+    base_key: Any = None
+    d1: Any = None  # traced int32: 1D dims consumed
+    d2: Any = None  # traced int32: 2D dims consumed
+
+    def __post_init__(self):
+        if self.base_key is None:
+            object.__setattr__(self, "base_key", self.inner.key)
+        if self.d1 is None:
+            object.__setattr__(self, "d1", jnp.int32(0))
+        if self.d2 is None:
+            object.__setattr__(self, "d2", jnp.int32(0))
 
 
 # polymorphic front-ends: integrators call these regardless of stream type
@@ -111,8 +127,12 @@ def stream_next(stream, shape=()):  # noqa: F811
     if isinstance(stream, ArrayStream):
         return astream_next(stream, shape)
     if isinstance(stream, StratifiedStream):
+        from ..samplers.stratified import NB_DIM, stratified_1d
         u, inner = stream_next(stream.inner, shape)
-        return u, stream.replace(inner=inner)
+        us = stratified_1d(stream.base_key, stream.pixel_ids,
+                           stream.pass_idx, stream.spp, stream.d1, u)
+        u = jnp.where(stream.d1 < NB_DIM, us, u)
+        return u, stream.replace(inner=inner, d1=stream.d1 + 1)
     return _orig_stream_next(stream, shape)
 
 
@@ -120,12 +140,10 @@ def stream_next2d(stream, shape=()):  # noqa: F811
     if isinstance(stream, ArrayStream):
         return astream_next2d(stream, shape)
     if isinstance(stream, StratifiedStream):
-        if not stream.used:
-            from ..samplers.stratified import stratified_jitter
-            u = stratified_jitter(stream.inner.key, stream.pixel_ids,
-                                  stream.pass_idx, stream.spp)
-            inner = stream.inner.replace(counter=stream.inner.counter + 1)
-            return u, stream.replace(inner=inner, used=True)
+        from ..samplers.stratified import NB_DIM, stratified_2d
         u, inner = stream_next2d(stream.inner, shape)
-        return u, stream.replace(inner=inner)
+        us = stratified_2d(stream.base_key, stream.pixel_ids,
+                           stream.pass_idx, stream.spp, stream.d2, u)
+        u = jnp.where(stream.d2 < NB_DIM, us, u)
+        return u, stream.replace(inner=inner, d2=stream.d2 + 1)
     return _orig_stream_next2d(stream, shape)

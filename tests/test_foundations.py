@@ -260,3 +260,38 @@ def test_fused_attr_columns():
     np.testing.assert_array_equal(a[:, A_EID].astype(np.int32), g.emitter_id)
     np.testing.assert_array_equal(a[:, A_LE], em.tri_emission)
     np.testing.assert_array_equal(a[:, A_PDFA], em.tri_pdf_area)
+
+
+def test_stratified_stream_coverage():
+    """StratifiedStream: across the spp passes, every pixel must land in
+    each stratum of each stratified dimension exactly once (reference
+    stratified.rs shuffled tables, nb_dim=4 as built by the CLI)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from rustlight_tpu.utils.rng import (make_stream, stream_fold,
+                                         StratifiedStream, stream_next,
+                                         stream_next2d)
+
+    spp, n = 16, 8
+    base = make_stream(5)
+    pid = jnp.arange(n, dtype=jnp.int32)
+    hits1 = np.zeros((4, n, spp), bool)
+    hits2 = np.zeros((4, n, spp), bool)
+    for s in range(spp):
+        st = StratifiedStream(inner=stream_fold(base, s), pixel_ids=pid,
+                              pass_idx=jnp.int32(s), spp=spp,
+                              base_key=base.key)
+        for dim in range(5):
+            u2, st = stream_next2d(st, (n,))
+            assert (np.asarray(u2) >= 0).all() and (np.asarray(u2) < 1).all()
+            if dim < 4:
+                k = (np.floor(np.asarray(u2[:, 0]) * 4).astype(int)
+                     + 4 * np.floor(np.asarray(u2[:, 1]) * 4).astype(int))
+                hits2[dim, np.arange(n), k] = True
+        for dim in range(5):
+            u1, st = stream_next(st, (n,))
+            if dim < 4:
+                k = np.floor(np.asarray(u1) * spp).astype(int)
+                hits1[dim, np.arange(n), k] = True
+    assert hits1.all(), "1D strata not fully covered"
+    assert hits2.all(), "2D strata not fully covered"
