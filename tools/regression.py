@@ -66,7 +66,7 @@ def make_integrator(name):
     if name == "pssmlt":
         return IntegratorPSSMLT(
             I.IntegratorPathTracing(max_depth=8, hard_cap=8),
-            nb_samples_norm=16384, nb_chains=4096)
+            nb_samples_norm=16384, nb_chains=65536)
     if name == "point-normal":
         return I.IntegratorPointNormal(strategies=("tr", "equiangular"))
     if name == "path-single":

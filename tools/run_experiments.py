@@ -43,7 +43,7 @@ def make_integrator(spec: str):
     if name == "vpl":
         return I.IntegratorVPL(nb_vpl=int(opt or 256), max_depth=6, hard_cap=6)
     if name == "pssmlt":
-        return IntegratorPSSMLT(path(), nb_samples_norm=16384, nb_chains=4096)
+        return IntegratorPSSMLT(path(), nb_samples_norm=16384, nb_chains=65536)
     if name == "erpt":
         return IntegratorERPT(path(), chain_samples=64, nb_samples_norm=16384)
     if name == "smcmc":
