@@ -47,7 +47,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("-r", "--random-number-generator", default="independent",
                     help="independent[:seed] | stratified")
     ap.add_argument("-s", "--scale-image", type=float, default=1.0)
-    ap.add_argument("-e", "--equal-time", type=float, default=None)
+    ap.add_argument("-e", "--equal-time", type=float, default=None,
+                    help="render-time budget in SECONDS (reference -e)")
     ap.add_argument("-o", "--output", default="out.pfm")
     ap.add_argument("-m", "--medium", default="0.0",
                     help="sigma_s[:sigma_a[:g]] for an infinite homogeneous medium")

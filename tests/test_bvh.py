@@ -120,3 +120,25 @@ class TestClustered:
         f2 = render(sd2, IntegratorPathTracing(max_depth=3, hard_cap=3),
                     spp=8, seed=0)["primal"]
         np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=1e-5)
+
+
+def test_visible_mask_contract():
+    """visible(mask=...): masked-off lanes shoot inert tfar=0 rays and
+    report True (unoccluded); unmasked lanes are unchanged."""
+    import numpy as np
+    import jax.numpy as jnp
+    from rustlight_tpu.scene.geometry import TriMesh, build_geometry_tables
+    from rustlight_tpu.accel import visible
+
+    # one big triangle at z=1 blocking the segment (0,0,0) -> (0,0,2)
+    verts = np.asarray([[-5, -5, 1], [5, -5, 1], [0, 5, 1]], np.float32)
+    idx = np.asarray([[0, 1, 2]], np.int32)
+    geom = build_geometry_tables([TriMesh(vertices=verts, indices=idx,
+                                          material=0)], [-1])
+    p0 = jnp.zeros((4, 3), jnp.float32)
+    p1 = jnp.tile(jnp.asarray([[0.0, 0.0, 2.0]]), (4, 1))
+    mask = jnp.asarray([True, False, True, False])
+    vis_masked = np.asarray(visible(geom, p0, p1, mask=mask))
+    vis_plain = np.asarray(visible(geom, p0, p1))
+    assert not vis_plain.any()                       # all blocked
+    assert (vis_masked == np.asarray([False, True, False, True])).all()
