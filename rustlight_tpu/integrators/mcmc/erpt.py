@@ -50,7 +50,12 @@ class IntegratorERPT:
         li = jnp.where(jnp.all(jnp.isfinite(li), -1, keepdims=True), li, 0.0)
         return y * cam.width + x, li, jnp.mean(li, axis=-1)
 
-    def render(self, scene, spp: int, seed: int = 0, verbose: bool = False) -> Film:
+    def render(self, scene, spp: int, seed: int = 0, verbose: bool = False,
+               mesh=None) -> Film:
+        """`mesh` (1-axis Mesh over 'd'): exploration lanes and their spawned
+        chains shard over devices, each splatting a private full-resolution
+        film merged by one psum per round (the reference's per-pixel chain
+        spawning P5 + mutex merge P6, erpt.rs:109-263)."""
         cam = scene.camera
         w, h = cam.width, cam.height
         n = w * h
@@ -75,10 +80,9 @@ class IntegratorERPT:
             jax.lax.broadcasted_iota(jnp.int32, (n,), 0), w).astype(jnp.float32)
         py = (jax.lax.broadcasted_iota(jnp.int32, (n,), 0) // w).astype(jnp.float32)
 
-        @jax.jit
-        def mc_round(round_idx):
-            stream = stream_fold(base, round_idx)
-            u, stream = _uniform(stream, (n, d))
+        def round_body(stream, px, py, live):
+            nl = px.shape[0]
+            u, stream = _uniform(stream, (nl, d))
             if self.stratified:
                 # force the exploration pixel to the lane's own pixel, keeping
                 # the draw as sub-pixel position — the same remapping the
@@ -88,16 +92,16 @@ class IntegratorERPT:
             pid0, col0, tf0 = self._sample_fn(scene, u)
 
             mean_chains = (tf0 / b) * (chains_per_pixel / self.nb_mc)
-            u_spawn, stream = _uniform(stream, (n,))
+            u_spawn, stream = _uniform(stream, (nl,))
             p_spawn = jnp.clip(mean_chains, 0.0, 1.0)
-            spawn = (u_spawn < p_spawn) & (tf0 > 0.0)
+            spawn = (u_spawn < p_spawn) & (tf0 > 0.0) & live
             w_spawn = jnp.where(p_spawn > 0, mean_chains / jnp.maximum(p_spawn, 1e-20), 0.0)
             w0 = (b / (chains_per_pixel * self.chain_samples)) * w_spawn
 
             def step(s, carry):
                 uv, tf, pid, col, wgt, film, stream = carry
-                um, stream = _uniform(stream, (n, d))
-                ua, stream = _uniform(stream, (n,))
+                um, stream = _uniform(stream, (nl, d))
+                ua, stream = _uniform(stream, (nl,))
                 u_prop = kelemen_mutate(uv, um)           # small steps only
                 pid_p, col_p, tf_p = self._sample_fn(scene, u_prop)
                 a = jnp.minimum(1.0, tf_p / jnp.maximum(tf, 1e-30))
@@ -117,8 +121,8 @@ class IntegratorERPT:
                         jnp.where(accept[:, None], col_p, col),
                         jnp.where(accept, a, w_cur), film, stream)
 
-            film = jnp.zeros((n, 3), jnp.float32)
-            wgt = jnp.zeros((n,), jnp.float32)
+            film = jnp.zeros((w * h, 3), jnp.float32)
+            wgt = jnp.zeros((nl,), jnp.float32)
             uv, tf, pid, col, wgt, film, stream = jax.lax.fori_loop(
                 0, self.chain_samples, step,
                 (u, tf0, pid0, col0, wgt, film, stream))
@@ -127,6 +131,32 @@ class IntegratorERPT:
             val = jnp.where((spawn & (tf > 0.0))[:, None], val, 0.0)
             film = film.at[pid].add(val, mode="drop")
             return film
+
+        if mesh is None:
+            live = jnp.ones(n, bool)
+
+            @jax.jit
+            def mc_round(round_idx):
+                return round_body(stream_fold(base, round_idx), px, py, live)
+        else:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            def device_fn(round_idx, px_, py_, live_):
+                dev = jax.lax.axis_index("d")
+                stream = stream_fold(stream_fold(base, dev), round_idx)
+                return jax.lax.psum(round_body(stream, px_, py_, live_), "d")
+
+            fn = shard_map(device_fn, mesh=mesh,
+                           in_specs=(P(), P("d"), P("d"), P("d")),
+                           out_specs=P(), check_vma=False)
+            # pad lanes to a multiple of the device count; dead lanes carry
+            # live=False so they can never spawn chains or deposit energy
+            pad = (-n) % mesh.shape["d"]
+            pxp = jnp.concatenate([px, jnp.zeros(pad, jnp.float32)])
+            pyp = jnp.concatenate([py, jnp.zeros(pad, jnp.float32)])
+            live = jnp.concatenate([jnp.ones(n, bool), jnp.zeros(pad, bool)])
+            mc_round = jax.jit(lambda r: fn(r, pxp, pyp, live))
 
         acc = jnp.zeros((n, 3), jnp.float32)
         for r in range(self.nb_mc):

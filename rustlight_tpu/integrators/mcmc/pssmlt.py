@@ -68,10 +68,19 @@ class IntegratorPSSMLT:
         tf = jnp.mean(li, axis=-1)   # (r+g+b)/3 (mcmc/mod.rs:26)
         return y * cam.width + x, li, tf
 
-    def render(self, scene, spp: int, seed: int = 0, verbose: bool = False) -> Film:
+    def render(self, scene, spp: int, seed: int = 0, verbose: bool = False,
+               mesh=None) -> Film:
+        """When `mesh` (a 1-axis jax.sharding.Mesh over axis 'd') is given,
+        the chain population is split evenly over its devices — the reference
+        runs `total/100k` chains as independent rayon tasks
+        (pssmlt.rs:34-108); here each device evolves its chain shard into a
+        private film and one psum merges the films over ICI (P3+P6)."""
         cam = scene.camera
         w, h = cam.width, cam.height
         c = self.nb_chains
+        if mesh is not None:
+            n_dev = mesh.shape["d"]
+            c = max(1, c // n_dev) * n_dev   # even chain shards
         d = self.pss_dims
         total = spp * w * h
         steps = max(1, total // c)
@@ -115,10 +124,10 @@ class IntegratorPSSMLT:
         pid0, col0, _ = self._sample_fn(scene, u0)
 
         # ---------------- chain evolution
-        rk = (id(scene), id(self), c, d, steps, w, h, "pssmlt-run")
+        rk = (id(scene), id(self), c, d, steps, w, h, id(mesh), "pssmlt-run")
         run = _BLOCK_CACHE.get(rk)
         if run is None:
-            run = self._make_run(scene, c, d, steps, w, h)
+            run = self._make_run(scene, c, d, steps, w, h, mesh=mesh)
             _cache_put(rk, run)
 
         t0 = time.time()
@@ -136,15 +145,17 @@ class IntegratorPSSMLT:
         film.buffers["primal"] = img
         return film
 
-    def _make_run(self, scene, c, d, steps, w, h):
-        @jax.jit
-        def run(base, u0, tf0, pid0, col0):
+    def _make_run(self, scene, c, d, steps, w, h, mesh=None):
+        def evolve(stream0, u0, tf0, pid0, col0):
+            """Evolve a chain block for `steps`, returning its film."""
+            cc = u0.shape[0]
+
             def step(s, carry):
                 u, tf, pid, col, wgt, film, stream = carry
-                ul, stream = _uniform(stream, (c,))
-                uf, stream = _uniform(stream, (c, d))
-                um, stream = _uniform(stream, (c, d))
-                ua, stream = _uniform(stream, (c,))
+                ul, stream = _uniform(stream, (cc,))
+                uf, stream = _uniform(stream, (cc, d))
+                um, stream = _uniform(stream, (cc, d))
+                ua, stream = _uniform(stream, (cc,))
 
                 large = ul < self.large_prob
                 u_prop = jnp.where(large[:, None], uf, kelemen_mutate(u, um))
@@ -173,14 +184,35 @@ class IntegratorPSSMLT:
                 return u, tf, pid, col, wgt, film, stream
 
             film = jnp.zeros((h * w, 3), jnp.float32)
-            wgt = jnp.zeros((c,), jnp.float32)
-            stream = stream_fold(base, 77)
+            wgt = jnp.zeros((cc,), jnp.float32)
             u, tf, pid, col, wgt, film, stream = jax.lax.fori_loop(
-                0, steps, step, (u0, tf0, pid0, col0, wgt, film, stream))
+                0, steps, step, (u0, tf0, pid0, col0, wgt, film, stream0))
             # flush final states
             val = col * (wgt / jnp.maximum(tf, 1e-30))[:, None]
             val = jnp.where((tf > 0.0)[:, None], val, 0.0)
             film = film.at[pid].add(val, mode="drop")
             return film
 
-        return run
+        if mesh is None:
+            @jax.jit
+            def run(base, u0, tf0, pid0, col0):
+                return evolve(stream_fold(base, 77), u0, tf0, pid0, col0)
+            return run
+
+        # chain-parallel over the mesh: each device evolves its chain shard
+        # into a private film; one psum merges (reference: independent rayon
+        # chains + mutex film merge, pssmlt.rs:34-108 — P3/P6 on ICI)
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def device_fn(base, u0, tf0, pid0, col0):
+            dev = jax.lax.axis_index("d")
+            stream0 = stream_fold(stream_fold(base, dev), 77)
+            film = evolve(stream0, u0, tf0, pid0, col0)
+            return jax.lax.psum(film, "d")
+
+        fn = shard_map(device_fn, mesh=mesh,
+                       in_specs=(P(), P("d", None), P("d"), P("d"),
+                                 P("d", None)),
+                       out_specs=P(), check_vma=False)
+        return jax.jit(fn)

@@ -56,7 +56,15 @@ class IntegratorSMCMC:
         cap = getattr(integrator, "hard_cap", 16)
         self.pss_dims = pss_dims or (2 + 6 * cap)
 
-    def render(self, scene, spp: int, seed: int = 0, verbose: bool = False) -> Film:
+    def render(self, scene, spp: int, seed: int = 0, verbose: bool = False,
+               mesh=None) -> Film:
+        """`mesh` (1-axis Mesh over 'd'): the per-pixel tile-chain arrays are
+        device-split along the lane (pixel-row) axis via sharding
+        constraints; the roll-based neighbor exchange then compiles to
+        collective-permutes of the boundary rows over ICI (reference
+        per-scanline chunks + even/odd exchange, smcmc.rs:1248-1327).
+        Semantics are identical to the single-device run (GSPMD partitioning
+        does not change the computation), so results match bit-for-bit."""
         cam = scene.camera
         w, h = cam.width, cam.height
         n = w * h
@@ -147,27 +155,44 @@ class IntegratorSMCMC:
                 col = jnp.where(accept[:, None, None], col_p, col)
                 wgt = jnp.where(accept, a, w_cur)
             else:
-                # pairwise swap partner index
+                # Pairwise neighbor access via rolls on the (h, w) grid, NOT
+                # index gathers: when the lane axis is device-split (mesh
+                # rendering), XLA lowers the roll on the split axis to a
+                # collective-permute of just the halo rows over ICI — the
+                # ppermute form of the reference's even/odd replica exchange
+                # (smcmc.rs:1248-1327, P4 in SURVEY.md §2.10).
                 if exchange_axis == "h":
-                    partner_x = jnp.where((px - offset) % 2 == 0, px + 1, px - 1)
-                    pvalid = (partner_x >= 0) & (partner_x < w)
-                    partner = py * w + jnp.clip(partner_x, 0, w - 1)
+                    even = (px - offset) % 2 == 0
+                    partner_c = jnp.where(even, px + 1, px - 1)
+                    pvalid = (partner_c >= 0) & (partner_c < w)
+                    roll_ax = 1
                 else:
-                    partner_y = jnp.where((py - offset) % 2 == 0, py + 1, py - 1)
-                    pvalid = (partner_y >= 0) & (partner_y < h)
-                    partner = jnp.clip(partner_y, 0, h - 1) * w + px
+                    even = (py - offset) % 2 == 0
+                    partner_c = jnp.where(even, py + 1, py - 1)
+                    pvalid = (partner_c >= 0) & (partner_c < h)
+                    roll_ax = 0
 
-                u_sw = jnp.where(pvalid[:, None], u[partner], u)
+                def nb(arr):
+                    """Value of `arr` at the partner lane (wrap content is
+                    masked out by pvalid)."""
+                    a2 = arr.reshape((h, w) + arr.shape[1:])
+                    nxt = jnp.roll(a2, -1, axis=roll_ax)
+                    prv = jnp.roll(a2, +1, axis=roll_ax)
+                    e2 = even.reshape((h, w) + (1,) * (arr.ndim - 1))
+                    return jnp.where(e2, nxt, prv).reshape(arr.shape)
+
+                u_sw = jnp.where(pvalid[:, None], nb(u), u)
                 col_p, tf_p = generate_state(scene, u_sw)
                 ua, stream = _uniform(stream, (n,))
                 # joint acceptance shared within the pair: use the uniform of
-                # the lower-index lane
-                ua_pair = jnp.where(partner > iota, ua, ua[partner])
-                prod_new = tf_p * tf_p[partner]
-                prod_old = tf * tf[partner]
+                # the lower-index (even) lane
+                ua_pair = jnp.where(even, ua, nb(ua))
+                tf_nb = nb(tf)
+                prod_new = tf_p * nb(tf_p)
+                prod_old = tf * tf_nb
                 a = jnp.minimum(1.0, prod_new / jnp.maximum(prod_old, 1e-30))
                 a = jnp.where((prod_new > 0.0) & pvalid, a, 0.0)
-                bothinit = (tf > 0.0) & (tf[partner] > 0.0)
+                bothinit = (tf > 0.0) & (tf_nb > 0.0)
                 a = jnp.where(bothinit, a, 0.0)
                 accept = (ua_pair < a) & pvalid & bothinit
 
@@ -304,6 +329,19 @@ class IntegratorSMCMC:
         # lax.switch inside a fori_loop — one compiled body, any spp
         schedule = [None, ("h", 0), None, ("v", 0), None, ("h", 1), None, ("v", 1)]
 
+        if mesh is None:
+            def shard_lanes(x):
+                return x
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            def shard_lanes(x):
+                nd = getattr(x, "ndim", 0)
+                if nd >= 1 and x.shape[0] == n:
+                    s = NamedSharding(mesh, P(*(("d",) + (None,) * (nd - 1))))
+                    return jax.lax.with_sharding_constraint(x, s)
+                return x
+
         @jax.jit
         def run(base_fold):
             u0, tf0, col0, b_acc0, nb_u0, acc_mc0, stream0 = init_states(
@@ -311,6 +349,7 @@ class IntegratorSMCMC:
             carry0 = (u0, tf0, col0, jnp.zeros(n),
                       jnp.zeros((n, 5, 3)), acc_mc0, jnp.zeros(n, jnp.int32),
                       b_acc0, nb_u0)
+            carry0 = jax.tree.map(shard_lanes, carry0)
 
             branches = []
             for step in schedule:

@@ -17,11 +17,28 @@ from ..utils.film import Film
 from .common import Integrator, SplattingIntegrator, render, render_splat
 
 
-def _render_once(scene, integrator, spp, seed, sampler="independent"):
+def _render_once(scene, integrator, spp, seed, sampler="independent",
+                 mesh=None):
+    """One render pass; `mesh` routes to the sharded execution paths
+    (the reference's `-t` thread pool, integrators/mod.rs:452-459)."""
     if isinstance(integrator, SplattingIntegrator):
+        if mesh is not None:
+            from ..parallel import render_splat_sharded
+            cam = scene.camera
+            return render_splat_sharded(
+                scene, integrator, n_paths=spp * cam.width * cam.height,
+                mesh=mesh, seed=seed)
         return render_splat(scene, integrator, spp, seed=seed)
     if hasattr(integrator, "render"):           # self-driving (MCMC)
-        return integrator.render(scene, spp, seed=seed)
+        import inspect
+        kw = {}
+        if (mesh is not None and
+                "mesh" in inspect.signature(integrator.render).parameters):
+            kw["mesh"] = mesh
+        return integrator.render(scene, spp, seed=seed, **kw)
+    if mesh is not None and sampler == "independent":
+        from ..parallel import render_sharded
+        return render_sharded(scene, integrator, spp, mesh=mesh, seed=seed)
     return render(scene, integrator, spp, seed=seed, sampler=sampler)
 
 
@@ -32,18 +49,25 @@ class IntegratorAverage:
     def __init__(self, integrator, spp_per_pass: int = 1,
                  nb_passes: Optional[int] = None,
                  timeout_s: Optional[float] = None,
-                 dump_base: Optional[str] = None):
-        assert nb_passes is not None or timeout_s is not None
+                 dump_base: Optional[str] = None,
+                 mesh=None, max_passes: Optional[int] = None):
+        # nb_passes=None and timeout_s=None = run forever with per-pass
+        # dumps (the reference's `-a inf`, avg.rs:21 + cli.rs:31-39);
+        # max_passes is a safety bound for tests of the infinite mode.
         self.integrator = integrator
         self.spp_per_pass = spp_per_pass
         self.nb_passes = nb_passes
         self.timeout_s = timeout_s
         self.dump_base = dump_base
+        self.mesh = mesh
+        self.max_passes = max_passes
+        self.infinite = nb_passes is None and timeout_s is None
 
     def render(self, scene, seed: int = 0, verbose: bool = False) -> Film:
         if self.timeout_s is not None:
             # time budgets measure RENDER time: compile outside the clock
-            _render_once(scene, self.integrator, self.spp_per_pass, seed - 1)
+            _render_once(scene, self.integrator, self.spp_per_pass, seed - 1,
+                         mesh=self.mesh)
         t0 = time.time()
         avg: Optional[Film] = None
         timeline = []
@@ -51,7 +75,7 @@ class IntegratorAverage:
         averaging = getattr(self.integrator, "averaging", True)
         while True:
             film = _render_once(scene, self.integrator, self.spp_per_pass,
-                                seed + it)
+                                seed + it, mesh=self.mesh)
             if avg is None or not averaging:
                 avg = film
             else:
@@ -60,6 +84,10 @@ class IntegratorAverage:
             timeline.append((time.time() - t0, it))
             if self.dump_base:
                 avg.save(f"{self.dump_base}_{it}.pfm")
+            if self.max_passes is not None and it >= self.max_passes:
+                break
+            if self.infinite:
+                continue
             if self.timeout_s is not None:
                 if time.time() - t0 >= self.timeout_s:
                     break
@@ -79,22 +107,25 @@ class IntegratorEqualTime:
     """Render passes until `target_s` elapsed; reports achieved spp
     (reference `-e`)."""
 
-    def __init__(self, integrator, target_s: float, spp_per_pass: int = 1):
+    def __init__(self, integrator, target_s: float, spp_per_pass: int = 1,
+                 mesh=None):
         self.integrator = integrator
         self.target_s = target_s
         self.spp_per_pass = spp_per_pass
         self.achieved_spp = 0
+        self.mesh = mesh
 
     def render(self, scene, seed: int = 0, verbose: bool = False) -> Film:
         # warm the compile cache outside the clock: the budget is render
         # time, matching the reference where compilation does not exist
-        _render_once(scene, self.integrator, self.spp_per_pass, seed - 1)
+        _render_once(scene, self.integrator, self.spp_per_pass, seed - 1,
+                     mesh=self.mesh)
         t0 = time.time()
         acc: Optional[Film] = None
         passes = 0
         while time.time() - t0 < self.target_s or passes == 0:
             film = _render_once(scene, self.integrator, self.spp_per_pass,
-                                seed + passes)
+                                seed + passes, mesh=self.mesh)
             if acc is None:
                 acc = film
             else:

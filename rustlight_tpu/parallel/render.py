@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..integrators.common import Integrator, _pixel_grid
 from ..scene.scene import SceneData
@@ -60,7 +60,7 @@ def render_step_sharded(scene: SceneData, integrator: Integrator, mesh: Mesh,
 
     fn = shard_map(device_fn, mesh=mesh,
                    in_specs=(P(), P("d", None)), out_specs=P("d", None),
-                   check_rep=False)
+                   check_vma=False)
     return fn(scene, pix_sharded)
 
 
@@ -78,8 +78,72 @@ def render_block_sharded(scene: SceneData, integrator, mesh: Mesh,
 
     fn = shard_map(device_fn, mesh=mesh,
                    in_specs=(P(), P("d", None)), out_specs=P("d", None),
-                   check_rep=False)
+                   check_vma=False)
     return fn(scene, pix_sharded)
+
+
+def splat_step_sharded(scene: SceneData, integrator, mesh: Mesh,
+                       n_per_dev: int, seed: int = 0, pass_idx=0):
+    """One sharded splatting pass: each device traces `n_per_dev` light paths
+    with its own RNG stream, scatter-adds into a PRIVATE full-resolution film,
+    and a single psum over the 'd' axis merges the films on ICI — the TPU
+    form of the reference's nb_threads*4 jobs + mutex merge
+    (src/integrators/explicit/light.rs:224-287; P2/P6 in SURVEY.md §2.10).
+
+    Returns the merged [h*w, 3] film (unnormalized contribution sums)."""
+    cam = scene.camera
+    hw = cam.width * cam.height
+
+    def device_fn(scene_):
+        dev = jax.lax.axis_index("d")
+        stream = stream_fold(stream_fold(make_stream(seed), dev), pass_idx)
+        pids, vals = integrator.trace_paths(scene_, n_per_dev, stream)
+        ok = jnp.all(jnp.isfinite(vals), axis=-1) & jnp.all(vals >= 0.0,
+                                                            axis=-1)
+        vals = jnp.where(ok[:, None], vals, 0.0)
+        film = jnp.zeros((hw, 3), jnp.float32)
+        film = film.at[pids].add(vals, mode="drop")
+        return jax.lax.psum(film, "d")
+
+    fn = shard_map(device_fn, mesh=mesh, in_specs=(P(),), out_specs=P(),
+                   check_vma=False)
+    return fn(scene)
+
+
+def render_splat_sharded(scene: SceneData, integrator, n_paths: int,
+                         mesh: Optional[Mesh] = None, seed: int = 0,
+                         paths_per_pass: Optional[int] = None,
+                         verbose: bool = False) -> Film:
+    """Full sharded splatting render (light tracing / VPL light pass):
+    `n_paths` total light paths split evenly over the mesh devices, psum film
+    merge per pass. Normalization matches render_splat: film * w*h/total."""
+    if mesh is None:
+        mesh = make_device_mesh()
+    n_dev = mesh.shape["d"]
+    cam = scene.camera
+    w, h = cam.width, cam.height
+    per_pass = paths_per_pass or min(n_paths, n_dev * w * h)
+    n_per_dev = max(1, -(-per_pass // n_dev))
+
+    step = jax.jit(lambda sc, p: splat_step_sharded(
+        sc, integrator, mesh, n_per_dev, seed=seed, pass_idx=p))
+
+    acc = jnp.zeros((h * w, 3), jnp.float32)
+    t0 = time.time()
+    done = 0
+    p = 0
+    while done < n_paths:
+        acc = acc + step(scene, jnp.int32(p))
+        done += n_per_dev * n_dev
+        p += 1
+    img = np.asarray(acc.reshape(h, w, 3)) * (w * h / done)
+    if verbose:
+        print(f"render_splat_sharded[{n_dev}dev]: {done} paths "
+              f"in {time.time()-t0:.2f}s")
+
+    film = Film(w, h)
+    film.buffers["primal"] = img
+    return film
 
 
 def render_sharded(scene: SceneData, integrator: Integrator, spp: int,

@@ -34,6 +34,36 @@ class TestPSSMLT:
         assert film["primal"].min() >= 0.0
 
 
+class TestERPT:
+    def test_mean_converges_to_path_tracer(self):
+        """ERPT redistributes exploration energy without changing the mean
+        (equal-deposit rule, erpt.rs:180-208)."""
+        from rustlight_tpu.integrators.mcmc import IntegratorERPT
+        sc = cornell_box(24, 24).compile()
+        inner = IntegratorPathTracing(max_depth=3, hard_cap=3)
+        ref = render(sc, inner, spp=128, seed=1)["primal"].mean()
+        erpt = IntegratorERPT(inner, nb_mc=4, chain_samples=16,
+                              nb_samples_norm=8192)
+        f = erpt.render(sc, spp=68, seed=1)
+        m = f["primal"].mean()
+        assert abs(m - ref) / ref < 0.15, (m, ref)
+        assert f["primal"].min() >= 0.0
+
+    def test_spawn_counts_match_poisson_expectation(self):
+        """The fixed-budget weighted spawning must keep the expected deposit
+        of the reference's floor(mean+u) chain counts: E[w_spawn·1_spawn]
+        = mean_chains for any mean."""
+        import jax.numpy as jnp
+        key = jax.random.PRNGKey(0)
+        for mean in (0.1, 0.7, 1.0, 2.5):
+            u = jax.random.uniform(key, (200000,))
+            p = jnp.clip(mean, 0.0, 1.0)
+            spawn = u < p
+            w = jnp.where(spawn, mean / p, 0.0)
+            got = float(jnp.mean(w))
+            assert abs(got - mean) / mean < 0.02, (mean, got)
+
+
 class TestSMCMC:
     def test_naive_and_irls_reconstructions(self):
         from rustlight_tpu.integrators.mcmc import IntegratorSMCMC
