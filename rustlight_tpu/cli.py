@@ -48,7 +48,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="independent[:seed] | stratified")
     ap.add_argument("-s", "--scale-image", type=float, default=1.0)
     ap.add_argument("-e", "--equal-time", type=float, default=None,
-                    help="render-time budget in SECONDS (reference -e)")
+                    help="render-time budget in MILLISECONDS, matching the "
+                         "reference -e (equal_time.rs:5)")
     ap.add_argument("-o", "--output", default="out.pfm")
     ap.add_argument("-m", "--medium", default="0.0",
                     help="sigma_s[:sigma_a[:g]] for an infinite homogeneous medium")
@@ -70,7 +71,7 @@ def build_parser() -> argparse.ArgumentParser:
     _add_path_length(p)
     p.add_argument("-x", "--single-scattering", action="store_true")
     p.add_argument("-s", "--strategy", default="all",
-                   choices=["all", "bsdf", "emitter"])
+                   choices=["all", "bsdf", "emitter", "naive"])
 
     p = sub.add_parser("light-tracing", aliases=["light"])
     _add_path_length(p)
@@ -353,26 +354,49 @@ def main(argv=None):
         seed = int(rng.split(":")[1])
     sampler = "stratified" if rng.startswith("stratified") else "independent"
 
+    # -t: shard the render over a device mesh (the reference's rayon pool
+    # size, integrators/mod.rs:452-459; here devices are the parallel unit)
+    mesh = None
+    if args.threads is not None and args.threads > 1:
+        import jax
+        from .parallel import make_device_mesh
+        n_dev = min(args.threads, len(jax.devices()))
+        if n_dev > 1:
+            mesh = make_device_mesh(n_dev)
+            log.info("Sharding over %d devices (-t %d)", n_dev, args.threads)
+
     t1 = time.time()
     if args.equal_time is not None:
-        meta = IntegratorEqualTime(integrator, target_s=args.equal_time,
-                                   spp_per_pass=args.nbsamples)
+        # -e is MILLISECONDS like the reference (equal_time.rs:5)
+        meta = IntegratorEqualTime(integrator, target_s=args.equal_time / 1e3,
+                                   spp_per_pass=args.nbsamples, mesh=mesh)
         film = meta.render(sd, seed=seed, verbose=True)
         log.info("Achieved spp: %d", meta.achieved_spp)
     elif args.average is not None:
+        dump_base = args.output.rsplit(".", 1)[0]
         if args.average == "inf":
-            raise SystemExit("use -a <seconds>s or -a <passes>")
-        if args.average.endswith("s"):
+            # run forever, dumping each pass (avg.rs:21); the dumps are the
+            # de-facto checkpoints — stop with Ctrl-C and keep the last one
+            meta = IntegratorAverage(integrator, spp_per_pass=args.nbsamples,
+                                     dump_base=dump_base, mesh=mesh)
+        elif args.average.endswith("s"):
             meta = IntegratorAverage(integrator, spp_per_pass=args.nbsamples,
                                      timeout_s=float(args.average[:-1]),
-                                     dump_base=args.output.rsplit(".", 1)[0])
+                                     dump_base=dump_base, mesh=mesh)
         else:
             meta = IntegratorAverage(integrator, spp_per_pass=args.nbsamples,
                                      nb_passes=int(args.average),
-                                     dump_base=args.output.rsplit(".", 1)[0])
-        film = meta.render(sd, seed=seed, verbose=True)
+                                     dump_base=dump_base, mesh=mesh)
+        try:
+            film = meta.render(sd, seed=seed, verbose=True)
+        except KeyboardInterrupt:
+            if meta.infinite and meta.dump_base:
+                log.info("interrupted; last dump kept at %s_<n>.pfm",
+                         meta.dump_base)
+            raise
     else:
-        film = _render_once(sd, integrator, args.nbsamples, seed, sampler=sampler)
+        film = _render_once(sd, integrator, args.nbsamples, seed,
+                            sampler=sampler, mesh=mesh)
     log.info("Elapsed Integrator: %.3fs", time.time() - t1)
 
     film.save(args.output)

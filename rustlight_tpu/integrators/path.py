@@ -44,6 +44,10 @@ from .common import Integrator, mis_balance
 STRATEGY_ALL = "all"
 STRATEGY_BSDF = "bsdf"
 STRATEGY_EMITTER = "emitter"
+# ground-truth cosine-hemisphere sampling, no BSDF IS and no NEE — the
+# IS-correctness oracle (reference NaiveSamplingStrategy,
+# src/paths/strategies/naive.rs:9-293)
+STRATEGY_NAIVE = "naive"
 
 
 class _PathState(NamedTuple):
@@ -97,6 +101,25 @@ class IntegratorPathTracing(Integrator):
         # lanes geometrically; 64 bounces leaves ~1e-? of energy for albedo .95)
         self.hard_cap = hard_cap if max_depth is None else min(hard_cap, max_depth)
 
+    def _naive_bounce(self, scene, hit, smooth, u_bsdf, bs):
+        """STRATEGY_NAIVE: cosine-hemisphere sampling on the wi side, weight
+        = f·cos/pdf with pdf = |cosθ|/π (naive.rs:9-293). Delta materials
+        keep BSDF sampling — a cosine draw can never land on a delta lobe."""
+        from ..utils.warps import cosine_sample_hemisphere
+        wo_n = cosine_sample_hemisphere(u_bsdf)
+        sz = jnp.where(hit.wi[:, 2] < 0.0, -1.0, 1.0)
+        wo_n = jnp.concatenate([wo_n[:, :2], wo_n[:, 2:3] * sz[:, None]], -1)
+        pdf_n = jnp.abs(wo_n[:, 2]) / jnp.pi
+        f_n = bsdf_eval(scene.materials, hit.mat, hit.uv, hit.wi, wo_n,
+                        TRANSPORT_IMPORTANCE)
+        w_n = f_n / jnp.maximum(pdf_n, 1e-12)[:, None]
+        use_n = ~smooth
+        return (jnp.where(use_n[:, None], wo_n, bs.wo),
+                jnp.where(use_n[:, None], w_n, bs.weight),
+                jnp.where(use_n, pdf_n, bs.pdf),
+                jnp.where(use_n, False, bs.is_delta),
+                jnp.where(use_n, pdf_n > 0.0, bs.valid))
+
     # ----------------------------------------------------------------- core
     def compute_pixel(self, scene, pix, stream):
         n = pix.shape[0]
@@ -105,7 +128,8 @@ class IntegratorPathTracing(Integrator):
 
         use_nee = self.strategy in (STRATEGY_ALL, STRATEGY_EMITTER)
         mis_on = self.strategy == STRATEGY_ALL
-        keep_bsdf_hits = self.strategy in (STRATEGY_ALL, STRATEGY_BSDF)
+        keep_bsdf_hits = self.strategy in (STRATEGY_ALL, STRATEGY_BSDF,
+                                           STRATEGY_NAIVE)
 
         state = _PathState(
             k=jnp.int32(0), stream=stream, o=o, d=d,
@@ -238,11 +262,13 @@ class IntegratorPathTracing(Integrator):
             u_bsdf, stream = stream_next2d(stream, (n,))
             bs = bsdf_sample(scene.materials, hit.mat, hit.uv, hit.wi, u_bsdf,
                              TRANSPORT_IMPORTANCE)
-            wo_world = to_world(hit.frame, bs.wo)
-            weight = bs.weight
-            pdf_dir = bs.pdf
-            is_delta = bs.is_delta
-            valid_dir = bs.valid
+            if self.strategy == STRATEGY_NAIVE:
+                bs_wo, weight, pdf_dir, is_delta, valid_dir = \
+                    self._naive_bounce(scene, hit, smooth, u_bsdf, bs)
+            else:
+                bs_wo, weight, pdf_dir, is_delta, valid_dir = (
+                    bs.wo, bs.weight, bs.pdf, bs.is_delta, bs.valid)
+            wo_world = to_world(hit.frame, bs_wo)
             if has_med:
                 d_ph, w_ph, pdf_ph = phase_sample(scene.volume.phase_g, -s.d, u_bsdf)
                 wo_world = jnp.where(scattered[:, None], d_ph, wo_world)
@@ -297,7 +323,8 @@ class IntegratorPathTracing(Integrator):
         pixf = pix.astype(jnp.float32)
         use_nee = self.strategy in (STRATEGY_ALL, STRATEGY_EMITTER)
         mis_on = self.strategy == STRATEGY_ALL
-        keep_bsdf_hits = self.strategy in (STRATEGY_ALL, STRATEGY_BSDF)
+        keep_bsdf_hits = self.strategy in (STRATEGY_ALL, STRATEGY_BSDF,
+                                           STRATEGY_NAIVE)
         has_med = scene.volume is not None
         zero3 = jnp.zeros((n, 3), jnp.float32)
 
@@ -434,11 +461,13 @@ class IntegratorPathTracing(Integrator):
             u_bsdf, stream = stream_next2d(stream, (n,))
             bs = bsdf_sample(scene.materials, hit.mat, hit.uv, hit.wi, u_bsdf,
                              TRANSPORT_IMPORTANCE)
-            wo_world = to_world(hit.frame, bs.wo)
-            weight = bs.weight
-            pdf_dir = bs.pdf
-            is_delta = bs.is_delta
-            valid_dir = bs.valid
+            if self.strategy == STRATEGY_NAIVE:
+                bs_wo, weight, pdf_dir, is_delta, valid_dir = \
+                    self._naive_bounce(scene, hit, smooth, u_bsdf, bs)
+            else:
+                bs_wo, weight, pdf_dir, is_delta, valid_dir = (
+                    bs.wo, bs.weight, bs.pdf, bs.is_delta, bs.valid)
+            wo_world = to_world(hit.frame, bs_wo)
             if has_med:
                 d_ph, w_ph, pdf_ph = phase_sample(scene.volume.phase_g, -d,
                                                   u_bsdf)

@@ -27,9 +27,14 @@ def _round_up_pow4(n: int) -> int:
     return v
 
 
-def _stratum(key, pixel_ids, pass_idx, dim, n4: int):
-    """perm_{pixel,dim}(pass_idx) in Z_n4. `dim` may be a traced int."""
-    kd = jax.random.fold_in(jax.random.fold_in(key, 7919), dim)
+def _stratum(key, pixel_ids, pass_idx, dim, n4: int, table: int):
+    """perm_{pixel,dim}(pass_idx) in Z_n4. `dim` may be a traced int.
+    `table` tags the 1D (7919) vs 2D (7920) permutation family — the
+    reference shuffles its 1D and 2D tables independently
+    (stratified.rs:22-42), so 1D dim k and 2D dim k must not share a
+    permutation (sharing would cover only diagonal stratum pairs in any
+    integrand coupling those dimensions)."""
+    kd = jax.random.fold_in(jax.random.fold_in(key, table), dim)
     b = jax.random.randint(jax.random.fold_in(kd, 1), pixel_ids.shape, 0, n4)
     a = (2 * jax.random.randint(jax.random.fold_in(kd, 2), pixel_ids.shape,
                                 0, n4 // 2) + 1)
@@ -39,7 +44,7 @@ def _stratum(key, pixel_ids, pass_idx, dim, n4: int):
 def stratified_1d(key, pixel_ids, pass_idx, spp: int, dim, u):
     """Stratify a fresh uniform u [n] into the lane's pass stratum."""
     n4 = _round_up_pow4(max(spp, 1))
-    s = _stratum(key, pixel_ids, pass_idx, dim, n4)
+    s = _stratum(key, pixel_ids, pass_idx, dim, n4, 7919)
     return (s.astype(jnp.float32) + u) / n4
 
 
@@ -47,7 +52,7 @@ def stratified_2d(key, pixel_ids, pass_idx, spp: int, dim, u):
     """Stratify fresh uniforms u [n, 2] on a sqrt(n4) x sqrt(n4) grid."""
     n4 = _round_up_pow4(max(spp, 1))
     side = int(n4 ** 0.5)
-    s = _stratum(key, pixel_ids, pass_idx, dim, n4)
+    s = _stratum(key, pixel_ids, pass_idx, dim, n4, 7920)
     sx = jnp.remainder(s, side)
     sy = s // side
     return (jnp.stack([sx, sy], -1).astype(jnp.float32) + u) / side

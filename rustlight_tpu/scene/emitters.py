@@ -479,9 +479,12 @@ def _take_tri_cols(geom, em: EmitterTables, take, fields):
     """
     from ..ops.gather import MAX_ONEHOT_ROWS
     from .geometry import (A_V0, A_E1, A_E2, A_NG, A_AREA, A_LE, A_VUV,
-                           A_EMKIND, A_EMSCALE, A_EMTEX)
+                           A_EMKIND, A_EMSCALE, A_EMTEX, N_ATTR)
     out = {}
-    if geom.n_pad > MAX_ONEHOT_ROWS:
+    # the fused branch slices emission columns that exist only after
+    # Scene.compile widened geom.attr to N_ATTR; a raw GeometryTables falls
+    # through to the narrow takes (mirrors the fill_hit guard)
+    if geom.n_pad > MAX_ONEHOT_ROWS and geom.attr.shape[1] >= N_ATTR:
         a = take(geom.attr)
         nl = a.shape[0]
         spec = {"v0": a[:, A_V0], "e1": a[:, A_E1], "e2": a[:, A_E2],

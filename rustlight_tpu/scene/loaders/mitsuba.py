@@ -238,6 +238,14 @@ def load_mitsuba(path) -> Scene:
             fname = _child_value(sh, "filename", None, conv=str)
             meshes.append(load_ply(path.parent / fname, material=mat,
                                    emission=emission))
+        elif kind == "serialized":
+            # Mitsuba binary meshes (reference scene_loader.rs:499-500)
+            from .serialized import load_serialized
+            fname = _child_value(sh, "filename", None, conv=str)
+            sidx = int(_child_value(sh, "shapeIndex", 0) or 0)
+            meshes.append(load_serialized(path.parent / fname,
+                                          shape_index=sidx, material=mat,
+                                          emission=emission))
         elif kind == "rectangle":
             meshes.append(make_quad((-1, -1, 0), (1, -1, 0), (1, 1, 0), (-1, 1, 0),
                                     material=mat, emission=tuple(emission)))

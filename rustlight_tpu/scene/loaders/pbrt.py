@@ -162,6 +162,19 @@ def _remap_roughness(r: float) -> float:
                  + 0.0171201 * x ** 3 + 0.000640711 * x ** 4)
 
 
+def _transform_mesh(mesh, ctm):
+    """Apply a 4x4 transform to a TriMesh in place (normals by the
+    inverse-transpose)."""
+    v4 = np.concatenate(
+        [mesh.vertices, np.ones((len(mesh.vertices), 1), np.float32)], -1)
+    mesh.vertices = (v4 @ ctm.T)[:, :3]
+    if mesh.normals is not None:
+        nrm_m = np.linalg.inv(ctm[:3, :3]).T
+        nn = mesh.normals @ nrm_m.T
+        ln = np.linalg.norm(nn, axis=-1, keepdims=True)
+        mesh.normals = nn / np.maximum(ln, 1e-20)
+
+
 def load_pbrt(path) -> Scene:
     path = Path(path)
     toks = list(_tokenize(path.read_text(errors="ignore")))
@@ -213,6 +226,11 @@ def load_pbrt(path) -> Scene:
     stack: List[tuple] = []
     cur_mat: Optional[int] = None
     cur_emit = np.zeros(3, np.float32)
+    # object instancing (reference scene_loader.rs:185-199): ObjectBegin
+    # records shapes into a prototype list; ObjectInstance stamps a copy
+    # with the instance CTM composed on top of the creation transform
+    cur_object: Optional[str] = None
+    objects: Dict[str, list] = {}
     named: Dict[str, int] = {}
     tex_specs: Dict[str, dict] = {}
     atlas: List[np.ndarray] = []
@@ -261,12 +279,13 @@ def load_pbrt(path) -> Scene:
             in_world = True
             ctm = np.eye(4, dtype=np.float32)
         elif t in ("AttributeBegin", "TransformBegin", "ObjectBegin"):
+            stack.append((ctm.copy(), cur_mat, cur_emit.copy(), cur_object))
             if t == "ObjectBegin":
-                nxt()
-            stack.append((ctm.copy(), cur_mat, cur_emit.copy()))
+                cur_object = nxt().strip('"')
+                objects.setdefault(cur_object, [])
         elif t in ("AttributeEnd", "TransformEnd", "ObjectEnd"):
             if stack:
-                ctm, cur_mat, cur_emit = stack.pop()
+                ctm, cur_mat, cur_emit, cur_object = stack.pop()
         elif t == "Material":
             kind = nxt().strip('"')
             p = read_params()
@@ -352,18 +371,24 @@ def load_pbrt(path) -> Scene:
                                    material=ensure_mat(),
                                    emission=tuple(cur_emit))
             if mesh is not None:
-                v4 = np.concatenate([mesh.vertices,
-                                     np.ones((len(mesh.vertices), 1), np.float32)], -1)
-                mesh.vertices = (v4 @ ctm.T)[:, :3]
-                if mesh.normals is not None:
-                    nrm_m = np.linalg.inv(ctm[:3, :3]).T
-                    nn = mesh.normals @ nrm_m.T
-                    ln = np.linalg.norm(nn, axis=-1, keepdims=True)
-                    mesh.normals = nn / np.maximum(ln, 1e-20)
-                scene.add_mesh(mesh)
-        elif t in ("WorldEnd", "ReverseOrientation", "ObjectInstance"):
-            if t == "ObjectInstance":
-                nxt()
+                _transform_mesh(mesh, ctm)
+                if cur_object is not None:
+                    # prototype shape: recorded, not added to the scene
+                    objects[cur_object].append(mesh)
+                else:
+                    scene.add_mesh(mesh)
+        elif t == "ObjectInstance":
+            oname = nxt().strip('"')
+            # instance-to-world CTM composes on top of the prototype's
+            # creation transform (pbrt TransformedPrimitive semantics;
+            # reference scene_loader.rs:185-199)
+            import copy as _copy
+            for proto in objects.get(oname, ()):
+                inst = _copy.deepcopy(proto)
+                _transform_mesh(inst, ctm)
+                scene.add_mesh(inst)
+        elif t in ("WorldEnd", "ReverseOrientation"):
+            pass
         elif t == "Include":
             inc = nxt().strip('"')
             toks[i:i] = list(_tokenize((path.parent / inc).read_text(errors="ignore")))

@@ -38,3 +38,50 @@ def test_subcommand_builds(cmd):
         ["cbox", "-n", "2", "-m", "0.01", "-x", "ats"] + cmd.split())
     integ = build_integrator(args)
     assert integ is not None
+
+
+class TestGlobalFlags:
+    """Reference flag semantics: -t device sharding, -e in ms, -a inf
+    (examples/cli.rs:41-51, equal_time.rs:5, avg.rs:21)."""
+
+    def test_threads_builds_mesh_and_renders(self, tmp_path, monkeypatch):
+        from rustlight_tpu.cli import main
+        out = tmp_path / "t.pfm"
+        main(["cbox", "-n", "1", "-s", "0.125", "-t", "8",
+              "-o", str(out), "path", "-m", "2"])
+        assert out.exists()
+
+    def test_equal_time_is_milliseconds(self):
+        """-e 500 must mean a 0.5 s budget, not 500 s (equal_time.rs:5)."""
+        import time
+        from rustlight_tpu.models import cornell_box
+        from rustlight_tpu.integrators import IntegratorPathTracing
+        from rustlight_tpu.integrators.meta import IntegratorEqualTime
+        sd = cornell_box(16, 16).compile()
+        meta = IntegratorEqualTime(IntegratorPathTracing(max_depth=2,
+                                                         hard_cap=2),
+                                   target_s=500 / 1e3, spp_per_pass=1)
+        t0 = time.time()
+        meta.render(sd, seed=0)
+        assert time.time() - t0 < 30.0
+        assert meta.achieved_spp >= 1
+
+    def test_average_inf_loops_with_dumps(self, tmp_path):
+        """-a inf = run forever with per-pass dumps; bounded here via
+        max_passes (the CLI's KeyboardInterrupt is the real stop)."""
+        from rustlight_tpu.models import cornell_box
+        from rustlight_tpu.integrators import IntegratorPathTracing
+        from rustlight_tpu.integrators.meta import IntegratorAverage
+        sd = cornell_box(16, 16).compile()
+        meta = IntegratorAverage(IntegratorPathTracing(max_depth=2,
+                                                       hard_cap=2),
+                                 spp_per_pass=1,
+                                 dump_base=str(tmp_path / "o"), max_passes=3)
+        assert meta.infinite
+        meta.render(sd, seed=0)
+        for i in (1, 2, 3):
+            assert (tmp_path / f"o_{i}.pfm").exists()
+
+    def test_average_inf_cli_parses(self):
+        args = build_parser().parse_args(["cbox", "-a", "inf", "path"])
+        assert args.average == "inf"

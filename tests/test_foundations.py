@@ -295,3 +295,36 @@ def test_stratified_stream_coverage():
                 hits1[dim, np.arange(n), k] = True
     assert hits1.all(), "1D strata not fully covered"
     assert hits2.all(), "2D strata not fully covered"
+
+
+def test_stratified_1d_2d_permutations_independent():
+    """1D dim k and 2D dim k must use independent stratum permutations
+    (the reference shuffles its 1D/2D tables separately): joint samples
+    must cover off-diagonal stratum pairs, not just the diagonal."""
+    import numpy as np
+    import jax.numpy as jnp
+    from rustlight_tpu.samplers.stratified import stratified_1d, stratified_2d
+    from rustlight_tpu.utils.rng import make_stream
+
+    spp, n = 16, 32
+    key = make_stream(5).key
+    pid = jnp.arange(n, dtype=jnp.int32)
+    pair_hits = np.zeros((n, spp, spp), bool)   # (1D stratum, 2D linear stratum)
+    for s in range(spp):
+        u1 = stratified_1d(key, pid, jnp.int32(s), spp, 0,
+                           jnp.zeros(n))
+        u2 = stratified_2d(key, pid, jnp.int32(s), spp, 0,
+                           jnp.zeros((n, 2)))
+        k1 = np.floor(np.asarray(u1) * spp).astype(int)
+        side = int(spp ** 0.5)
+        k2 = (np.floor(np.asarray(u2[:, 0]) * side).astype(int)
+              + side * np.floor(np.asarray(u2[:, 1]) * side).astype(int))
+        pair_hits[np.arange(n), k1, k2] = True
+    # with a SHARED permutation both draws land in the same stratum index
+    # every pass (k1 == k2 always): only diagonal pairs get covered.
+    # independent permutations scatter ~ (1 - 1/spp) of hits off-diagonal.
+    diag = pair_hits[:, np.arange(spp), np.arange(spp)].sum()
+    total = pair_hits.sum()
+    assert total - diag > total / 2, (
+        f"only {total - diag}/{total} stratum pairs off-diagonal — "
+        f"1D/2D permutations correlated")

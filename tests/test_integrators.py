@@ -44,6 +44,38 @@ class TestPathStrategies:
                            spp=spp * 2, seed=7))
         assert abs(alt - ref) / ref < 0.08, (strategy, alt, ref)
 
+    def test_naive_strategy_is_bsdf_is_oracle(self):
+        """STRATEGY_NAIVE (reference naive.rs) samples cosine-hemisphere with
+        no BSDF IS — any disagreement with the IS'd strategies flags a broken
+        sample/pdf pair."""
+        spp = 48
+        ref = _mean(render(CBOX, IntegratorPathTracing(max_depth=3), spp=spp,
+                           seed=0))
+        nv = _mean(render(CBOX, IntegratorPathTracing(max_depth=3,
+                                                      strategy="naive"),
+                          spp=spp * 4, seed=13))
+        assert abs(nv - ref) / ref < 0.08, (nv, ref)
+
+    def test_naive_strategy_on_glossy(self):
+        """Phong glossy lobe: naive cosine sampling must converge to the
+        BSDF-IS estimate (sample/eval/pdf consistency beyond diffuse)."""
+        from rustlight_tpu.scene import Scene, make_camera, look_at, make_quad
+        from rustlight_tpu.models import cornell_box as _cb
+        from rustlight_tpu import bsdfs
+        sc = cornell_box(32, 32)
+        # make the floor glossy
+        glossy = sc.add_material(bsdfs.phong((0.3, 0.3, 0.3),
+                                             (0.4, 0.4, 0.4), 30.0))
+        sc.meshes[0].material = glossy
+        sd = sc.compile()
+        ref = _mean(render(sd, IntegratorPathTracing(max_depth=3,
+                                                     strategy="bsdf"),
+                           spp=192, seed=0))
+        nv = _mean(render(sd, IntegratorPathTracing(max_depth=3,
+                                                    strategy="naive"),
+                          spp=192, seed=13))
+        assert abs(nv - ref) / ref < 0.08, (nv, ref)
+
     def test_direct_matches_depth2_path(self):
         spp = 64
         d = _mean(render(CBOX, IntegratorDirect(), spp=spp, seed=3))

@@ -128,13 +128,23 @@ def main():
             results[f"{tname}/{tech}"] = row
             print(f"[{tname}/{tech}] {row}")
 
-    (out / "results.json").write_text(json.dumps(results, indent=2))
+    # merge-update: a partial run (one scene/technique) must not clobber the
+    # other rows of the committed matrix
+    res_path = out / "results.json"
+    merged = {}
+    if res_path.exists():
+        try:
+            merged = json.loads(res_path.read_text())
+        except Exception:
+            merged = {}
+    merged.update(results)
+    res_path.write_text(json.dumps(merged, indent=2))
 
     # simple HTML report (stand-in for the interactive-viewer submodule)
     rows = "".join(
         f"<tr><td>{k}</td>" + "".join(
             f"<td>{v[m]:.5g}</td>" for m in METRICS + ["time_s"]) + "</tr>"
-        for k, v in results.items())
+        for k, v in sorted(merged.items()))
     (out / "index.html").write_text(
         "<html><body><h1>rustlight_tpu regression</h1><table border=1>"
         "<tr><th>test</th>" + "".join(f"<th>{m}</th>" for m in METRICS + ["time_s"])

@@ -121,11 +121,22 @@ def main():
         rows.append(row)
         print(row)
 
-    with open(out / "results.csv", "w", newline="") as f:
-        wcsv = csv.DictWriter(f, fieldnames=rows[0].keys())
+    # merge-update by technique: a single-technique rerun must not drop the
+    # other committed rows
+    csv_path = out / "results.csv"
+    old_rows = {}
+    if csv_path.exists():
+        with open(csv_path, newline="") as f:
+            for r in csv.DictReader(f):
+                old_rows[r["technique"]] = r
+    for r in rows:
+        old_rows[r["technique"]] = r
+    fieldnames = ["technique", "spp", "time_s", "l1", "mape", "rmse"]
+    with open(csv_path, "w", newline="") as f:
+        wcsv = csv.DictWriter(f, fieldnames=fieldnames)
         wcsv.writeheader()
-        wcsv.writerows(rows)
-    print(f"wrote {out/'results.csv'}")
+        wcsv.writerows(old_rows.values())
+    print(f"wrote {csv_path} ({len(old_rows)} rows)")
 
 
 if __name__ == "__main__":
