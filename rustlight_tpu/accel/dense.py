@@ -172,6 +172,9 @@ def intersect_rays(geom, o, d, tnear=None, tfar=None) -> RayHit:
     if getattr(geom, "walk", None) is not None:
         from .pallas_walk import _walk_impl, walk_supported
         if walk_supported(geom.walk):
+            from .pair_walk import pair_walk_enabled, _pairs_impl
+            if pair_walk_enabled(geom.walk):
+                return _pairs_impl(geom.walk, o, d, tnear, tfar, False)
             return _walk_impl(geom.walk, o, d, tnear, tfar, False)
     if getattr(geom, "clusters", None) is not None:
         from .clustered import _intersect_clustered_impl
@@ -185,6 +188,9 @@ def occluded_rays(geom, o, d, tnear, tfar):
     if getattr(geom, "walk", None) is not None:
         from .pallas_walk import _walk_impl, walk_supported
         if walk_supported(geom.walk):
+            from .pair_walk import pair_walk_enabled, _pairs_impl
+            if pair_walk_enabled(geom.walk):
+                return _pairs_impl(geom.walk, o, d, tnear, tfar, True)
             return _walk_impl(geom.walk, o, d, tnear, tfar, True)
     if getattr(geom, "clusters", None) is not None:
         from .clustered import _intersect_clustered_impl

@@ -149,8 +149,8 @@ def build_walk_tables(geom) -> WalkTables:
     cuts.append((cs, cn))
 
     c = len(cuts)
-    if c > (1 << _ID_BITS):
-        return None          # beyond the packed-id ceiling (~2M triangles)
+    if c > _MAX_CLUSTERS:
+        return None          # beyond the wide-mode ceiling (~16M triangles)
     cp = ((c + 127) // 128) * 128                        # lane-pad C
     all_rows = np.asarray(geom.inter_rows[: geom.n_tris])[order]  # [T, 3, 4]
     v0 = np.asarray(geom.v0[: geom.n_tris])[order]
@@ -216,13 +216,21 @@ def _sort_key(wt: WalkTables, o, d):
     return (octant << 15) | m
 
 
-# cluster id packed into the entry's low mantissa bits: caps scenes at
-# 2^14 clusters (~1-2M triangles depending on treelet fill), quantizing the
-# front-to-back VISIT ORDER to 2^-9 relative — order is a heuristic, so the
-# id bits may round an entry up or down. The TERMINATION test must stay
-# conservative, so it compares the id-STRIPPED entry (a floor of the true
-# bits) against the threshold — see _entry_floor.
+# cluster id packed into the entry's low mantissa bits: the fast pop path
+# for scenes up to 2^14 clusters (~1-2M triangles depending on treelet
+# fill), quantizing the front-to-back VISIT ORDER to 2^-9 relative — order
+# is a heuristic, so the id bits may round an entry up or down. The
+# TERMINATION test must stay conservative, so it compares the id-STRIPPED
+# entry (a floor of the true bits) against the threshold — see _entry_floor.
+#
+# Beyond 2^14 clusters the kernel switches to WIDE mode (wide=True): entries
+# stay unpacked f32 and _pop_min recovers the argmin with a second
+# iota/min-reduce over [1, C] — one extra O(C) vector pass per pop in
+# exchange for an unbounded cluster count (multi-M-tri scenes stay on the
+# walk kernel instead of falling back to the minutes-slow XLA clustered
+# path; ceiling becomes _MAX_CLUSTERS, a VMEM/entry-pass budget only).
 _ID_BITS = 14
+_MAX_CLUSTERS = 1 << 17        # wide-mode ceiling: ent_scr 512 KB VMEM
 
 
 def _entry_floor(emin_bits):
@@ -232,17 +240,21 @@ def _entry_floor(emin_bits):
     return emin_bits & ~((1 << _ID_BITS) - 1)
 
 
-def _tile_entries(lo_ref, hi_ref, o, d, tnear, tfar, n_real, cp):
+def _tile_entries(lo_ref, hi_ref, o, d, tnear, tfar, n_real, cp,
+                  wide=False):
     """Per-cluster tile entry distance: min over rays of the slab entry.
 
     Returns [1, C] f32 with the cluster id PACKED into the low _ID_BITS
-    mantissa bits. +inf where no ray in the tile enters the AABB, so a
-    single min-reduce yields both the next entry distance and its cluster."""
+    mantissa bits (wide=False) or the plain entry (wide=True). +inf where
+    no ray in the tile enters the AABB, so a single min-reduce yields the
+    next entry distance (and, packed, its cluster)."""
     inv = 1.0 / jnp.where(jnp.abs(d) > 1e-12, d,
                           jnp.where(d >= 0, 1e-12, -1e-12))
     # chunk over clusters so the [R, C] intermediates stay within VMEM
-    # headroom next to the resident row tables at large C
-    cc = min(cp, 512 if cp <= 1024 else 256)
+    # headroom next to the resident row tables at large C; the chunk loop is
+    # Python-unrolled, so bound the chunk COUNT (not just width) for
+    # wide-mode cluster counts ([R, 2048] f32 is only 512 KB transient)
+    cc = min(cp, 512 if cp <= 1024 else max(256, -(-cp // 64)))
     parts = []
     for c0 in range(0, cp, cc):
         w = min(cc, cp - c0)             # last chunk may be narrower
@@ -262,24 +274,36 @@ def _tile_entries(lo_ref, hi_ref, o, d, tnear, tfar, n_real, cp):
     ent = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
     ciota = lax.broadcasted_iota(jnp.int32, (1, cp), 1)
     fin = (ciota < n_real) & jnp.isfinite(ent)
+    if wide:
+        return jnp.where(fin, jnp.maximum(ent, 0.0), jnp.inf)
     bits = lax.bitcast_convert_type(jnp.maximum(ent, 0.0), jnp.int32)
     packed = lax.bitcast_convert_type(
         (bits & ~((1 << _ID_BITS) - 1)) | ciota, jnp.float32)
     return jnp.where(fin, packed, jnp.inf)
 
 
-def _pop_min(ent_scr):
+def _pop_min(ent_scr, wide=False):
     """One min-reduce pops the nearest unvisited cluster.
 
     All ordering runs in int32 space: non-negative IEEE floats order
     identically as their integer bits, and Mosaic only bitcasts vectors, not
-    scalars. Returns (entry bits as sortable i32, cluster id)."""
+    scalars. Returns (entry bits as sortable i32, cluster id).
+
+    wide=True (> 2^14 clusters): entries carry no id bits; the argmin is
+    recovered with a second iota/min-reduce and only the selected position
+    is cleared (packed mode clears by bit-equality, which is unique there)."""
     ent = ent_scr[:]
     bits = lax.bitcast_convert_type(ent, jnp.int32)      # vector bitcast
     bmin = jnp.min(bits)
+    cp = ent.shape[1]
+    if wide:
+        ciota = lax.broadcasted_iota(jnp.int32, (1, cp), 1)
+        csel = jnp.minimum(jnp.min(jnp.where(bits == bmin, ciota, cp)),
+                           cp - 1)
+        ent_scr[:] = jnp.where(ciota == csel, jnp.inf, ent)
+        return bmin, csel
     ent_scr[:] = jnp.where(bits == bmin, jnp.inf, ent)
     csel = bmin & ((1 << _ID_BITS) - 1)
-    cp = ent.shape[1]
     # bmin == inf-bits gives csel = 0: harmless re-test, loop is ending
     return bmin, jnp.minimum(csel, cp - 1)
 
@@ -319,7 +343,7 @@ def _test_rows(r0, r1, r2, r3, o, d, tnear, tcap):
     return t, u, v, valid
 
 
-def _closest_kernel(n_real, lo_ref, hi_ref, rows_ref, ids_ref,
+def _closest_kernel(n_real, wide, lo_ref, hi_ref, rows_ref, ids_ref,
                     o_ref, d_ref, tnear_ref, tfar_ref,
                     t_ref, tri_ref, u_ref, v_ref, ent_scr):
     cp = lo_ref.shape[1]
@@ -327,10 +351,11 @@ def _closest_kernel(n_real, lo_ref, hi_ref, rows_ref, ids_ref,
     d = d_ref[:]
     tnear = tnear_ref[:, 0]
     tfar = tfar_ref[:, 0]
-    ent_scr[:] = _tile_entries(lo_ref, hi_ref, o, d, tnear, tfar, n_real, cp)
+    ent_scr[:] = _tile_entries(lo_ref, hi_ref, o, d, tnear, tfar, n_real, cp,
+                              wide)
     kiota = lax.broadcasted_iota(jnp.int32, (o.shape[0], K), 1)
 
-    emin0, csel0 = _pop_min(ent_scr)
+    emin0, csel0 = _pop_min(ent_scr, wide)
 
     def cond(s):
         nv, emin, _, thresh, *_ = s
@@ -341,7 +366,8 @@ def _closest_kernel(n_real, lo_ref, hi_ref, rows_ref, ids_ref,
         # floor of the true entry (conservative — never stops early).
         # nv bound: every iteration pops 2 entries, so cp iterations exhaust
         # the heap — a hard stop even if inputs smuggle NaNs past sanitizing.
-        return (_entry_floor(emin) < thresh) & (nv < cp)
+        efl = emin if wide else _entry_floor(emin)
+        return (efl < thresh) & (nv < cp)
 
     def visit(emin, csel, best_t, best_i, best_u, best_v):
         # best_t starts at tfar and only decreases: it IS the t-cap
@@ -360,7 +386,7 @@ def _closest_kernel(n_real, lo_ref, hi_ref, rows_ref, ids_ref,
                            best_v)
         best_t = jnp.where(better, bt, best_t)
         best_i = jnp.where(better, tri_new, best_i)
-        emin, csel = _pop_min(ent_scr)
+        emin, csel = _pop_min(ent_scr, wide)
         return emin, csel, best_t, best_i, best_u, best_v
 
     def body(s):
@@ -384,27 +410,29 @@ def _closest_kernel(n_real, lo_ref, hi_ref, rows_ref, ids_ref,
     v_ref[:, 0] = best_v
 
 
-def _anyhit_kernel(n_real, lo_ref, hi_ref, rows_ref, ids_ref,
+def _anyhit_kernel(n_real, wide, lo_ref, hi_ref, rows_ref, ids_ref,
                    o_ref, d_ref, tnear_ref, tfar_ref, occ_ref, ent_scr):
     cp = lo_ref.shape[1]
     o = o_ref[:]
     d = d_ref[:]
     tnear = tnear_ref[:, 0]
     tfar = tfar_ref[:, 0]
-    ent_scr[:] = _tile_entries(lo_ref, hi_ref, o, d, tnear, tfar, n_real, cp)
+    ent_scr[:] = _tile_entries(lo_ref, hi_ref, o, d, tnear, tfar, n_real, cp,
+                              wide)
 
-    emin0, csel0 = _pop_min(ent_scr)
+    emin0, csel0 = _pop_min(ent_scr, wide)
 
     def cond(s):
         nv, emin, _, thresh, _ = s
         # a cluster matters only for not-yet-occluded rays within range
         # (occ carried as int32: Mosaic cannot yield i1 vectors in scf.while)
-        return (_entry_floor(emin) < thresh) & (nv < cp)
+        efl = emin if wide else _entry_floor(emin)
+        return (efl < thresh) & (nv < cp)
 
     def visit(emin, csel, occ):
         _, _, _, valid = _test_cluster(rows_ref, csel, o, d, tnear, tfar)
         occ = jnp.maximum(occ, jnp.any(valid, axis=1).astype(jnp.int32))
-        emin, csel = _pop_min(ent_scr)
+        emin, csel = _pop_min(ent_scr, wide)
         return emin, csel, occ
 
     def body(s):
@@ -419,7 +447,7 @@ def _anyhit_kernel(n_real, lo_ref, hi_ref, rows_ref, ids_ref,
     occ_ref[:, 0] = occ
 
 
-def _closest_kernel_hbm(n_real, lo_ref, hi_ref, rows_hbm,
+def _closest_kernel_hbm(n_real, wide, lo_ref, hi_ref, rows_hbm,
                         o_ref, d_ref, tnear_ref, tfar_ref,
                         t_ref, tri_ref, u_ref, v_ref,
                         ent_scr, rbuf, sem):
@@ -435,7 +463,8 @@ def _closest_kernel_hbm(n_real, lo_ref, hi_ref, rows_hbm,
     d = d_ref[:]
     tnear = tnear_ref[:, 0]
     tfar = tfar_ref[:, 0]
-    ent_scr[:] = _tile_entries(lo_ref, hi_ref, o, d, tnear, tfar, n_real, cp)
+    ent_scr[:] = _tile_entries(lo_ref, hi_ref, o, d, tnear, tfar, n_real, cp,
+                              wide)
     kiota = lax.broadcasted_iota(jnp.int32, (o.shape[0], K), 1)
 
     def dma_rows(csel, slot):
@@ -461,25 +490,26 @@ def _closest_kernel_hbm(n_real, lo_ref, hi_ref, rows_hbm,
         return (jnp.where(better, bt, best_t),
                 jnp.where(better, tri_new, best_i), best_u, best_v)
 
-    emin0, csel0 = _pop_min(ent_scr)
+    emin0, csel0 = _pop_min(ent_scr, wide)
     dma_rows(csel0, 0).start()
-    emin1, csel1 = _pop_min(ent_scr)
+    emin1, csel1 = _pop_min(ent_scr, wide)
 
     def cond(s):
         nv, emin_c, *_ = s
         thresh = s[5]
-        return (_entry_floor(emin_c) < thresh) & (nv < cp)
+        efl = emin_c if wide else _entry_floor(emin_c)
+        return (efl < thresh) & (nv < cp)
 
     def body(s):
         nv, emin_c, csel_c, emin_n, csel_n, _, bt, bi, bu, bv = s
         dma_rows(csel_n, 1).start()       # prefetch next while testing cur
         dma_rows(csel_c, 0).wait()
         bt, bi, bu, bv = test_update(0, bt, bi, bu, bv)
-        emin_2, csel_2 = _pop_min(ent_scr)
+        emin_2, csel_2 = _pop_min(ent_scr, wide)
         dma_rows(csel_2, 0).start()       # prefetch new cur into slot0
         dma_rows(csel_n, 1).wait()
         bt, bi, bu, bv = test_update(1, bt, bi, bu, bv)
-        emin_3, csel_3 = _pop_min(ent_scr)
+        emin_3, csel_3 = _pop_min(ent_scr, wide)
         return (nv + 1, emin_2, csel_2, emin_3, csel_3,
                 _sortable_max(bt), bt, bi, bu, bv)
 
@@ -497,7 +527,7 @@ def _closest_kernel_hbm(n_real, lo_ref, hi_ref, rows_hbm,
     v_ref[:, 0] = best_v
 
 
-def _anyhit_kernel_hbm(n_real, lo_ref, hi_ref, rows_hbm,
+def _anyhit_kernel_hbm(n_real, wide, lo_ref, hi_ref, rows_hbm,
                        o_ref, d_ref, tnear_ref, tfar_ref, occ_ref,
                        ent_scr, rbuf, sem):
     cp = lo_ref.shape[1]
@@ -505,7 +535,8 @@ def _anyhit_kernel_hbm(n_real, lo_ref, hi_ref, rows_hbm,
     d = d_ref[:]
     tnear = tnear_ref[:, 0]
     tfar = tfar_ref[:, 0]
-    ent_scr[:] = _tile_entries(lo_ref, hi_ref, o, d, tnear, tfar, n_real, cp)
+    ent_scr[:] = _tile_entries(lo_ref, hi_ref, o, d, tnear, tfar, n_real, cp,
+                              wide)
 
     def dma_rows(csel, slot):
         return pltpu.make_async_copy(
@@ -517,24 +548,25 @@ def _anyhit_kernel_hbm(n_real, lo_ref, hi_ref, rows_hbm,
                                     o, d, tnear, tfar)
         return jnp.maximum(occ, jnp.any(valid, axis=1).astype(jnp.int32))
 
-    emin0, csel0 = _pop_min(ent_scr)
+    emin0, csel0 = _pop_min(ent_scr, wide)
     dma_rows(csel0, 0).start()
-    emin1, csel1 = _pop_min(ent_scr)
+    emin1, csel1 = _pop_min(ent_scr, wide)
 
     def cond(s):
         nv, emin_c, _, _, _, thresh, _ = s
-        return (_entry_floor(emin_c) < thresh) & (nv < cp)
+        efl = emin_c if wide else _entry_floor(emin_c)
+        return (efl < thresh) & (nv < cp)
 
     def body(s):
         nv, emin_c, csel_c, emin_n, csel_n, _, occ = s
         dma_rows(csel_n, 1).start()
         dma_rows(csel_c, 0).wait()
         occ = test(0, occ)
-        emin_2, csel_2 = _pop_min(ent_scr)
+        emin_2, csel_2 = _pop_min(ent_scr, wide)
         dma_rows(csel_2, 0).start()
         dma_rows(csel_n, 1).wait()
         occ = test(1, occ)
-        emin_3, csel_3 = _pop_min(ent_scr)
+        emin_3, csel_3 = _pop_min(ent_scr, wide)
         thresh = _sortable_max(jnp.where(occ > 0, 0.0, tfar))
         return nv + 1, emin_2, csel_2, emin_3, csel_3, thresh, occ
 
@@ -546,11 +578,17 @@ def _anyhit_kernel_hbm(n_real, lo_ref, hi_ref, rows_hbm,
     occ_ref[:, 0] = occ
 
 
-@partial(jax.jit, static_argnames=("any_hit", "interpret", "sort_rays"))
+@partial(jax.jit, static_argnames=("any_hit", "interpret", "sort_rays",
+                                   "wide"))
 def _walk_impl(wt: WalkTables, o, d, tnear, tfar, any_hit: bool,
-               interpret: bool = False, sort_rays: bool = True):
+               interpret: bool = False, sort_rays: bool = True,
+               wide: bool = None):
     n = o.shape[0]
     cp = wt.n_clusters
+    # packed entry+id pops cap at 2^14 clusters; larger scenes use the
+    # unpacked wide pop (tests force wide=True on small scenes for parity)
+    if wide is None:
+        wide = cp > (1 << _ID_BITS)
     # sanitize: dead wavefront lanes can carry NaN rays/ranges. A NaN best_t
     # would bitcast ABOVE +inf in the kernel's sortable-int ordering and spin
     # the walk loop forever (TPU watchdog kill). NaN/negative tfar -> 0
@@ -599,7 +637,7 @@ def _walk_impl(wt: WalkTables, o, d, tnear, tfar, any_hit: bool,
         tables = (wt.rows, wt.ids)
     else:
         # cluster blocks stay in HBM; kernels double-buffer per-visit DMAs
-        table_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+        table_specs = [pl.BlockSpec(memory_space=pl.ANY)]
         extra_scratch = [
             pltpu.VMEM((2, 1, 8, 3 * K), jnp.float32),   # rbuf
             pltpu.SemaphoreType.DMA((2,)),
@@ -626,7 +664,7 @@ def _walk_impl(wt: WalkTables, o, d, tnear, tfar, any_hit: bool,
 
     if any_hit:
         occ = pl.pallas_call(
-            partial(k_anyhit, n_real),
+            partial(k_anyhit, n_real, wide),
             grid=grid, in_specs=in_specs, out_specs=row,
             out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
             scratch_shapes=scratch, interpret=interpret,
@@ -638,7 +676,7 @@ def _walk_impl(wt: WalkTables, o, d, tnear, tfar, any_hit: bool,
         return occ > 0
 
     t, tri, u, v = pl.pallas_call(
-        partial(k_closest, n_real),
+        partial(k_closest, n_real, wide),
         grid=grid, in_specs=in_specs,
         out_specs=(row, row, row, row),
         out_shape=(
@@ -663,25 +701,25 @@ def walk_supported(wt) -> bool:
     import os
     if os.environ.get("RUSTLIGHT_TPU_NO_PALLAS_WALK") == "1":
         return False
-    return (wt is not None and wt.n_clusters <= (1 << _ID_BITS)
+    return (wt is not None and wt.n_clusters <= _MAX_CLUSTERS
             and jax.default_backend() == "tpu")
 
 
 def intersect_walk(wt: WalkTables, o, d, tnear=None, tfar=None,
-                   interpret: bool = False):
+                   interpret: bool = False, wide: bool = None):
     n = o.shape[0]
     if tnear is None:
         tnear = jnp.full(n, EPSILON, jnp.float32)
     if tfar is None:
         tfar = jnp.full(n, jnp.inf, jnp.float32)
-    return _walk_impl(wt, o, d, tnear, tfar, False, interpret)
+    return _walk_impl(wt, o, d, tnear, tfar, False, interpret, wide=wide)
 
 
 def occluded_walk(wt: WalkTables, o, d, tnear=None, tfar=None,
-                  interpret: bool = False):
+                  interpret: bool = False, wide: bool = None):
     n = o.shape[0]
     if tnear is None:
         tnear = jnp.full(n, EPSILON, jnp.float32)
     if tfar is None:
         tfar = jnp.full(n, jnp.inf, jnp.float32)
-    return _walk_impl(wt, o, d, tnear, tfar, True, interpret)
+    return _walk_impl(wt, o, d, tnear, tfar, True, interpret, wide=wide)

@@ -329,8 +329,25 @@ def _enable_compile_cache():
         pass
 
 
+def _respect_platform_env():
+    """Honor JAX_PLATFORMS even when a plugin (the axon TPU relay) force-
+    selects itself through jax.config at interpreter startup — plugin
+    self-registration silently overrides the env var, so a user asking for
+    `JAX_PLATFORMS=cpu` would hang on a wedged TPU tunnel instead of
+    rendering on CPU."""
+    import os
+    p = os.environ.get("JAX_PLATFORMS")
+    if p:
+        try:
+            import jax
+            jax.config.update("jax_platforms", p)
+        except Exception:
+            pass
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    _respect_platform_env()
     _enable_compile_cache()
     logging.basicConfig(
         level=logging.INFO, stream=sys.stderr,

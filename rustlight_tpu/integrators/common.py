@@ -81,7 +81,8 @@ def _cache_put(key, fn):
 
 def render(scene: SceneData, integrator: Integrator, spp: int, seed: int = 0,
            spp_per_pass: int = 8, verbose: bool = False,
-           sampler: str = "independent", persistent: bool = None) -> Film:
+           sampler: str = "independent", persistent: bool = None,
+           variance: bool = False) -> Film:
     """Monte Carlo render: returns the averaged film.
 
     Integrators exposing `compute_block` (the path tracer) render ALL spp in
@@ -89,13 +90,20 @@ def render(scene: SceneData, integrator: Integrator, spp: int, seed: int = 0,
     ~2x the throughput of the pass-chunked loop because Russian-roulette
     holes refill immediately. Others run the spp loop `fori`-batched in
     chunks of `spp_per_pass`. `persistent=False` forces the chunked path
-    (per-pass RNG layout, needed by the stratified sampler)."""
+    (per-pass RNG layout, needed by the stratified sampler).
+
+    `variance=True` additionally emits per-pixel `mean` and `variance` AOVs
+    (variance of the per-sample estimates — reference BufferCollection
+    mean/variance buffers, src/integrators/mod.rs:102-135); forces the
+    chunked path, which tracks per-sample second moments."""
     cam = scene.camera
     w, h = cam.width, cam.height
     pix = jnp.asarray(_pixel_grid(w, h))
     chunk = max(1, min(spp_per_pass, spp))
     if hasattr(integrator, "prepare"):
         integrator.prepare(scene)
+    if variance:
+        persistent = False
 
     if persistent is None:
         # auto only on TPU: the while_loop block compiles per-spp, which is
@@ -135,12 +143,14 @@ def render(scene: SceneData, integrator: Integrator, spp: int, seed: int = 0,
     # scene + pixel grid closed over (constants; see the persistent path) —
     # only the RNG base and start index are arguments, so one executable
     # serves every pass/seed
-    ck = (id(scene), id(integrator), chunk, sampler, spp, w, h, "chunk")
+    ck = (id(scene), id(integrator), chunk, sampler, spp, w, h, variance,
+          "chunk")
     run_chunk = _BLOCK_CACHE.get(ck)
     if run_chunk is None:
         @jax.jit
         def run_chunk(base, start_idx):
-            def one(s, acc):
+            def one(s, carry):
+                acc, acc2 = carry
                 stream = stream_fold(base, start_idx + s)
                 if sampler == "stratified":
                     from ..utils.rng import StratifiedStream
@@ -152,17 +162,24 @@ def render(scene: SceneData, integrator: Integrator, spp: int, seed: int = 0,
                 # guard invalid splats (accumulate_safe, mod.rs:160-175)
                 ok = jnp.all(jnp.isfinite(li), axis=-1) \
                     & jnp.all(li >= 0.0, axis=-1)
-                return acc + jnp.where(ok[:, None], li, 0.0)
-            return jax.lax.fori_loop(0, chunk, one,
-                                     jnp.zeros((h * w, 3), jnp.float32))
+                li = jnp.where(ok[:, None], li, 0.0)
+                if variance:
+                    acc2 = acc2 + li * li
+                return acc + li, acc2
+            z = jnp.zeros((h * w, 3), jnp.float32)
+            z2 = z if variance else jnp.zeros((1, 3), jnp.float32)
+            return jax.lax.fori_loop(0, chunk, one, (z, z2))
         _cache_put(ck, run_chunk)
 
     base_stream = make_stream(seed)
     acc = jnp.zeros((h * w, 3), jnp.float32)
+    acc2 = jnp.zeros((h * w, 3) if variance else (1, 3), jnp.float32)
     t0 = time.time()
     done = 0
     while done < spp:
-        acc = acc + run_chunk(base_stream, jnp.int32(done))
+        a, a2 = run_chunk(base_stream, jnp.int32(done))
+        acc = acc + a
+        acc2 = acc2 + a2
         done += chunk
     spp_actual = done
     # materialize before reading the clock: on the axon relay
@@ -175,6 +192,13 @@ def render(scene: SceneData, integrator: Integrator, spp: int, seed: int = 0,
 
     film = Film(w, h)
     film.buffers["primal"] = img
+    if variance:
+        # unbiased per-sample variance (Welford closed form over sums);
+        # mean AOV mirrors primal (reference mod.rs:102-135)
+        m2 = np.asarray(acc2.reshape(h, w, 3)) - spp_actual * img * img
+        film.buffers["mean"] = img
+        film.buffers["variance"] = np.maximum(
+            m2 / max(spp_actual - 1, 1), 0.0)
     return film
 
 

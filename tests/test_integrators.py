@@ -96,6 +96,31 @@ class TestPathStrategies:
         np.testing.assert_array_equal(a, b)
 
 
+class TestVarianceAOV:
+    def test_mean_variance_buffers(self):
+        """`variance=True` emits mean/variance AOVs (reference
+        BufferCollection, mod.rs:102-135): mean == primal, variance shrinks
+        like 1/spp between runs and is ~0 for a deterministic integrand."""
+        film = render(CBOX, IntegratorPathTracing(max_depth=3), spp=16,
+                      seed=0, variance=True)
+        assert set(film.buffers) >= {"primal", "mean", "variance"}
+        np.testing.assert_array_equal(film["mean"], film["primal"])
+        v = film["variance"]
+        assert (v >= 0).all() and np.isfinite(v).all()
+        assert v.mean() > 0.0   # path tracing is noisy
+        # emission-only render of the light pixels is deterministic
+        f2 = render(CBOX, IntegratorPathTracing(max_depth=1, hard_cap=1,
+                                                rr_depth=None),
+                    spp=8, seed=0, variance=True)
+        # the brightest pixel sits fully inside the light: every sample
+        # returns exactly Le, so its variance is 0
+        flat = f2["primal"].sum(-1).ravel()
+        i = int(flat.argmax())
+        # (tolerance covers f32 cancellation in sumsq - n*mean^2; genuine
+        # noise on an Le ~ 20 pixel would be O(1))
+        assert float(f2["variance"].reshape(-1, 3)[i].max()) < 1e-3
+
+
 class TestAO:
     def test_ao_range_and_shadowing(self):
         film = render(CBOX, IntegratorAO(), spp=16, seed=2)
