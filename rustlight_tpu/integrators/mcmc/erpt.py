@@ -31,12 +31,19 @@ class IntegratorERPT:
 
     def __init__(self, integrator, nb_mc: int = 1, chain_samples: int = 100,
                  stratified: bool = True, nb_samples_norm: int = 65536,
-                 pss_dims: Optional[int] = None):
+                 pss_dims: Optional[int] = None, poisson_slots: int = 1):
         self.integrator = integrator
         self.nb_mc = nb_mc
         self.chain_samples = chain_samples
         self.stratified = stratified
         self.nb_samples_norm = nb_samples_norm
+        # chain slots per exploration lane. The reference spawns
+        # floor(mean + u) chains (erpt.rs:180-208); slot s runs an exact
+        # Bernoulli P(count > s) = clip(mean - s, 0, 1) chain with the plain
+        # equal-deposit weight, and the LAST slot absorbs the tail with the
+        # weighted spawn (expectation-exact truncation). poisson_slots=1
+        # reduces to the fixed-budget weighted spawning.
+        self.poisson_slots = max(1, poisson_slots)
         cap = getattr(integrator, "hard_cap", 16)
         self.pss_dims = pss_dims or (4 + 6 * cap)
 
@@ -92,44 +99,64 @@ class IntegratorERPT:
             pid0, col0, tf0 = self._sample_fn(scene, u)
 
             mean_chains = (tf0 / b) * (chains_per_pixel / self.nb_mc)
-            u_spawn, stream = _uniform(stream, (nl,))
-            p_spawn = jnp.clip(mean_chains, 0.0, 1.0)
-            spawn = (u_spawn < p_spawn) & (tf0 > 0.0) & live
-            w_spawn = jnp.where(p_spawn > 0, mean_chains / jnp.maximum(p_spawn, 1e-20), 0.0)
-            w0 = (b / (chains_per_pixel * self.chain_samples)) * w_spawn
+            w_base = b / (chains_per_pixel * self.chain_samples)
 
-            def step(s, carry):
-                uv, tf, pid, col, wgt, film, stream = carry
-                um, stream = _uniform(stream, (nl, d))
-                ua, stream = _uniform(stream, (nl,))
-                u_prop = kelemen_mutate(uv, um)           # small steps only
-                pid_p, col_p, tf_p = self._sample_fn(scene, u_prop)
-                a = jnp.minimum(1.0, tf_p / jnp.maximum(tf, 1e-30))
-                a = jnp.where(tf_p > 0.0, a, 0.0)
-                w_cur = wgt + (1.0 - a)
-                accept = ua < a
-                spl_pid = jnp.where(accept, pid, pid_p)
-                spl_col = jnp.where(accept[:, None], col, col_p)
-                spl_tf = jnp.where(accept, tf, tf_p)
-                spl_w = jnp.where(accept, w_cur, a)
-                val = spl_col * (w0 * spl_w / jnp.maximum(spl_tf, 1e-30))[:, None]
-                val = jnp.where((spawn & (spl_tf > 0.0))[:, None], val, 0.0)
-                film = film.at[spl_pid].add(val, mode="drop")
-                return (jnp.where(accept[:, None], u_prop, uv),
-                        jnp.where(accept, tf_p, tf),
-                        jnp.where(accept, pid_p, pid),
-                        jnp.where(accept[:, None], col_p, col),
-                        jnp.where(accept, a, w_cur), film, stream)
+            def run_chain(spawn, w0, film, stream):
+                """One MCMC chain per spawned lane, redistributing the
+                exploration sample's energy (equal-deposit rule)."""
+                def step(s, carry):
+                    uv, tf, pid, col, wgt, film, stream = carry
+                    um, stream = _uniform(stream, (nl, d))
+                    ua, stream = _uniform(stream, (nl,))
+                    u_prop = kelemen_mutate(uv, um)       # small steps only
+                    pid_p, col_p, tf_p = self._sample_fn(scene, u_prop)
+                    a = jnp.minimum(1.0, tf_p / jnp.maximum(tf, 1e-30))
+                    a = jnp.where(tf_p > 0.0, a, 0.0)
+                    w_cur = wgt + (1.0 - a)
+                    accept = ua < a
+                    spl_pid = jnp.where(accept, pid, pid_p)
+                    spl_col = jnp.where(accept[:, None], col, col_p)
+                    spl_tf = jnp.where(accept, tf, tf_p)
+                    spl_w = jnp.where(accept, w_cur, a)
+                    val = spl_col * (
+                        w0 * spl_w / jnp.maximum(spl_tf, 1e-30))[:, None]
+                    val = jnp.where((spawn & (spl_tf > 0.0))[:, None], val,
+                                    0.0)
+                    film = film.at[spl_pid].add(val, mode="drop")
+                    return (jnp.where(accept[:, None], u_prop, uv),
+                            jnp.where(accept, tf_p, tf),
+                            jnp.where(accept, pid_p, pid),
+                            jnp.where(accept[:, None], col_p, col),
+                            jnp.where(accept, a, w_cur), film, stream)
 
+                wgt = jnp.zeros((nl,), jnp.float32)
+                uv, tf, pid, col, wgt, film, stream = jax.lax.fori_loop(
+                    0, self.chain_samples, step,
+                    (u, tf0, pid0, col0, wgt, film, stream))
+                # flush
+                val = col * (w0 * wgt / jnp.maximum(tf, 1e-30))[:, None]
+                val = jnp.where((spawn & (tf > 0.0))[:, None], val, 0.0)
+                return film.at[pid].add(val, mode="drop"), stream
+
+            # chain slots: the reference spawns floor(mean + u) chains
+            # (erpt.rs:180-208). Slots 0..k-2 are exact Bernoulli draws
+            # P(count > s) = clip(mean - s, 0, 1) with the plain deposit
+            # weight; the last slot absorbs the tail with the weighted
+            # spawn so the truncated count keeps the exact expectation.
             film = jnp.zeros((w * h, 3), jnp.float32)
-            wgt = jnp.zeros((nl,), jnp.float32)
-            uv, tf, pid, col, wgt, film, stream = jax.lax.fori_loop(
-                0, self.chain_samples, step,
-                (u, tf0, pid0, col0, wgt, film, stream))
-            # flush
-            val = col * (w0 * wgt / jnp.maximum(tf, 1e-30))[:, None]
-            val = jnp.where((spawn & (tf > 0.0))[:, None], val, 0.0)
-            film = film.at[pid].add(val, mode="drop")
+            slots = self.poisson_slots
+            for s in range(slots):
+                u_spawn, stream = _uniform(stream, (nl,))
+                if s < slots - 1:
+                    p_s = jnp.clip(mean_chains - s, 0.0, 1.0)
+                    w_sp = 1.0
+                else:
+                    rest = jnp.maximum(mean_chains - s, 0.0)
+                    p_s = jnp.clip(rest, 0.0, 1.0)
+                    w_sp = jnp.where(p_s > 0,
+                                     rest / jnp.maximum(p_s, 1e-20), 0.0)
+                spawn_s = (u_spawn < p_s) & (tf0 > 0.0) & live
+                film, stream = run_chain(spawn_s, w_base * w_sp, film, stream)
             return film
 
         if mesh is None:

@@ -36,9 +36,10 @@ def _render_once(scene, integrator, spp, seed, sampler="independent",
                 "mesh" in inspect.signature(integrator.render).parameters):
             kw["mesh"] = mesh
         return integrator.render(scene, spp, seed=seed, **kw)
-    if mesh is not None and sampler == "independent":
+    if mesh is not None:
         from ..parallel import render_sharded
-        return render_sharded(scene, integrator, spp, mesh=mesh, seed=seed)
+        return render_sharded(scene, integrator, spp, mesh=mesh, seed=seed,
+                              sampler=sampler)
     return render(scene, integrator, spp, seed=seed, sampler=sampler)
 
 

@@ -38,18 +38,32 @@ def make_device_mesh(n_devices: Optional[int] = None) -> Mesh:
 
 
 def render_step_sharded(scene: SceneData, integrator: Integrator, mesh: Mesh,
-                        pix_sharded, seed: int = 0, spp_per_pass: int = 1):
+                        pix_sharded, seed: int = 0, spp_per_pass: int = 1,
+                        sampler: str = "independent", spp_total: int = None,
+                        start_idx: int = 0):
     """One sharded render step: pix_sharded [n_dev * lanes_per_dev, 2] ->
     radiance accumulated over spp_per_pass samples. jit-compatible; this is
-    the `dryrun_multichip` "training step"."""
+    the `dryrun_multichip` "training step". `sampler="stratified"` keys the
+    stratum permutations off (pixel id, global pass index), so the sharded
+    stratified render covers strata exactly like the single-device one."""
     n_dev = mesh.shape["d"]
+    width = scene.camera.width
 
     def device_fn(scene_, pix_):
         dev = jax.lax.axis_index("d")
         base = make_stream(seed)
 
         def one(s, acc):
-            stream = stream_fold(stream_fold(base, dev), s)
+            # fold the GLOBAL pass index: chunked host loops would otherwise
+            # replay identical streams every chunk (identical samples)
+            stream = stream_fold(stream_fold(base, dev), start_idx + s)
+            if sampler == "stratified":
+                from ..utils.rng import StratifiedStream
+                pid = pix_[:, 1] * width + pix_[:, 0]
+                stream = StratifiedStream(inner=stream, pixel_ids=pid,
+                                          pass_idx=start_idx + s,
+                                          spp=spp_total or spp_per_pass,
+                                          base_key=base.key)
             li = integrator.compute_pixel(scene_, pix_, stream)
             ok = jnp.all(jnp.isfinite(li), axis=-1) & jnp.all(li >= 0.0, axis=-1)
             return acc + jnp.where(ok[:, None], li, 0.0)
@@ -149,7 +163,8 @@ def render_splat_sharded(scene: SceneData, integrator, n_paths: int,
 def render_sharded(scene: SceneData, integrator: Integrator, spp: int,
                    mesh: Optional[Mesh] = None, seed: int = 0,
                    spp_per_pass: int = 8, verbose: bool = False,
-                   persistent: bool = None) -> Film:
+                   persistent: bool = None,
+                   sampler: str = "independent") -> Film:
     """Full sharded render: pixels split over the mesh, spp looped on host
     (or one persistent-wavefront launch when the integrator supports it)."""
     if mesh is None:
@@ -165,6 +180,7 @@ def render_sharded(scene: SceneData, integrator: Integrator, spp: int,
 
     if persistent is None:
         persistent = (hasattr(integrator, "compute_block")
+                      and sampler == "independent"
                       and jax.default_backend() == "tpu")
     t0 = time.time()
     if persistent and hasattr(integrator, "compute_block"):
@@ -174,13 +190,14 @@ def render_sharded(scene: SceneData, integrator: Integrator, spp: int,
         done = spp
     else:
         chunk = max(1, min(spp_per_pass, spp))
-        step = jax.jit(lambda sc, px: render_step_sharded(
-            sc, integrator, mesh, px, seed=seed, spp_per_pass=chunk))
+        step = jax.jit(lambda sc, px, s0: render_step_sharded(
+            sc, integrator, mesh, px, seed=seed, spp_per_pass=chunk,
+            sampler=sampler, spp_total=spp, start_idx=s0))
 
         acc = jnp.zeros((pix.shape[0], 3), jnp.float32)
         done = 0
         while done < spp:
-            acc = acc + step(scene, pix)
+            acc = acc + step(scene, pix, jnp.int32(done))
             done += chunk
     acc.block_until_ready()
     if verbose:

@@ -49,6 +49,49 @@ class TestERPT:
         assert abs(m - ref) / ref < 0.15, (m, ref)
         assert f["primal"].min() >= 0.0
 
+    def test_poisson_slots_match_reference_counts(self):
+        """With k slots, spawn counts reproduce the reference's
+        floor(mean + u) distribution for mean < k (erpt.rs:180-208):
+        P(count > s) = clip(mean - s, 0, 1), and the truncated tail keeps
+        the exact expectation."""
+        import jax.numpy as jnp
+        key = jax.random.PRNGKey(3)
+        mean, k, n = 1.7, 3, 200000
+        us = jax.random.uniform(key, (k, n))
+        counts = jnp.zeros(n)
+        weights = jnp.zeros(n)
+        for s in range(k):
+            if s < k - 1:
+                p = min(max(mean - s, 0.0), 1.0)
+                w = 1.0
+            else:
+                rest = max(mean - s, 0.0)
+                p = min(rest, 1.0)
+                w = rest / max(p, 1e-20)
+            spawn = us[s] < p
+            counts = counts + spawn
+            weights = weights + jnp.where(spawn, w, 0.0)
+        ref = jnp.floor(mean + jax.random.uniform(jax.random.PRNGKey(9),
+                                                  (n,)))
+        # distribution match: P(count > s) for s = 0, 1
+        for s in (0, 1):
+            got = float((counts > s).mean())
+            want = float((ref > s).mean())
+            assert abs(got - want) < 0.01, (s, got, want)
+        # expectation preserved through the weighted tail slot
+        assert abs(float(weights.mean()) - mean) < 0.02
+
+    def test_erpt_poisson_slots_converges(self):
+        from rustlight_tpu.integrators.mcmc import IntegratorERPT
+        sc = cornell_box(20, 20).compile()
+        inner = IntegratorPathTracing(max_depth=3, hard_cap=3)
+        ref = render(sc, inner, spp=96, seed=1)["primal"].mean()
+        erpt = IntegratorERPT(inner, nb_mc=2, chain_samples=12,
+                              nb_samples_norm=8192, poisson_slots=2)
+        f = erpt.render(sc, spp=50, seed=1)
+        m = f["primal"].mean()
+        assert abs(m - ref) / ref < 0.2, (m, ref)
+
     def test_spawn_counts_match_poisson_expectation(self):
         """The fixed-budget weighted spawning must keep the expected deposit
         of the reference's floor(mean+u) chain counts: E[w_spawn·1_spawn]

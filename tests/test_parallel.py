@@ -42,6 +42,33 @@ class TestSplatSharded:
         assert bool(jnp.isfinite(out).all())
 
 
+class TestShardedSampling:
+    def test_chunked_passes_use_fresh_streams(self):
+        """Regression: the chunked sharded loop must fold the GLOBAL pass
+        index — it used to replay identical streams every chunk, so a
+        16-spp render equalled the 8-spp render exactly."""
+        from rustlight_tpu.parallel import render_sharded
+        integ = IntegratorPathTracing(max_depth=3, hard_cap=3)
+        f8 = render_sharded(CBOX, integ, spp=8, mesh=MESH, seed=0,
+                            persistent=False, spp_per_pass=8)
+        f16 = render_sharded(CBOX, integ, spp=16, mesh=MESH, seed=0,
+                             persistent=False, spp_per_pass=8)
+        assert not np.allclose(f16["primal"], f8["primal"]), \
+            "second chunk replayed the first chunk's streams"
+        m8, m16 = f8["primal"].mean(), f16["primal"].mean()
+        assert abs(m16 - m8) / m8 < 0.1, (m8, m16)
+
+    def test_stratified_sharded_matches_single_device(self):
+        from rustlight_tpu.parallel import render_sharded
+        integ = IntegratorPathTracing(max_depth=3, hard_cap=3)
+        fs = render_sharded(CBOX, integ, spp=16, mesh=MESH, seed=0,
+                            sampler="stratified")
+        f1 = render(CBOX, integ, spp=16, seed=0, sampler="stratified",
+                    persistent=False)
+        ms, m1 = fs["primal"].mean(), f1["primal"].mean()
+        assert abs(ms - m1) / m1 < 0.08, (ms, m1)
+
+
 class TestPSSMLTSharded:
     def test_chain_shard_matches_single_device_mean(self):
         """P3: chains split over devices (reference pssmlt.rs:34-108)."""

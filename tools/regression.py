@@ -20,7 +20,8 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 import numpy as np
 
 METRICS = ["l1", "l2", "mape", "dssim"]
-GI_ALGO = ["path", "light", "pssmlt", "vpl"]
+GI_ALGO = ["path", "light", "pssmlt", "vpl", "erpt", "smcmc",
+           "gradient-path"]
 
 
 def build_tests():
@@ -53,7 +54,8 @@ def build_tests():
 
 def make_integrator(name):
     from rustlight_tpu import integrators as I
-    from rustlight_tpu.integrators.mcmc import IntegratorPSSMLT
+    from rustlight_tpu.integrators.mcmc import (
+        IntegratorERPT, IntegratorPSSMLT, IntegratorSMCMC)
 
     if name == "ao":
         return I.IntegratorAO()
@@ -67,6 +69,17 @@ def make_integrator(name):
         return IntegratorPSSMLT(
             I.IntegratorPathTracing(max_depth=8, hard_cap=8),
             nb_samples_norm=16384, nb_chains=65536)
+    if name == "erpt":
+        return IntegratorERPT(
+            I.IntegratorPathTracing(max_depth=6, hard_cap=6),
+            nb_mc=2, chain_samples=16, nb_samples_norm=16384)
+    if name == "smcmc":
+        return IntegratorSMCMC(
+            I.IntegratorPathTracing(max_depth=6, hard_cap=6), recons="naive")
+    if name == "gradient-path":
+        from rustlight_tpu.integrators.gradient import (
+            IntegratorGradientPathReconnect)
+        return IntegratorGradientPathReconnect(max_depth=6)
     if name == "point-normal":
         return I.IntegratorPointNormal(strategies=("tr", "equiangular"))
     if name == "path-single":
