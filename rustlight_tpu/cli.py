@@ -302,8 +302,11 @@ def build_integrator(args):
     if cmd == "smcmc":
         from .integrators.mcmc import IntegratorSMCMC
         inner = I.IntegratorPathTracing(strategy=args.strategy, **pl)
+        # under -a, chains persist across passes and each pass returns the
+        # cumulative reconstruction (avg REPLACES, smcmc.rs:1187-1212)
         return IntegratorSMCMC(inner, large_prob=args.large_prob,
-                               recons=args.recons_smcmc, init=args.init)
+                               recons=args.recons_smcmc, init=args.init,
+                               keep_chains=args.average is not None)
     raise SystemExit(f"unknown command {cmd}")
 
 

@@ -44,7 +44,8 @@ class IntegratorSMCMC:
     def __init__(self, integrator, large_prob: float = 0.3,
                  recons: str = "naive", pss_dims: Optional[int] = None,
                  init: str = "independent", init_spp: int = 4,
-                 init_chain_length: int = 25, init_spp_mcmc: int = 2):
+                 init_chain_length: int = 25, init_spp_mcmc: int = 2,
+                 keep_chains: bool = False):
         assert init in ("independent", "mcmc")
         self.integrator = integrator
         self.large_prob = large_prob
@@ -53,6 +54,16 @@ class IntegratorSMCMC:
         self.init_spp = init_spp
         self.init_chain_length = init_chain_length
         self.init_spp_mcmc = init_spp_mcmc
+        # keep_chains: carry the FULL chain carry (states + accumulators)
+        # across render() calls — the reference persists self.chains between
+        # averaging passes (smcmc.rs:1174-1212): init/burn-in happens once,
+        # later passes continue, and each pass returns the CUMULATIVE
+        # reconstruction, so averaging() is false and avg-mode REPLACES
+        # (smcmc.rs:1187-1191). Off by default so independent renders stay
+        # independent; the CLI enables it under -a.
+        self.keep_chains = keep_chains
+        self.averaging = not keep_chains
+        self._chain_state = None          # (scene id, carry pytree)
         cap = getattr(integrator, "hard_cap", 16)
         self.pss_dims = pss_dims or (2 + 6 * cap)
 
@@ -342,36 +353,60 @@ class IntegratorSMCMC:
                     return jax.lax.with_sharding_constraint(x, s)
                 return x
 
-        @jax.jit
-        def run(base_fold):
-            u0, tf0, col0, b_acc0, nb_u0, acc_mc0, stream0 = init_states(
-                scene, base_fold)
-            carry0 = (u0, tf0, col0, jnp.zeros(n),
-                      jnp.zeros((n, 5, 3)), acc_mc0, jnp.zeros(n, jnp.int32),
-                      b_acc0, nb_u0)
-            carry0 = jax.tree.map(shard_lanes, carry0)
+        from ..common import _BLOCK_CACHE, _cache_put
 
-            branches = []
-            for step in schedule:
-                if step is None:
-                    branches.append(lambda c, st: mcmc_step(scene, c, st))
-                else:
-                    ax, off = step
-                    branches.append(
-                        lambda c, st, ax=ax, off=off: mcmc_step(
-                            scene, c, st, exchange_axis=ax, offset=off))
+        branches = []
+        for step in schedule:
+            if step is None:
+                branches.append(lambda c, st: mcmc_step(scene, c, st))
+            else:
+                ax, off = step
+                branches.append(
+                    lambda c, st, ax=ax, off=off: mcmc_step(
+                        scene, c, st, exchange_axis=ax, offset=off))
 
-            def body(s, state):
-                carry, stream = state
-                return jax.lax.switch(jnp.remainder(s, 8), branches,
-                                      carry, stream)
+        ik = (id(scene), id(self), w, h, "smcmc-init")
+        make_init = _BLOCK_CACHE.get(ik)
+        if make_init is None:
+            @jax.jit
+            def make_init(base_fold):
+                u0, tf0, col0, b_acc0, nb_u0, acc_mc0, stream0 = init_states(
+                    scene, base_fold)
+                carry0 = (u0, tf0, col0, jnp.zeros(n),
+                          jnp.zeros((n, 5, 3)), acc_mc0,
+                          jnp.zeros(n, jnp.int32), b_acc0, nb_u0)
+                return carry0, stream0
+            _cache_put(ik, make_init)
 
-            carry, _ = jax.lax.fori_loop(0, spp, body, (carry0, stream0))
-            return carry
+        ek = (id(scene), id(self), spp, w, h, id(mesh), "smcmc-run")
+        evolve = _BLOCK_CACHE.get(ek)
+        if evolve is None:
+            @jax.jit
+            def evolve(carry0, stream0):
+                carry0 = jax.tree.map(shard_lanes, carry0)
+
+                def body(s, state):
+                    carry, stream = state
+                    return jax.lax.switch(jnp.remainder(s, 8), branches,
+                                          carry, stream)
+
+                carry, _ = jax.lax.fori_loop(0, spp, body,
+                                             (carry0, stream0))
+                return carry
+            _cache_put(ek, evolve)
 
         import time
         t0 = time.time()
-        (u, tf, col, wgt, acc_v, acc_mc, nb_s, b_acc, nb_u) = run(stream_fold(base, 31337))
+        st = self._chain_state
+        if self.keep_chains and st is not None and st[0] == id(scene):
+            carry0 = st[1]
+            stream0 = stream_fold(base, 31337)
+        else:
+            carry0, stream0 = make_init(stream_fold(base, 31337))
+        carry = evolve(carry0, stream0)
+        if self.keep_chains:
+            self._chain_state = (id(scene), carry)
+        (u, tf, col, wgt, acc_v, acc_mc, nb_s, b_acc, nb_u) = carry
         # flush final states
         good = tf > 0.0
         acc_v = acc_v + jnp.where(

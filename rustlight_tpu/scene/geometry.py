@@ -252,19 +252,19 @@ def build_geometry_tables(meshes: List[TriMesh], mesh_emitter_id: List[int]) -> 
     if gt.n_tris > CLUSTER_THRESHOLD:
         from ..accel.clustered import build_clusters
         gt = gt.replace(clusters=build_clusters(gt))
-        from ..accel.pallas_walk import K, _ID_BITS, build_walk_tables
-        if (gt.n_tris + K - 1) // K <= (1 << _ID_BITS):
+        from ..accel.pallas_walk import (K, _MAX_CLUSTERS, build_walk_tables)
+        if (gt.n_tris + K - 1) // K <= _MAX_CLUSTERS:
             # necessary precheck only: treelet packing can still overflow
-            # the 2^14-cluster id ceiling (fill >= 50%, so the true ceiling
-            # is 1-2M triangles depending on geometry)
-            wt = build_walk_tables(gt)   # None past the packed-id ceiling
+            # the wide-mode cluster ceiling (fill >= 50%, so the true
+            # ceiling is ~8-16M triangles depending on geometry)
+            wt = build_walk_tables(gt)   # None past the wide-mode ceiling
             if wt is not None:
                 gt = gt.replace(walk=wt)
         if gt.walk is None:
             import logging
             logging.getLogger(__name__).warning(
-                "scene exceeds the Pallas walk id ceiling (%d tris); TPU "
-                "renders fall back to the much slower XLA clustered "
+                "scene exceeds the Pallas walk cluster ceiling (%d tris); "
+                "TPU renders fall back to the much slower XLA clustered "
                 "intersector", gt.n_tris)
     return gt
 

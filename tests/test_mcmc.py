@@ -119,6 +119,28 @@ class TestSMCMC:
             assert abs(m - ref) / ref < 0.2, (rec, m, ref)
 
 
+class TestSMCMCKeepChains:
+    def test_chains_persist_and_error_drops(self):
+        """keep_chains=True: later passes continue the chains and return the
+        CUMULATIVE reconstruction (reference smcmc.rs:1174-1212); the
+        cumulative image after more passes must not be worse."""
+        from rustlight_tpu.integrators.mcmc import IntegratorSMCMC
+        sc = cornell_box(20, 20).compile()
+        inner = IntegratorPathTracing(max_depth=3, hard_cap=3)
+        ref = np.asarray(render(sc, inner, spp=128, seed=9)["primal"])
+        g = IntegratorSMCMC(inner, recons="naive", keep_chains=True)
+        assert g.averaging is False
+        f1 = np.asarray(g.render(sc, spp=16, seed=0)["primal"])
+        assert g._chain_state is not None
+        e1 = np.abs(f1 - ref).mean()
+        for it in range(1, 4):
+            fK = np.asarray(g.render(sc, spp=16, seed=it)["primal"])
+        eK = np.abs(fK - ref).mean()
+        assert eK < e1 * 1.15, (e1, eK)   # cumulative: error must not grow
+        m = fK.mean()
+        assert abs(m - ref.mean()) / ref.mean() < 0.2, (m, ref.mean())
+
+
 class TestSMCMCInit:
     """MCMCInit roaming-chain initialization (smcmc.rs:974-1172)."""
 
