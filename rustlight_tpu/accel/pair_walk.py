@@ -22,8 +22,15 @@ descent (src/accel.rs:243-288) rebuilt as a TPU schedule:
      miss or hit beyond it re-trace through the tile walk with all other
      lanes inert (tfar=0) — exactness without dynamic shapes.
 
-Opt-in via RUSTLIGHT_TPU_PAIR_WALK=1 (resident tables only) until the
-on-chip benchmark picks a default.
+Opt-in via RUSTLIGHT_TPU_PAIR_WALK=1 (resident tables only). MEASURED
+VERDICT (v5e, 2026-08-17): the schedule LOSES to the tile walk everywhere
+— 0.80x/0.54x (coherent/divergent primary sets, km=4; worse at km=8/12)
+and 2.2x slower warm end-to-end on the 122k-tri grid render (8.9s -> 20s).
+The [rays, C] entry matrix + top_k shortlist costs more than the 40x SIMD
+waste it removes: the tile walk's union-visits are VPU-dense triangle
+tests, while the shortlist pass is bandwidth-bound on a [R, C] matrix that
+the tile walk never materializes per-ray. Kept opt-in as the scaffold for
+a future in-kernel per-lane schedule; the tile walk stays production.
 """
 from __future__ import annotations
 
