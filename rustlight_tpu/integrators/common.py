@@ -9,6 +9,7 @@ parallel/render.py by slicing the pixel batch over a mesh axis.
 """
 from __future__ import annotations
 
+import os
 import time
 from functools import partial
 from typing import Callable, Optional
@@ -79,6 +80,42 @@ def _cache_put(key, fn):
     _BLOCK_CACHE[key] = fn
 
 
+# --- scene-as-argument mode for huge scenes -------------------------------
+# Closing over the scene bakes its tables into the HLO as constants (a
+# measured 2.25x win on cbox: XLA constant-folds scene-dependent layout
+# work). But the serialized constants grow with the scene — a 4.9M-tri
+# scene is ~2.6 GB of tables, which no compiler front-end should ever see
+# (the axon relay's remote-compile rejects the request with HTTP 413, and
+# even a local XLA would chew through gigabytes of IR). Above the
+# threshold the tables enter as jit ARGUMENTS instead: device-resident
+# once (cached device_put), parameters in the HLO. Renders are
+# bit-identical either way (tests/test_integrators.py).
+_ARG_SCENE_MB = float(os.environ.get("RUSTLIGHT_TPU_ARG_SCENE_MB", "384"))
+_DEVICE_SCENE_CACHE = {}   # id(scene) -> device-resident pytree
+
+
+def _scene_nbytes(scene) -> int:
+    return sum(l.nbytes for l in jax.tree_util.tree_leaves(scene)
+               if hasattr(l, "nbytes"))
+
+
+def _scene_as_arg(scene) -> bool:
+    return _scene_nbytes(scene) > _ARG_SCENE_MB * 2 ** 20
+
+
+def _device_scene(scene):
+    """One-time transfer of the scene tables to the default device; numpy
+    leaves passed per-call would re-stage the whole scene through the
+    relay every dispatch (memory: ~10 MB/call measured as a 10x loss)."""
+    ds = _DEVICE_SCENE_CACHE.get(id(scene))
+    if ds is None:
+        if len(_DEVICE_SCENE_CACHE) >= _BLOCK_CACHE_CAP:
+            _DEVICE_SCENE_CACHE.pop(next(iter(_DEVICE_SCENE_CACHE)))
+        ds = jax.device_put(scene)
+        _DEVICE_SCENE_CACHE[id(scene)] = ds
+    return ds
+
+
 def render(scene: SceneData, integrator: Integrator, spp: int, seed: int = 0,
            spp_per_pass: int = 8, verbose: bool = False,
            sampler: str = "independent", persistent: bool = None,
@@ -111,22 +148,35 @@ def render(scene: SceneData, integrator: Integrator, spp: int, seed: int = 0,
         persistent = (hasattr(integrator, "compute_block")
                       and sampler == "independent"
                       and jax.default_backend() == "tpu")
+    scene_arg = _scene_as_arg(scene)
     if persistent and hasattr(integrator, "compute_block"):
         # CLOSE OVER the scene: scene tables as compile-time constants let
         # XLA constant-fold scene-dependent layout work — measured 2.25x
         # faster than passing the pytree as an argument on v5e (0.90 s vs
         # 2.04 s for cbox 128 spp). The executable is cached per
         # (scene, integrator, spp) so repeated passes (avg mode) reuse it;
-        # only the RNG stream enters as an argument.
+        # only the RNG stream enters as an argument. Huge scenes flip to
+        # scene-as-argument (see _scene_as_arg).
         ck = (id(scene), id(integrator), spp, w, h)
         run_block = _BLOCK_CACHE.get(ck)
         if run_block is None:
-            @jax.jit
-            def run_block(stream):
-                acc = integrator.compute_block(scene, pix, stream, spp)
-                ok = jnp.all(jnp.isfinite(acc), axis=-1) & jnp.all(
-                    acc >= 0.0, axis=-1)
-                return jnp.where(ok[:, None], acc, 0.0)
+            if scene_arg:
+                @jax.jit
+                def _run_arg(sd, stream):
+                    acc = integrator.compute_block(sd, pix, stream, spp)
+                    ok = jnp.all(jnp.isfinite(acc), axis=-1) & jnp.all(
+                        acc >= 0.0, axis=-1)
+                    return jnp.where(ok[:, None], acc, 0.0)
+
+                def run_block(stream):
+                    return _run_arg(_device_scene(scene), stream)
+            else:
+                @jax.jit
+                def run_block(stream):
+                    acc = integrator.compute_block(scene, pix, stream, spp)
+                    ok = jnp.all(jnp.isfinite(acc), axis=-1) & jnp.all(
+                        acc >= 0.0, axis=-1)
+                    return jnp.where(ok[:, None], acc, 0.0)
             _cache_put(ck, run_block)
 
         t0 = time.time()
@@ -147,8 +197,7 @@ def render(scene: SceneData, integrator: Integrator, spp: int, seed: int = 0,
           "chunk")
     run_chunk = _BLOCK_CACHE.get(ck)
     if run_chunk is None:
-        @jax.jit
-        def run_chunk(base, start_idx):
+        def _chunk_impl(sd, base, start_idx):
             def one(s, carry):
                 acc, acc2 = carry
                 stream = stream_fold(base, start_idx + s)
@@ -158,7 +207,7 @@ def render(scene: SceneData, integrator: Integrator, spp: int, seed: int = 0,
                     stream = StratifiedStream(inner=stream, pixel_ids=pid,
                                               pass_idx=start_idx + s, spp=spp,
                                               base_key=base.key)
-                li = integrator.compute_pixel(scene, pix, stream)
+                li = integrator.compute_pixel(sd, pix, stream)
                 # guard invalid splats (accumulate_safe, mod.rs:160-175)
                 ok = jnp.all(jnp.isfinite(li), axis=-1) \
                     & jnp.all(li >= 0.0, axis=-1)
@@ -169,6 +218,16 @@ def render(scene: SceneData, integrator: Integrator, spp: int, seed: int = 0,
             z = jnp.zeros((h * w, 3), jnp.float32)
             z2 = z if variance else jnp.zeros((1, 3), jnp.float32)
             return jax.lax.fori_loop(0, chunk, one, (z, z2))
+
+        if scene_arg:
+            _jit_chunk = jax.jit(_chunk_impl)
+
+            def run_chunk(base, start_idx):
+                return _jit_chunk(_device_scene(scene), base, start_idx)
+        else:
+            @jax.jit
+            def run_chunk(base, start_idx):
+                return _chunk_impl(scene, base, start_idx)
         _cache_put(ck, run_chunk)
 
     base_stream = make_stream(seed)
@@ -217,15 +276,24 @@ def render_splat(scene: SceneData, integrator: SplattingIntegrator, spp: int,
     ck = (id(scene), id(integrator), n, w, h, "splat")
     one_pass = _BLOCK_CACHE.get(ck)
     if one_pass is None:
-        @jax.jit
-        def one_pass(base, pass_idx):
+        def _pass_impl(sd, base, pass_idx):
             stream = stream_fold(base, pass_idx)
-            pids, vals = integrator.trace_paths(scene, n, stream)
+            pids, vals = integrator.trace_paths(sd, n, stream)
             ok = jnp.all(jnp.isfinite(vals), axis=-1) & jnp.all(vals >= 0.0,
                                                                 axis=-1)
             vals = jnp.where(ok[:, None], vals, 0.0)
             film = jnp.zeros((h * w, 3), jnp.float32)
             return film.at[pids].add(vals, mode="drop")
+
+        if _scene_as_arg(scene):
+            _jit_pass = jax.jit(_pass_impl)
+
+            def one_pass(base, pass_idx):
+                return _jit_pass(_device_scene(scene), base, pass_idx)
+        else:
+            @jax.jit
+            def one_pass(base, pass_idx):
+                return _pass_impl(scene, base, pass_idx)
         _cache_put(ck, one_pass)
 
     base_stream = make_stream(seed)

@@ -253,3 +253,40 @@ class TestVeachMIS:
         assert abs(em - bs) / em < 0.06, (em, bs)
         al = render(sd, pt("all"), spp=128, seed=3)["primal"].mean()
         assert abs(al - em) / em < 0.2, (al, em)
+
+
+class TestSceneAsArgument:
+    """Huge scenes flip from scene-as-HLO-constants to scene-as-jit-argument
+    (common._scene_as_arg) — the axon relay rejects multi-GB constant HLOs
+    (HTTP 413). Both modes must render bit-identically."""
+
+    def _both(self, run, monkeypatch):
+        from rustlight_tpu.integrators import common
+        common._BLOCK_CACHE.clear()
+        a = run()   # constant mode (cbox is far below the threshold)
+        monkeypatch.setattr(common, "_ARG_SCENE_MB", 0.0)
+        common._BLOCK_CACHE.clear()
+        common._DEVICE_SCENE_CACHE.clear()
+        b = run()   # argument mode
+        common._BLOCK_CACHE.clear()
+        return np.asarray(a), np.asarray(b)
+
+    def test_chunked_bit_identical(self, monkeypatch):
+        run = lambda: render(CBOX, IntegratorPathTracing(max_depth=3),
+                             spp=4, seed=5, persistent=False)["primal"]
+        a, b = self._both(run, monkeypatch)
+        assert np.array_equal(a, b)
+
+    def test_persistent_bit_identical(self, monkeypatch):
+        run = lambda: render(CBOX, IntegratorPathTracing(max_depth=3),
+                             spp=4, seed=5, persistent=True)["primal"]
+        a, b = self._both(run, monkeypatch)
+        assert np.array_equal(a, b)
+
+    def test_splat_bit_identical(self, monkeypatch):
+        from rustlight_tpu.integrators import IntegratorLightTracing
+        from rustlight_tpu.integrators.common import render_splat
+        run = lambda: render_splat(CBOX, IntegratorLightTracing(max_depth=3),
+                                   spp=4, seed=5)["primal"]
+        a, b = self._both(run, monkeypatch)
+        assert np.array_equal(a, b)
