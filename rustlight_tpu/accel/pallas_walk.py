@@ -60,6 +60,11 @@ RAY_TILE = 64
 # 6 KB/cluster; leave room for ray tiles + scratch on a 16 MB core
 # (the entry pass is chunked, so C=2048 = 12.6 MB of rows fits).
 MAX_VMEM_CLUSTERS = 2048          # ~262k triangles
+# hierarchical (two-level) walk: SUP consecutive clusters per super-cluster.
+# One lane vector of child entries per opened super; 7 id bits pack the
+# local child index into the entry mantissa.
+SUP = 128
+_CHILD_BITS = 7
 _BIG = 1e30
 
 
@@ -73,10 +78,17 @@ class WalkTables:
     # block (8-sublane aligned) with the o4/d4 component rows in [:, 0:4, :]
     # and the triangle ids BITCAST to f32 in [:, 4, :K]; ids is None.
     resident: bool = struct.field(pytree_node=False, default=True)
+    # hierarchical (two-level) tables: SUP consecutive clusters per super
+    n_sup: int = struct.field(pytree_node=False, default=0)   # real supers
+    n_sup_pad: int = struct.field(pytree_node=False, default=0)  # mult 128
     rows: Any = None
     ids: Any = None
     lo: Any = None         # [3, C] f32 cluster AABB (pads: distant points)
     hi: Any = None         # [3, C] f32
+    slo: Any = None        # [3, Sp] f32 super AABB (union of real children)
+    shi: Any = None        # [3, Sp]
+    lo_h: Any = None       # [3, Sp, SUP] f32 — children grouped by super
+    hi_h: Any = None       # [3, Sp, SUP]
     world_lo: Any = None   # [3] scene bounds (ray-sorting morton grid)
     world_hi: Any = None   # [3]
 
@@ -173,6 +185,22 @@ def build_walk_tables(geom) -> WalkTables:
     world_lo = tri_lo.min(0).astype(np.float32)
     world_hi = tri_hi.max(0).astype(np.float32)
 
+    # two-level tables: SUP consecutive clusters (treelet order, so each
+    # super is a near-subtree and spatially tight) per super, AABB = union
+    # of REAL children only (pads would inflate shi to _BIG)
+    ns = -(-c // SUP)                                    # real supers
+    sp = ((-(-cp // SUP) + 127) // 128) * 128            # lane-pad S
+    slo = np.full((3, sp), _BIG, np.float32)
+    shi = np.full((3, sp), _BIG, np.float32)
+    for s in range(ns):
+        r0, r1 = s * SUP, min((s + 1) * SUP, c)
+        slo[:, s] = lo[:, r0:r1].min(1)
+        shi[:, s] = hi[:, r0:r1].max(1)
+    lo_h = np.full((3, sp, SUP), _BIG, np.float32)
+    hi_h = np.full((3, sp, SUP), _BIG, np.float32)
+    lo_h.reshape(3, -1)[:, :cp] = lo
+    hi_h.reshape(3, -1)[:, :cp] = hi
+
     # [4, C, 3K]: component j of the o4/d4 dot, N|U|V column blocks of K
     packed = (rows.reshape(cp, K, 3, 4)
               .transpose(3, 0, 2, 1)                      # [4, C, 3, K]
@@ -191,9 +219,11 @@ def build_walk_tables(geom) -> WalkTables:
         rows_out, ids_out = blk, None
     return WalkTables(
         n_tris=t, n_clusters=cp, n_real=c, resident=resident,
+        n_sup=ns, n_sup_pad=sp,
         rows=rows_out, ids=ids_out,
         lo=np.ascontiguousarray(lo).astype(np.float32),
         hi=np.ascontiguousarray(hi).astype(np.float32),
+        slo=slo, shi=shi, lo_h=lo_h, hi_h=hi_h,
         world_lo=world_lo, world_hi=world_hi,
     )
 
@@ -232,12 +262,15 @@ def _sort_key(wt: WalkTables, o, d):
 _ID_BITS = 14
 _MAX_CLUSTERS = 1 << 17        # wide-mode ceiling: ent_scr 512 KB VMEM
 
+import os as _os
+_NO_HIER = _os.environ.get("RUSTLIGHT_TPU_NO_HIER") == "1"
 
-def _entry_floor(emin_bits):
+
+def _entry_floor(emin_bits, id_bits=_ID_BITS):
     """Packed entry with the id bits cleared: <= the true entry's sortable
     bits, so `floor < thresh` never terminates while an unvisited cluster
     could still beat a ray's best hit."""
-    return emin_bits & ~((1 << _ID_BITS) - 1)
+    return emin_bits & ~((1 << id_bits) - 1)
 
 
 def _tile_entries(lo_ref, hi_ref, o, d, tnear, tfar, n_real, cp,
@@ -282,7 +315,7 @@ def _tile_entries(lo_ref, hi_ref, o, d, tnear, tfar, n_real, cp,
     return jnp.where(fin, packed, jnp.inf)
 
 
-def _pop_min(ent_scr, wide=False):
+def _pop_min(ent_scr, wide=False, id_bits=_ID_BITS):
     """One min-reduce pops the nearest unvisited cluster.
 
     All ordering runs in int32 space: non-negative IEEE floats order
@@ -303,7 +336,7 @@ def _pop_min(ent_scr, wide=False):
         ent_scr[:] = jnp.where(ciota == csel, jnp.inf, ent)
         return bmin, csel
     ent_scr[:] = jnp.where(bits == bmin, jnp.inf, ent)
-    csel = bmin & ((1 << _ID_BITS) - 1)
+    csel = bmin & ((1 << id_bits) - 1)
     # bmin == inf-bits gives csel = 0: harmless re-test, loop is ending
     return bmin, jnp.minimum(csel, cp - 1)
 
@@ -578,17 +611,238 @@ def _anyhit_kernel_hbm(n_real, wide, lo_ref, hi_ref, rows_hbm,
     occ_ref[:, 0] = occ
 
 
+# --- hierarchical (two-level) HBM walk ------------------------------------
+# Production path for > 2^14-cluster scenes (always non-resident at that
+# size), replacing wide mode: wide pays an O(R*C) slab entry pass plus an
+# O(C) argmin recovery on EVERY pop, which dominates multi-M-tri renders
+# (4.9M tris = 55792 clusters). Here the entry pass runs over S = C/SUP
+# super AABBs (packed pops, id bits ride the mantissa again since S stays
+# under 2^14 up to ~270M tris), and opening a super lazily computes its SUP
+# child entries — capped per-ray by the CURRENT best_t, so far-side
+# children drop out before they are ever popped. Front-to-back ordering is
+# per-super (children of an opened super drain before the next super
+# opens); termination stays conservative because a super's entry lower-
+# bounds all its children's entries.
+
+
+def _child_entries(lo_h_ref, hi_h_ref, ssel, base, o, inv, tnear, cap,
+                   n_real):
+    """Entries for super `ssel`'s SUP children: [1, SUP] with the local
+    child id packed into the low _CHILD_BITS mantissa bits. `cap` is the
+    per-ray improvement bound (best_t for closest; tfar gated on occlusion
+    for anyhit) — tighter than the flat kernels' static tfar cap."""
+    r = o.shape[0]
+    tmin = jnp.full((r, SUP), -jnp.inf)
+    tmax = jnp.full((r, SUP), jnp.inf)
+    for j in range(3):
+        l = lo_h_ref[j, pl.ds(ssel, 1), :][0]            # [SUP]
+        h = hi_h_ref[j, pl.ds(ssel, 1), :][0]
+        t0 = (l[None, :] - o[:, j][:, None]) * inv[:, j][:, None]
+        t1 = (h[None, :] - o[:, j][:, None]) * inv[:, j][:, None]
+        tmin = jnp.maximum(tmin, jnp.minimum(t0, t1))
+        tmax = jnp.minimum(tmax, jnp.maximum(t0, t1))
+    entry = jnp.maximum(tmin, tnear[:, None])
+    ok = (tmax >= entry) & (entry < cap[:, None])
+    ent = jnp.min(jnp.where(ok, entry, jnp.inf), axis=0, keepdims=True)
+    liota = lax.broadcasted_iota(jnp.int32, (1, SUP), 1)
+    fin = (base + liota < n_real) & jnp.isfinite(ent)
+    bits = lax.bitcast_convert_type(jnp.maximum(ent, 0.0), jnp.int32)
+    packed = lax.bitcast_convert_type(
+        (bits & ~((1 << _CHILD_BITS) - 1)) | liota, jnp.float32)
+    return jnp.where(fin, packed, jnp.inf)
+
+
+def _closest_kernel_hbm_hier(n_real, n_sup, slo_ref, shi_ref,
+                             lo_h_ref, hi_h_ref, rows_hbm,
+                             o_ref, d_ref, tnear_ref, tfar_ref,
+                             t_ref, tri_ref, u_ref, v_ref,
+                             sup_scr, child_scr, rbuf, sem):
+    sp = slo_ref.shape[1]
+    o = o_ref[:]
+    d = d_ref[:]
+    tnear = tnear_ref[:, 0]
+    tfar = tfar_ref[:, 0]
+    inv = 1.0 / jnp.where(jnp.abs(d) > 1e-12, d,
+                          jnp.where(d >= 0, 1e-12, -1e-12))
+    sup_scr[:] = _tile_entries(slo_ref, shi_ref, o, d, tnear, tfar, n_sup,
+                               sp)
+    kiota = lax.broadcasted_iota(jnp.int32, (o.shape[0], K), 1)
+
+    def dma_rows(csel, slot):
+        return pltpu.make_async_copy(
+            rows_hbm.at[pl.ds(csel, 1), :, :], rbuf.at[slot], sem.at[slot])
+
+    def test_update(slot, best_t, best_i, best_u, best_v):
+        r = rbuf[slot]                                   # [1, 8, 3K] static
+        t, u, v, valid = _test_rows(r[0, 0], r[0, 1], r[0, 2], r[0, 3],
+                                    o, d, tnear, best_t)
+        tm = jnp.where(valid, t, jnp.inf)
+        bt = jnp.min(tm, axis=1)
+        better = bt < best_t
+        j = jnp.minimum(jnp.min(jnp.where(tm == bt[:, None], kiota, K), 1),
+                        K - 1)
+        jhot = (kiota == j[:, None]) & better[:, None]
+        ids = lax.bitcast_convert_type(r[0, 4:5, :K], jnp.int32)   # [1, K]
+        tri_new = jnp.sum(jnp.where(jhot, ids, 0), axis=1)
+        best_u = jnp.where(better, jnp.sum(jnp.where(jhot, u, 0.0), 1),
+                           best_u)
+        best_v = jnp.where(better, jnp.sum(jnp.where(jhot, v, 0.0), 1),
+                           best_v)
+        return (jnp.where(better, bt, best_t),
+                jnp.where(better, tri_new, best_i), best_u, best_v)
+
+    def pop_child(base):
+        # inf pop -> local 0 -> a clamped harmless re-test (loop is ending)
+        emin, lsel = _pop_min(child_scr, id_bits=_CHILD_BITS)
+        return emin, jnp.minimum(base + lsel, n_real - 1)
+
+    semin0, ssel0 = _pop_min(sup_scr)
+
+    def s_cond(s):
+        ns, semin, _, thresh, *_ = s
+        # super entry lower-bounds every child entry: stopping when its
+        # floor clears the threshold never skips an improvable cluster
+        return (_entry_floor(semin) < thresh) & (ns < sp)
+
+    def s_body(s):
+        ns, semin, ssel, thresh, best_t, best_i, best_u, best_v = s
+        base = ssel * SUP
+        child_scr[:] = _child_entries(lo_h_ref, hi_h_ref, ssel, base, o,
+                                      inv, tnear, best_t, n_real)
+        cemin0, csel0 = pop_child(base)
+        dma_rows(csel0, 0).start()
+        cemin1, csel1 = pop_child(base)
+
+        def c_cond(t):
+            ni, cemin_c, _, _, _, th, *_ = t
+            return (_entry_floor(cemin_c, _CHILD_BITS) < th) & (ni < SUP)
+
+        def c_body(t):
+            ni, cemin_c, csel_c, cemin_n, csel_n, _, bt, bi, bu, bv = t
+            dma_rows(csel_n, 1).start()   # prefetch next while testing cur
+            dma_rows(csel_c, 0).wait()
+            bt, bi, bu, bv = test_update(0, bt, bi, bu, bv)
+            cemin_2, csel_2 = pop_child(base)
+            dma_rows(csel_2, 0).start()
+            dma_rows(csel_n, 1).wait()
+            bt, bi, bu, bv = test_update(1, bt, bi, bu, bv)
+            cemin_3, csel_3 = pop_child(base)
+            return (ni + 1, cemin_2, csel_2, cemin_3, csel_3,
+                    _sortable_max(bt), bt, bi, bu, bv)
+
+        init = (jnp.int32(0), cemin0, csel0, cemin1, csel1, thresh,
+                best_t, best_i, best_u, best_v)
+        out = lax.while_loop(c_cond, c_body, init)
+        _, _, csel_c, _, _, _, best_t, best_i, best_u, best_v = out
+        dma_rows(csel_c, 0).wait()        # drain the outstanding slot-0 DMA
+        semin_n, ssel_n = _pop_min(sup_scr)
+        return (ns + 1, semin_n, ssel_n, _sortable_max(best_t),
+                best_t, best_i, best_u, best_v)
+
+    r = o.shape[0]
+    best_t0 = jnp.minimum(tfar, jnp.inf)
+    init = (jnp.int32(0), semin0, ssel0, _sortable_max(best_t0), best_t0,
+            jnp.full(r, -1, jnp.int32), jnp.zeros(r), jnp.zeros(r))
+    out = lax.while_loop(s_cond, s_body, init)
+    _, _, _, _, best_t, best_i, best_u, best_v = out
+    hit = best_i >= 0
+    t_ref[:, 0] = jnp.where(hit, best_t, jnp.inf)
+    tri_ref[:, 0] = best_i
+    u_ref[:, 0] = best_u
+    v_ref[:, 0] = best_v
+
+
+def _anyhit_kernel_hbm_hier(n_real, n_sup, slo_ref, shi_ref,
+                            lo_h_ref, hi_h_ref, rows_hbm,
+                            o_ref, d_ref, tnear_ref, tfar_ref, occ_ref,
+                            sup_scr, child_scr, rbuf, sem):
+    sp = slo_ref.shape[1]
+    o = o_ref[:]
+    d = d_ref[:]
+    tnear = tnear_ref[:, 0]
+    tfar = tfar_ref[:, 0]
+    inv = 1.0 / jnp.where(jnp.abs(d) > 1e-12, d,
+                          jnp.where(d >= 0, 1e-12, -1e-12))
+    sup_scr[:] = _tile_entries(slo_ref, shi_ref, o, d, tnear, tfar, n_sup,
+                               sp)
+
+    def dma_rows(csel, slot):
+        return pltpu.make_async_copy(
+            rows_hbm.at[pl.ds(csel, 1), :, :], rbuf.at[slot], sem.at[slot])
+
+    def test(slot, occ):
+        r = rbuf[slot]
+        _, _, _, valid = _test_rows(r[0, 0], r[0, 1], r[0, 2], r[0, 3],
+                                    o, d, tnear, tfar)
+        return jnp.maximum(occ, jnp.any(valid, axis=1).astype(jnp.int32))
+
+    def pop_child(base):
+        emin, lsel = _pop_min(child_scr, id_bits=_CHILD_BITS)
+        return emin, jnp.minimum(base + lsel, n_real - 1)
+
+    semin0, ssel0 = _pop_min(sup_scr)
+
+    def s_cond(s):
+        ns, semin, _, thresh, _ = s
+        return (_entry_floor(semin) < thresh) & (ns < sp)
+
+    def s_body(s):
+        ns, semin, ssel, thresh, occ = s
+        base = ssel * SUP
+        cap = jnp.where(occ > 0, 0.0, tfar)
+        child_scr[:] = _child_entries(lo_h_ref, hi_h_ref, ssel, base, o,
+                                      inv, tnear, cap, n_real)
+        cemin0, csel0 = pop_child(base)
+        dma_rows(csel0, 0).start()
+        cemin1, csel1 = pop_child(base)
+
+        def c_cond(t):
+            ni, cemin_c, _, _, _, th, _ = t
+            return (_entry_floor(cemin_c, _CHILD_BITS) < th) & (ni < SUP)
+
+        def c_body(t):
+            ni, cemin_c, csel_c, cemin_n, csel_n, _, occ_i = t
+            dma_rows(csel_n, 1).start()
+            dma_rows(csel_c, 0).wait()
+            occ_i = test(0, occ_i)
+            cemin_2, csel_2 = pop_child(base)
+            dma_rows(csel_2, 0).start()
+            dma_rows(csel_n, 1).wait()
+            occ_i = test(1, occ_i)
+            cemin_3, csel_3 = pop_child(base)
+            th = _sortable_max(jnp.where(occ_i > 0, 0.0, tfar))
+            return (ni + 1, cemin_2, csel_2, cemin_3, csel_3, th, occ_i)
+
+        init = (jnp.int32(0), cemin0, csel0, cemin1, csel1, thresh, occ)
+        out = lax.while_loop(c_cond, c_body, init)
+        _, _, csel_c, _, _, _, occ = out
+        dma_rows(csel_c, 0).wait()
+        semin_n, ssel_n = _pop_min(sup_scr)
+        thresh_n = _sortable_max(jnp.where(occ > 0, 0.0, tfar))
+        return ns + 1, semin_n, ssel_n, thresh_n, occ
+
+    occ0 = jnp.zeros(o.shape[0], jnp.int32)
+    init = (jnp.int32(0), semin0, ssel0, _sortable_max(tfar), occ0)
+    _, _, _, _, occ = lax.while_loop(s_cond, s_body, init)
+    occ_ref[:, 0] = occ
+
+
 @partial(jax.jit, static_argnames=("any_hit", "interpret", "sort_rays",
-                                   "wide"))
+                                   "wide", "hier"))
 def _walk_impl(wt: WalkTables, o, d, tnear, tfar, any_hit: bool,
                interpret: bool = False, sort_rays: bool = True,
-               wide: bool = None):
+               wide: bool = None, hier: bool = None):
     n = o.shape[0]
     cp = wt.n_clusters
     # packed entry+id pops cap at 2^14 clusters; larger scenes use the
-    # unpacked wide pop (tests force wide=True on small scenes for parity)
+    # two-level hierarchical walk (RUSTLIGHT_TPU_NO_HIER=1 falls back to
+    # the unpacked wide pop). Tests force hier/wide on small scenes.
+    if hier is None and wide is None:
+        hier = (cp > (1 << _ID_BITS) and not wt.resident
+                and wt.lo_h is not None and not _NO_HIER)
+    hier = bool(hier) and not wt.resident and wt.lo_h is not None
     if wide is None:
-        wide = cp > (1 << _ID_BITS)
+        wide = cp > (1 << _ID_BITS) and not hier
     # sanitize: dead wavefront lanes can carry NaN rays/ranges. A NaN best_t
     # would bitcast ABOVE +inf in the kernel's sortable-int ordering and spin
     # the walk loop forever (TPU watchdog kill). NaN/negative tfar -> 0
@@ -630,7 +884,27 @@ def _walk_impl(wt: WalkTables, o, d, tnear, tfar, any_hit: bool,
                         memory_space=pltpu.VMEM)
     row = pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
-    if wt.resident:
+    assert wt.n_real > 0, "WalkTables built without n_real"
+    if hier:
+        sp = wt.n_sup_pad
+        in_specs = [
+            const((3, sp)), const((3, sp)),              # slo, shi
+            const((3, sp, SUP)), const((3, sp, SUP)),    # lo_h, hi_h
+            pl.BlockSpec(memory_space=pl.ANY),           # rows (HBM)
+            ray2, ray2, row, row,
+        ]
+        args = (wt.slo, wt.shi, wt.lo_h, wt.hi_h, wt.rows,
+                o, d, tnear2, tfar2)
+        scratch = [
+            pltpu.VMEM((1, sp), jnp.float32),            # sup_scr
+            pltpu.VMEM((1, SUP), jnp.float32),           # child_scr
+            pltpu.VMEM((2, 1, 8, 3 * K), jnp.float32),   # rbuf
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+        cparams = pltpu.CompilerParams()
+        k_closest = partial(_closest_kernel_hbm_hier, wt.n_real, wt.n_sup)
+        k_anyhit = partial(_anyhit_kernel_hbm_hier, wt.n_real, wt.n_sup)
+    elif wt.resident:
         table_specs = [const((4, cp, 3 * K)), const((cp, K))]
         extra_scratch = []
         k_closest, k_anyhit = _closest_kernel, _anyhit_kernel
@@ -644,27 +918,28 @@ def _walk_impl(wt: WalkTables, o, d, tnear, tfar, any_hit: bool,
         ]
         k_closest, k_anyhit = _closest_kernel_hbm, _anyhit_kernel_hbm
         tables = (wt.rows,)
-    in_specs = [
-        const((3, cp)), const((3, cp)),                  # lo, hi
-        *table_specs,                                    # rows (+ids)
-        ray2, ray2, row, row,
-    ]
-    assert wt.n_real > 0, "WalkTables built without n_real"
-    n_real = wt.n_real
-    args = (wt.lo, wt.hi, *tables, o, d, tnear2, tfar2)
-    scratch = [pltpu.VMEM((1, cp), jnp.float32)] + extra_scratch
+    if not hier:
+        in_specs = [
+            const((3, cp)), const((3, cp)),              # lo, hi
+            *table_specs,                                # rows (+ids)
+            ray2, ray2, row, row,
+        ]
+        args = (wt.lo, wt.hi, *tables, o, d, tnear2, tfar2)
+        scratch = [pltpu.VMEM((1, cp), jnp.float32)] + extra_scratch
 
-    # the 16 MB default scoped-vmem cap is conservative; the resident tables
-    # alone reach ~12.6 MB at MAX_VMEM_CLUSTERS, so lift the cap to what the
-    # tables + entry-pass intermediates actually need (v5e VMEM is larger).
-    # The HBM variant's working set fits the default cap.
-    cparams = pltpu.CompilerParams(
-        vmem_limit_bytes=20 * 1024 * 1024 + 4 * cp * 3 * K * 4
-    ) if wt.resident else pltpu.CompilerParams()
+        # the 16 MB default scoped-vmem cap is conservative; the resident
+        # tables alone reach ~12.6 MB at MAX_VMEM_CLUSTERS, so lift the cap
+        # to what the tables + entry-pass intermediates actually need (v5e
+        # VMEM is larger). The HBM variant's working set fits the default.
+        cparams = pltpu.CompilerParams(
+            vmem_limit_bytes=20 * 1024 * 1024 + 4 * cp * 3 * K * 4
+        ) if wt.resident else pltpu.CompilerParams()
+        k_closest = partial(k_closest, wt.n_real, wide)
+        k_anyhit = partial(k_anyhit, wt.n_real, wide)
 
     if any_hit:
         occ = pl.pallas_call(
-            partial(k_anyhit, n_real, wide),
+            k_anyhit,
             grid=grid, in_specs=in_specs, out_specs=row,
             out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
             scratch_shapes=scratch, interpret=interpret,
@@ -676,7 +951,7 @@ def _walk_impl(wt: WalkTables, o, d, tnear, tfar, any_hit: bool,
         return occ > 0
 
     t, tri, u, v = pl.pallas_call(
-        partial(k_closest, n_real, wide),
+        k_closest,
         grid=grid, in_specs=in_specs,
         out_specs=(row, row, row, row),
         out_shape=(
@@ -706,20 +981,24 @@ def walk_supported(wt) -> bool:
 
 
 def intersect_walk(wt: WalkTables, o, d, tnear=None, tfar=None,
-                   interpret: bool = False, wide: bool = None):
+                   interpret: bool = False, wide: bool = None,
+                   hier: bool = None):
     n = o.shape[0]
     if tnear is None:
         tnear = jnp.full(n, EPSILON, jnp.float32)
     if tfar is None:
         tfar = jnp.full(n, jnp.inf, jnp.float32)
-    return _walk_impl(wt, o, d, tnear, tfar, False, interpret, wide=wide)
+    return _walk_impl(wt, o, d, tnear, tfar, False, interpret, wide=wide,
+                      hier=hier)
 
 
 def occluded_walk(wt: WalkTables, o, d, tnear=None, tfar=None,
-                  interpret: bool = False, wide: bool = None):
+                  interpret: bool = False, wide: bool = None,
+                  hier: bool = None):
     n = o.shape[0]
     if tnear is None:
         tnear = jnp.full(n, EPSILON, jnp.float32)
     if tfar is None:
         tfar = jnp.full(n, jnp.inf, jnp.float32)
-    return _walk_impl(wt, o, d, tnear, tfar, True, interpret, wide=wide)
+    return _walk_impl(wt, o, d, tnear, tfar, True, interpret, wide=wide,
+                      hier=hier)

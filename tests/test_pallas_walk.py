@@ -209,3 +209,50 @@ def test_treelet_packing_invariants(soup):
             continue
         pts = np.concatenate([v0[mem], v0[mem] + e1[mem], v0[mem] + e2[mem]])
         assert (pts >= lo[:, ci] - 1e-5).all() and (pts <= hi[:, ci] + 1e-5).all()
+
+
+def test_hier_mode_matches_dense(soup, monkeypatch):
+    """Two-level hierarchical walk (> 2^14-cluster scenes: packed super
+    pops + lazy per-super child entries) must stay bit-identical to the
+    dense oracle; forced on the small scene via hier=True over HBM tables
+    (hier production scenes are always non-resident)."""
+    import rustlight_tpu.accel.pallas_walk as W
+    geom, _, o, d = soup
+    monkeypatch.setattr(W, "MAX_VMEM_CLUSTERS", 1)
+    wt = W.build_walk_tables(geom)
+    assert not wt.resident and wt.n_sup >= 1 and wt.lo_h is not None
+    nr = o.shape[0]
+    ref = _intersect_impl(geom.inter_rows, o, d, jnp.full(nr, 1e-4),
+                          jnp.full(nr, jnp.inf), False)
+    out = W.intersect_walk(wt, o, d, interpret=True, hier=True)
+    assert np.array_equal(np.asarray(ref.hit), np.asarray(out.hit))
+    both = np.asarray(ref.hit)
+    assert both.mean() > 0.5
+    np.testing.assert_allclose(np.asarray(out.t)[both],
+                               np.asarray(ref.t)[both], rtol=1e-5, atol=1e-6)
+    assert (np.asarray(ref.tri)[both] == np.asarray(out.tri)[both]).all()
+    np.testing.assert_allclose(np.asarray(out.u)[both],
+                               np.asarray(ref.u)[both], rtol=1e-4, atol=1e-5)
+    occ_ref = _intersect_impl(geom.inter_rows, o, d, jnp.full(nr, 1e-4),
+                              jnp.full(nr, 2.2), True)
+    occ = W.occluded_walk(wt, o, d, tfar=jnp.full(nr, 2.2), interpret=True,
+                          hier=True)
+    assert np.array_equal(np.asarray(occ_ref), np.asarray(occ))
+
+
+def test_hier_super_tables_invariants(soup):
+    """Super AABBs union exactly their real children; grouped child tables
+    mirror the flat cluster tables; pads stay distant points."""
+    import rustlight_tpu.accel.pallas_walk as W
+    geom, wt, o, d = soup
+    c, ns = wt.n_real, wt.n_sup
+    assert ns == -(-c // W.SUP)
+    lo_flat = wt.lo_h.reshape(3, -1)[:, :wt.n_clusters]
+    hi_flat = wt.hi_h.reshape(3, -1)[:, :wt.n_clusters]
+    assert np.array_equal(lo_flat, wt.lo)
+    assert np.array_equal(hi_flat, wt.hi)
+    for s in range(ns):
+        r0, r1 = s * W.SUP, min((s + 1) * W.SUP, c)
+        assert np.array_equal(wt.slo[:, s], wt.lo[:, r0:r1].min(1))
+        assert np.array_equal(wt.shi[:, s], wt.hi[:, r0:r1].max(1))
+    assert (wt.slo[:, ns:] == W._BIG).all()
