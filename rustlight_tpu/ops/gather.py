@@ -27,6 +27,15 @@ from jax import lax
 # one-hot matmul beats the serial gather up to a few thousand rows; beyond
 # that fall back to XLA's gather (large tables amortize its overhead)
 MAX_ONEHOT_ROWS = 4096
+# XLA's native row gather costs ~30 ms at wavefront width (262k lanes, v5e)
+# INDEPENDENT of table size — a per-lane serial loop. The chunked one-hot
+# scales with ceil(T/4096) MXU matmuls (measured 106 ms at 131k rows,
+# 613 ms at 1M, ~3 s at 4.9M), so it loses above ~32k rows: 8 chunks
+# ~= the 30 ms floor. Beyond that the native gather wins outright and is
+# exact for every dtype (no f32 round-trip).
+import os as _os
+MAX_CHUNKED_ROWS = int(_os.environ.get("RUSTLIGHT_TPU_XLA_TAKE_ROWS",
+                                       "32768"))
 
 
 def make_taker(idx, n_rows: int):
@@ -35,6 +44,11 @@ def make_taker(idx, n_rows: int):
     Indices are clipped to range; callers mask invalid lanes themselves.
     """
     idx = jnp.clip(idx, 0, n_rows - 1).astype(jnp.int32)
+    if n_rows > MAX_CHUNKED_ROWS:
+        def take_native(table):
+            assert table.shape[0] == n_rows, (table.shape[0], n_rows)
+            return jnp.take(table, idx, axis=0)
+        return take_native
     if n_rows > MAX_ONEHOT_ROWS:
         # chunked one-hot: scan 4096-row blocks and accumulate the (single)
         # matching block's contribution — ceil(T/4096) MXU matmuls instead of
