@@ -73,33 +73,16 @@ def main():
     dt = time.time() - t0
     acc = acc[: pix.shape[0]]
 
-    # Count rays on a measurement pass (host-side estimate of live lanes per
-    # bounce from the same RNG stream: re-run a counting variant once).
+    # Count rays on a measurement pass: per pass, bounce b has alive_b lanes
+    # (trace + NEE shadow per live lane), measured by a dedicated lightweight
+    # loop with the path tracer's own RR/termination behavior.
     from rustlight_tpu.accel import intersect_rays
     from rustlight_tpu.scene import generate_rays, fill_hit
-    from rustlight_tpu.bsdfs import bsdf_sample, bsdf_is_smooth
+    from rustlight_tpu.bsdfs import bsdf_sample
     from rustlight_tpu.utils.rng import stream_next, stream_next2d
 
-    # statistical ray count: expected rays/sample-pass measured from one pass
-    # with the path tracer's own RR/termination behavior.
     n = pix.shape[0]
 
-    @jax.jit
-    def count_rays(scene_, pix_):
-        from rustlight_tpu.integrators.path import _PathState
-        import jax.numpy as jnp
-
-        stream = stream_fold(make_stream(0), 0)
-        u_pix, stream = stream_next2d(stream, (n,))
-        o, d = generate_rays(scene_.camera, pix_.astype(jnp.float32) + u_pix)
-        # emulate the loop cheaply: count = sum over bounces of alive lanes*2
-        # (trace + shadow) — run the real integrator with counting
-        total = jnp.zeros((), jnp.float32)
-        li = integ.compute_pixel(scene_, pix_, stream_fold(make_stream(0), 0))
-        return li
-
-    # Analytic count: per pass, bounce b has alive_b lanes; measure via a
-    # dedicated light-weight loop.
     @jax.jit
     def alive_per_bounce(scene_, pix_):
         from rustlight_tpu.utils.rng import make_stream as mk

@@ -200,6 +200,15 @@ def render_sharded(scene: SceneData, integrator: Integrator, spp: int,
             acc = acc + step(scene, pix, jnp.int32(done))
             done += chunk
     acc.block_until_ready()
+    # The [:n] slice below assumes device shard i holds rows
+    # [i*per_dev, (i+1)*per_dev) in input order — guaranteed by the
+    # P("d", None) out_spec, but assert it so a future layout change
+    # (e.g. a different out_spec or auto-sharding pass) fails loudly
+    # instead of silently permuting pixels (padding lanes re-render pixel
+    # n-1, so a permutation would also be silently *plausible*).
+    spec = getattr(getattr(acc, "sharding", None), "spec", None)
+    assert spec is None or tuple(spec) in ((), ("d",), ("d", None)), (
+        f"render_sharded: unexpected film shard layout {spec}")
     if verbose:
         dt = time.time() - t0
         print(f"render_sharded[{n_dev}dev]: {done} spp in {dt:.2f}s")

@@ -256,3 +256,30 @@ def test_hier_super_tables_invariants(soup):
         assert np.array_equal(wt.slo[:, s], wt.lo[:, r0:r1].min(1))
         assert np.array_equal(wt.shi[:, s], wt.hi[:, r0:r1].max(1))
     assert (wt.slo[:, ns:] == W._BIG).all()
+
+
+def test_hier_multi_super_traversal(soup, monkeypatch):
+    """Force MANY supers (SUP=4 children each) so the outer super loop,
+    per-super child expansion, and cross-super termination all run on a
+    scene whose production build would fit one super."""
+    import rustlight_tpu.accel.pallas_walk as W
+    geom, _, o, d = soup
+    monkeypatch.setattr(W, "MAX_VMEM_CLUSTERS", 1)
+    monkeypatch.setattr(W, "SUP", 4)
+    monkeypatch.setattr(W, "_CHILD_BITS", 2)
+    wt = W.build_walk_tables(geom)
+    assert wt.n_sup >= 3, wt.n_sup
+    nr = o.shape[0]
+    ref = _intersect_impl(geom.inter_rows, o, d, jnp.full(nr, 1e-4),
+                          jnp.full(nr, jnp.inf), False)
+    out = W.intersect_walk(wt, o, d, interpret=True, hier=True)
+    assert np.array_equal(np.asarray(ref.hit), np.asarray(out.hit))
+    both = np.asarray(ref.hit)
+    np.testing.assert_allclose(np.asarray(out.t)[both],
+                               np.asarray(ref.t)[both], rtol=1e-5, atol=1e-6)
+    assert (np.asarray(ref.tri)[both] == np.asarray(out.tri)[both]).all()
+    occ_ref = _intersect_impl(geom.inter_rows, o, d, jnp.full(nr, 1e-4),
+                              jnp.full(nr, 2.2), True)
+    occ = W.occluded_walk(wt, o, d, tfar=jnp.full(nr, 2.2), interpret=True,
+                          hier=True)
+    assert np.array_equal(np.asarray(occ_ref), np.asarray(occ))

@@ -72,12 +72,16 @@ def test_orbit_resets_and_reuses_executable(server):
     spp_before = json.loads(_get(port, "/api/state"))["spp"]
     t0 = time.time()
     _post(port, "/api/orbit", {"dtheta": 1.2, "dzoom": 0.8})
-    # accumulation restarts at the new pose
-    assert _wait(lambda: 0 < viewer._STATE["spp"] < spp_before)
-    # executable reuse: the first post-orbit pass must not recompile
-    # (a recompile is tens of seconds; passes are ~25ms at 32^2)
-    assert time.time() - t0 < 15.0
+    # accumulation restarts at the new pose (seq strictly advances, and a
+    # fresh accumulation run reaches >= 5 spp below; spp itself can race
+    # past spp_before between polls on a fast pass loop)
+    assert _wait(lambda: 0 < viewer._STATE["spp"] < spp_before
+                 or viewer._STATE["elapsed"] < time.time() - t0)
     assert _wait(lambda: viewer._STATE["spp"] >= 5)
+    # executable reuse: the camera is a jit ARGUMENT, so the orbit must not
+    # have built a second executable (deterministic — no wall-clock bound,
+    # which flaked under machine load)
+    assert viewer._STATE["n_exec"] == 1, viewer._STATE["n_exec"]
     png_after = _get(port, "/img.png")
     assert png_after != png_before  # the camera actually moved
 

@@ -161,8 +161,14 @@ def _orbit_camera(cam):
     eye = tgt + r * np.array([np.cos(p) * np.sin(t), np.sin(p),
                               np.cos(p) * np.cos(t)], np.float32)
     m = look_at(eye, tgt, _ORBIT["up"])
-    return cam.replace(to_world=np.asarray(m, np.float32),
-                       to_local=np.linalg.inv(m).astype(np.float32))
+    import jax
+    # device_put: the compiled step's executable cache keys on committed
+    # shardings, so numpy leaves here (vs the committed device arrays the
+    # initial camera carries from Scene.compile) would silently build a
+    # second executable per pose family
+    return jax.device_put(cam.replace(
+        to_world=np.asarray(m, np.float32),
+        to_local=np.linalg.inv(m).astype(np.float32)))
 
 
 def make_interactive_step(sd, integrator):
@@ -230,7 +236,11 @@ def _render_loop(sd, integrator):
         with _LOCK:
             _STATE.update(png=buf.getvalue(), spp=it,
                           elapsed=time.time() - t0, seq=_STATE["seq"] + 1,
-                          pass_s=(1.0 / tp if tp > 0 else 0.0))
+                          pass_s=(1.0 / tp if tp > 0 else 0.0),
+                          # executables built so far: must stay 1 across
+                          # orbits (camera is a traced ARGUMENT, so a pose
+                          # change never recompiles)
+                          n_exec=step._cache_size())
 
 
 def main(argv=None, block=True):
