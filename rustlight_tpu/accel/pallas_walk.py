@@ -34,6 +34,7 @@ rays: 51k tris 449 ms (XLA clustered) -> ~8 ms (this kernel).
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Any
 
@@ -66,6 +67,13 @@ MAX_VMEM_CLUSTERS = 2048          # ~262k triangles
 SUP = 128
 _CHILD_BITS = 7
 _BIG = 1e30
+# Triangle tests on the MXU: fold the two [R, 4] x [4, 3K] affine products
+# into dots instead of 8 serial VPU fma sweeps over [R, 3K]. f32 HIGHEST
+# precision (6-pass bf16 decomposition) keeps t/u/v at fma-chain accuracy
+# but NOT bit-identical to the VPU path, so this stays opt-in until the
+# on-chip measurement says it wins (the kernel is VPU-bound on these tests
+# — STATUS.md "Measured ceilings").
+MXU_TRITEST = os.environ.get("RUSTLIGHT_TPU_MXU_TRITEST", "0") == "1"
 
 
 @struct.dataclass
@@ -368,10 +376,18 @@ def _test_cluster(rows_ref, csel, o, d, tnear, tcap):
 
 def _test_rows(r0, r1, r2, r3, o, d, tnear, tcap):
     # o4 = [o, 1], d4 = [d, 0] fold into the affine rows directly
-    ao = (o[:, 0][:, None] * r0[None, :] + o[:, 1][:, None] * r1[None, :]
-          + o[:, 2][:, None] * r2[None, :] + r3[None, :])
-    ad = (d[:, 0][:, None] * r0[None, :] + d[:, 1][:, None] * r1[None, :]
-          + d[:, 2][:, None] * r2[None, :])
+    if MXU_TRITEST:
+        rows = jnp.stack([r0, r1, r2, r3])                       # [4, 3K]
+        one = jnp.ones((o.shape[0], 1), o.dtype)
+        ao = lax.dot(jnp.concatenate([o, one], 1), rows,
+                     precision=lax.Precision.HIGHEST)
+        ad = lax.dot(jnp.concatenate([d, 0.0 * one], 1), rows,
+                     precision=lax.Precision.HIGHEST)
+    else:
+        ao = (o[:, 0][:, None] * r0[None, :] + o[:, 1][:, None] * r1[None, :]
+              + o[:, 2][:, None] * r2[None, :] + r3[None, :])
+        ad = (d[:, 0][:, None] * r0[None, :] + d[:, 1][:, None] * r1[None, :]
+              + d[:, 2][:, None] * r2[None, :])
     no, uo, vo = ao[:, :K], ao[:, K:2 * K], ao[:, 2 * K:]
     nd, ud, vd = ad[:, :K], ad[:, K:2 * K], ad[:, 2 * K:]
     # same near-parallel guard as the dense oracle (accel/dense.py): rays

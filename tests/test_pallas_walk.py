@@ -283,3 +283,25 @@ def test_hier_multi_super_traversal(soup, monkeypatch):
     occ = W.occluded_walk(wt, o, d, tfar=jnp.full(nr, 2.2), interpret=True,
                           hier=True)
     assert np.array_equal(np.asarray(occ_ref), np.asarray(occ))
+
+
+def test_mxu_tritest_matches_dense(soup, monkeypatch):
+    """RUSTLIGHT_TPU_MXU_TRITEST=1 folds the two [R,4]x[4,3K] affine
+    products onto the MXU; hits must stay dense-oracle-exact (t within the
+    f32-dot tolerance)."""
+    import rustlight_tpu.accel.pallas_walk as W
+    geom, wt, o, d = soup
+    monkeypatch.setattr(W, "MXU_TRITEST", True)
+    nr = o.shape[0]
+    ref = _intersect_impl(geom.inter_rows, o, d, jnp.full(nr, 1e-4),
+                          jnp.full(nr, jnp.inf), False)
+    out = W.intersect_walk(wt, o, d, interpret=True)
+    assert np.array_equal(np.asarray(ref.hit), np.asarray(out.hit))
+    both = np.asarray(ref.hit)
+    np.testing.assert_allclose(np.asarray(out.t)[both],
+                               np.asarray(ref.t)[both], rtol=1e-5, atol=1e-6)
+    assert (np.asarray(ref.tri)[both] == np.asarray(out.tri)[both]).all()
+    occ_ref = _intersect_impl(geom.inter_rows, o, d, jnp.full(nr, 1e-4),
+                              jnp.full(nr, 2.2), True)
+    occ = W.occluded_walk(wt, o, d, tfar=jnp.full(nr, 2.2), interpret=True)
+    assert np.array_equal(np.asarray(occ_ref), np.asarray(occ))
