@@ -107,12 +107,16 @@ def _device_scene(scene):
     """One-time transfer of the scene tables to the default device; numpy
     leaves passed per-call would re-stage the whole scene through the
     relay every dispatch (memory: ~10 MB/call measured as a 10x loss)."""
-    ds = _DEVICE_SCENE_CACHE.get(id(scene))
-    if ds is None:
-        if len(_DEVICE_SCENE_CACHE) >= _BLOCK_CACHE_CAP:
-            _DEVICE_SCENE_CACHE.pop(next(iter(_DEVICE_SCENE_CACHE)))
-        ds = jax.device_put(scene)
-        _DEVICE_SCENE_CACHE[id(scene)] = ds
+    ent = _DEVICE_SCENE_CACHE.get(id(scene))
+    # the entry retains the HOST scene alongside the device copy: an
+    # id()-keyed cache whose key object can be garbage-collected would let a
+    # NEW scene reuse the address and silently render the stale tables
+    if ent is not None and ent[0] is scene:
+        return ent[1]
+    if len(_DEVICE_SCENE_CACHE) >= _BLOCK_CACHE_CAP:
+        _DEVICE_SCENE_CACHE.pop(next(iter(_DEVICE_SCENE_CACHE)))
+    ds = jax.device_put(scene)
+    _DEVICE_SCENE_CACHE[id(scene)] = (scene, ds)
     return ds
 
 

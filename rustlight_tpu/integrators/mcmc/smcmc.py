@@ -398,14 +398,16 @@ class IntegratorSMCMC:
         import time
         t0 = time.time()
         st = self._chain_state
-        if self.keep_chains and st is not None and st[0] == id(scene):
+        # key chain persistence on the scene OBJECT (not id(): a collected
+        # scene's address can be reused, silently resuming foreign chains)
+        if self.keep_chains and st is not None and st[0] is scene:
             carry0 = st[1]
             stream0 = stream_fold(base, 31337)
         else:
             carry0, stream0 = make_init(stream_fold(base, 31337))
         carry = evolve(carry0, stream0)
         if self.keep_chains:
-            self._chain_state = (id(scene), carry)
+            self._chain_state = (scene, carry)
         (u, tf, col, wgt, acc_v, acc_mc, nb_s, b_acc, nb_u) = carry
         # flush final states
         good = tf > 0.0
