@@ -27,7 +27,7 @@ from jax import shard_map
 from ..integrators.common import Integrator, _pixel_grid
 from ..scene.scene import SceneData
 from ..utils.film import Film
-from ..utils.rng import make_stream, stream_fold
+from ..utils.rng import RngStream, make_stream, stream_fold
 
 
 def make_device_mesh(n_devices: Optional[int] = None) -> Mesh:
@@ -37,21 +37,45 @@ def make_device_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.asarray(devs), ("d",))
 
 
+# Compiled sharded steps, reused across passes: meta-integrators (`-a`/`-e`)
+# call render_sharded once per pass, and a fresh jit(lambda) per pass would
+# retrace — and, with the seed baked as a closure constant, RECOMPILE —
+# every pass (minutes per compile through the axon relay). The RNG base
+# rides as a traced argument instead. Values pin their closed-over
+# integrator and mesh, so the id()-keys stay valid while entries live.
+_STEP_CACHE = {}
+_STEP_CACHE_CAP = 64
+
+
+def _step_cached(key, make):
+    fn = _STEP_CACHE.get(key)
+    if fn is None:
+        if len(_STEP_CACHE) >= _STEP_CACHE_CAP:
+            _STEP_CACHE.pop(next(iter(_STEP_CACHE)))
+        fn = make()
+        _STEP_CACHE[key] = fn
+    return fn
+
+
 def render_step_sharded(scene: SceneData, integrator: Integrator, mesh: Mesh,
                         pix_sharded, seed: int = 0, spp_per_pass: int = 1,
                         sampler: str = "independent", spp_total: int = None,
-                        start_idx: int = 0):
+                        start_idx: int = 0, base: RngStream = None):
     """One sharded render step: pix_sharded [n_dev * lanes_per_dev, 2] ->
     radiance accumulated over spp_per_pass samples. jit-compatible; this is
     the `dryrun_multichip` "training step". `sampler="stratified"` keys the
     stratum permutations off (pixel id, global pass index), so the sharded
-    stratified render covers strata exactly like the single-device one."""
+    stratified render covers strata exactly like the single-device one.
+    `base` (an RngStream) overrides `seed` and may be traced — callers that
+    jit this step pass it as an argument so reseeding never recompiles."""
     n_dev = mesh.shape["d"]
     width = scene.camera.width
-
-    def device_fn(scene_, pix_):
-        dev = jax.lax.axis_index("d")
+    if base is None:
         base = make_stream(seed)
+
+    def device_fn(scene_, pix_, base_):
+        dev = jax.lax.axis_index("d")
+        base = base_
 
         def one(s, acc):
             # fold the GLOBAL pass index: chunked host loops would otherwise
@@ -73,31 +97,36 @@ def render_step_sharded(scene: SceneData, integrator: Integrator, mesh: Mesh,
             0, spp_per_pass, one, jnp.zeros((n, 3), jnp.float32))
 
     fn = shard_map(device_fn, mesh=mesh,
-                   in_specs=(P(), P("d", None)), out_specs=P("d", None),
+                   in_specs=(P(), P("d", None), P()), out_specs=P("d", None),
                    check_vma=False)
-    return fn(scene, pix_sharded)
+    return fn(scene, pix_sharded, base)
 
 
 def render_block_sharded(scene: SceneData, integrator, mesh: Mesh,
-                         pix_sharded, spp: int, seed: int = 0):
+                         pix_sharded, spp: int, seed: int = 0,
+                         base: RngStream = None):
     """Persistent-wavefront step sharded over the mesh: each device runs the
     full pixel-pinned respawn loop (compute_block) on its pixel shard — all
     spp in one launch, zero cross-device traffic until the film concat."""
-    def device_fn(scene_, pix_):
+    if base is None:
+        base = make_stream(seed)
+
+    def device_fn(scene_, pix_, base_):
         dev = jax.lax.axis_index("d")
-        stream = stream_fold(stream_fold(make_stream(seed), dev), 0)
+        stream = stream_fold(stream_fold(base_, dev), 0)
         acc = integrator.compute_block(scene_, pix_, stream, spp)
         ok = jnp.all(jnp.isfinite(acc), axis=-1) & jnp.all(acc >= 0.0, axis=-1)
         return jnp.where(ok[:, None], acc, 0.0)
 
     fn = shard_map(device_fn, mesh=mesh,
-                   in_specs=(P(), P("d", None)), out_specs=P("d", None),
+                   in_specs=(P(), P("d", None), P()), out_specs=P("d", None),
                    check_vma=False)
-    return fn(scene, pix_sharded)
+    return fn(scene, pix_sharded, base)
 
 
 def splat_step_sharded(scene: SceneData, integrator, mesh: Mesh,
-                       n_per_dev: int, seed: int = 0, pass_idx=0):
+                       n_per_dev: int, seed: int = 0, pass_idx=0,
+                       base: RngStream = None):
     """One sharded splatting pass: each device traces `n_per_dev` light paths
     with its own RNG stream, scatter-adds into a PRIVATE full-resolution film,
     and a single psum over the 'd' axis merges the films on ICI — the TPU
@@ -107,10 +136,12 @@ def splat_step_sharded(scene: SceneData, integrator, mesh: Mesh,
     Returns the merged [h*w, 3] film (unnormalized contribution sums)."""
     cam = scene.camera
     hw = cam.width * cam.height
+    if base is None:
+        base = make_stream(seed)
 
-    def device_fn(scene_):
+    def device_fn(scene_, base_):
         dev = jax.lax.axis_index("d")
-        stream = stream_fold(stream_fold(make_stream(seed), dev), pass_idx)
+        stream = stream_fold(stream_fold(base_, dev), pass_idx)
         pids, vals = integrator.trace_paths(scene_, n_per_dev, stream)
         ok = jnp.all(jnp.isfinite(vals), axis=-1) & jnp.all(vals >= 0.0,
                                                             axis=-1)
@@ -119,9 +150,9 @@ def splat_step_sharded(scene: SceneData, integrator, mesh: Mesh,
         film = film.at[pids].add(vals, mode="drop")
         return jax.lax.psum(film, "d")
 
-    fn = shard_map(device_fn, mesh=mesh, in_specs=(P(),), out_specs=P(),
+    fn = shard_map(device_fn, mesh=mesh, in_specs=(P(), P()), out_specs=P(),
                    check_vma=False)
-    return fn(scene)
+    return fn(scene, base)
 
 
 def render_splat_sharded(scene: SceneData, integrator, n_paths: int,
@@ -139,15 +170,18 @@ def render_splat_sharded(scene: SceneData, integrator, n_paths: int,
     per_pass = paths_per_pass or min(n_paths, n_dev * w * h)
     n_per_dev = max(1, -(-per_pass // n_dev))
 
-    step = jax.jit(lambda sc, p: splat_step_sharded(
-        sc, integrator, mesh, n_per_dev, seed=seed, pass_idx=p))
+    step = _step_cached(
+        ("splat", id(integrator), id(mesh), n_per_dev, w, h),
+        lambda: jax.jit(lambda sc, b, p: splat_step_sharded(
+            sc, integrator, mesh, n_per_dev, pass_idx=p, base=b)))
+    base = make_stream(seed)
 
     acc = jnp.zeros((h * w, 3), jnp.float32)
     t0 = time.time()
     done = 0
     p = 0
     while done < n_paths:
-        acc = acc + step(scene, jnp.int32(p))
+        acc = acc + step(scene, base, jnp.int32(p))
         done += n_per_dev * n_dev
         p += 1
     img = np.asarray(acc.reshape(h, w, 3)) * (w * h / done)
@@ -183,21 +217,26 @@ def render_sharded(scene: SceneData, integrator: Integrator, spp: int,
                       and sampler == "independent"
                       and jax.default_backend() == "tpu")
     t0 = time.time()
+    base = make_stream(seed)
     if persistent and hasattr(integrator, "compute_block"):
-        step = jax.jit(lambda sc, px: render_block_sharded(
-            sc, integrator, mesh, px, spp, seed=seed))
-        acc = step(scene, pix)
+        step = _step_cached(
+            ("block", id(integrator), id(mesh), spp, w, h),
+            lambda: jax.jit(lambda sc, px, b: render_block_sharded(
+                sc, integrator, mesh, px, spp, base=b)))
+        acc = step(scene, pix, base)
         done = spp
     else:
         chunk = max(1, min(spp_per_pass, spp))
-        step = jax.jit(lambda sc, px, s0: render_step_sharded(
-            sc, integrator, mesh, px, seed=seed, spp_per_pass=chunk,
-            sampler=sampler, spp_total=spp, start_idx=s0))
+        step = _step_cached(
+            ("chunk", id(integrator), id(mesh), chunk, sampler, spp, w, h),
+            lambda: jax.jit(lambda sc, px, b, s0: render_step_sharded(
+                sc, integrator, mesh, px, spp_per_pass=chunk,
+                sampler=sampler, spp_total=spp, start_idx=s0, base=b)))
 
         acc = jnp.zeros((pix.shape[0], 3), jnp.float32)
         done = 0
         while done < spp:
-            acc = acc + step(scene, pix, jnp.int32(done))
+            acc = acc + step(scene, pix, base, jnp.int32(done))
             done += chunk
     acc.block_until_ready()
     # The [:n] slice below assumes device shard i holds rows

@@ -127,3 +127,37 @@ class TestSMCMCSharded:
         txt = fn.lower(jax.ShapeDtypeStruct((h * w,), jnp.float32)).compile()\
                 .as_text()
         assert "collective-permute" in txt, "halo exchange not on the mesh"
+
+
+class TestStepReuse:
+    def test_reseeded_passes_reuse_one_executable(self):
+        """Meta-integrators (-a/-e) re-render with a fresh seed per pass;
+        the sharded step must be a cached jit with the RNG base as a traced
+        ARGUMENT — a per-pass jit(lambda) with the seed closed over would
+        retrace (and recompile) every pass through the relay."""
+        from rustlight_tpu.parallel import render as R
+        sc = cornell_box(16, 16).compile()
+        mesh = make_device_mesh(2)
+        integ = IntegratorPathTracing(max_depth=2, hard_cap=2)
+        R._STEP_CACHE.clear()
+        a = R.render_sharded(sc, integ, spp=2, mesh=mesh, seed=0,
+                             spp_per_pass=2, persistent=False)
+        b = R.render_sharded(sc, integ, spp=2, mesh=mesh, seed=1,
+                             spp_per_pass=2, persistent=False)
+        assert not np.array_equal(a.buffers["primal"], b.buffers["primal"])
+        assert len(R._STEP_CACHE) == 1
+        (step,) = R._STEP_CACHE.values()
+        assert step._cache_size() == 1, step._cache_size()
+
+    def test_splat_passes_reuse_one_executable(self):
+        from rustlight_tpu.parallel import render as R
+        sc = cornell_box(16, 16).compile()
+        mesh = make_device_mesh(2)
+        lt = IntegratorLightTracing(max_depth=2, hard_cap=2)
+        R._STEP_CACHE.clear()
+        a = render_splat_sharded(sc, lt, n_paths=128, mesh=mesh, seed=0)
+        b = render_splat_sharded(sc, lt, n_paths=128, mesh=mesh, seed=3)
+        assert not np.array_equal(a.buffers["primal"], b.buffers["primal"])
+        assert len(R._STEP_CACHE) == 1
+        (step,) = R._STEP_CACHE.values()
+        assert step._cache_size() == 1, step._cache_size()

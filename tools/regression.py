@@ -42,8 +42,12 @@ def build_tests():
 
     return {
         "cbox_ao": dict(scene=cbox, techniques=["ao"]),
-        "cbox_path": dict(scene=cbox, techniques=GI_ALGO[:]),
-        "cbox_medium": dict(scene=cbox_medium, techniques=["path"]),
+        "cbox_direct": dict(scene=cbox, techniques=["direct"],
+                            ref_tech="direct"),
+        "cbox_path": dict(scene=cbox,
+                          techniques=GI_ALGO + ["gradient-path-explicit"]),
+        # volumetric: forward path vs adjoint light tracing in the medium
+        "cbox_medium": dict(scene=cbox_medium, techniques=["path", "light"]),
         "veach_mis": dict(scene=veach, techniques=["path"]),
         # single-scatter estimators compare against a single-scatter ref
         "cbox_medium_single": dict(scene=cbox_medium,
@@ -76,10 +80,15 @@ def make_integrator(name):
     if name == "smcmc":
         return IntegratorSMCMC(
             I.IntegratorPathTracing(max_depth=6, hard_cap=6), recons="naive")
+    if name == "direct":
+        return I.IntegratorDirect(nb_light_samples=1, nb_bsdf_samples=1)
     if name == "gradient-path":
         from rustlight_tpu.integrators.gradient import (
             IntegratorGradientPathReconnect)
         return IntegratorGradientPathReconnect(max_depth=6)
+    if name == "gradient-path-explicit":
+        from rustlight_tpu.integrators.gradient import IntegratorGradientPath
+        return IntegratorGradientPath(max_depth=6)
     if name == "point-normal":
         return I.IntegratorPointNormal(strategies=("tr", "equiangular"))
     if name == "path-single":
@@ -138,6 +147,8 @@ def main():
             rimage.save(str(img_path), film["primal"])
             row = {m: metric_scalar(ref, film["primal"], m) for m in METRICS}
             row["time_s"] = round(dt, 2)
+            import jax
+            row["backend"] = jax.default_backend()
             results[f"{tname}/{tech}"] = row
             print(f"[{tname}/{tech}] {row}")
 
