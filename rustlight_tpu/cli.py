@@ -42,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("-n", "--nbsamples", type=int, default=1)
     ap.add_argument("-a", "--average", default=None,
                     help="averaging passes or time budget ('inf' / '10s')")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue -a averaging from the newest "
+                         "<output>_<k>.pfm dump (bit-exact vs an "
+                         "uninterrupted run; beyond-reference)")
     ap.add_argument("-t", "--threads", type=int, default=None,
                     help="device count to shard over (default: all)")
     ap.add_argument("-r", "--random-number-generator", default="independent",
@@ -394,19 +398,19 @@ def main(argv=None):
         log.info("Achieved spp: %d", meta.achieved_spp)
     elif args.average is not None:
         dump_base = args.output.rsplit(".", 1)[0]
+        kw = dict(spp_per_pass=args.nbsamples, dump_base=dump_base,
+                  mesh=mesh, resume=args.resume)
         if args.average == "inf":
             # run forever, dumping each pass (avg.rs:21); the dumps are the
             # de-facto checkpoints — stop with Ctrl-C and keep the last one
-            meta = IntegratorAverage(integrator, spp_per_pass=args.nbsamples,
-                                     dump_base=dump_base, mesh=mesh)
+            # (and continue it later with --resume)
+            meta = IntegratorAverage(integrator, **kw)
         elif args.average.endswith("s"):
-            meta = IntegratorAverage(integrator, spp_per_pass=args.nbsamples,
-                                     timeout_s=float(args.average[:-1]),
-                                     dump_base=dump_base, mesh=mesh)
+            meta = IntegratorAverage(integrator,
+                                     timeout_s=float(args.average[:-1]), **kw)
         else:
-            meta = IntegratorAverage(integrator, spp_per_pass=args.nbsamples,
-                                     nb_passes=int(args.average),
-                                     dump_base=dump_base, mesh=mesh)
+            meta = IntegratorAverage(integrator,
+                                     nb_passes=int(args.average), **kw)
         try:
             film = meta.render(sd, seed=seed, verbose=True)
         except KeyboardInterrupt:

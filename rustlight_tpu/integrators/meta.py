@@ -51,7 +51,8 @@ class IntegratorAverage:
                  nb_passes: Optional[int] = None,
                  timeout_s: Optional[float] = None,
                  dump_base: Optional[str] = None,
-                 mesh=None, max_passes: Optional[int] = None):
+                 mesh=None, max_passes: Optional[int] = None,
+                 resume: bool = False):
         # nb_passes=None and timeout_s=None = run forever with per-pass
         # dumps (the reference's `-a inf`, avg.rs:21 + cli.rs:31-39);
         # max_passes is a safety bound for tests of the infinite mode.
@@ -63,6 +64,34 @@ class IntegratorAverage:
         self.mesh = mesh
         self.max_passes = max_passes
         self.infinite = nb_passes is None and timeout_s is None
+        # resume=True restarts from the newest `{dump_base}_<k>.pfm` dump.
+        # Beyond-reference capability: rustlight's per-pass dumps are its
+        # de-facto checkpointing (avg.rs:69-106) but a crashed run cannot
+        # continue them. Pass seeds are `seed + pass_index`, so a resumed
+        # run reproduces the uninterrupted run bit-exactly.
+        self.resume = resume
+
+    def _find_resume(self):
+        """Newest existing dump (film, pass_count), or None."""
+        import re
+        from pathlib import Path
+        base = Path(self.dump_base)
+        pat = re.compile(re.escape(base.name) + r"_(\d+)\.pfm$")
+        best = None
+        for f in (base.parent if base.parent.name else Path(".")).glob(
+                base.name + "_*.pfm"):
+            m = pat.match(f.name)
+            if m:
+                k = int(m.group(1))
+                if best is None or k > best[0]:
+                    best = (k, f)
+        if best is None:
+            return None
+        from ..utils import image as _image
+        img = _image.load(str(best[1]))
+        film = Film(img.shape[1], img.shape[0])
+        film.buffers["primal"] = np.asarray(img, np.float32)
+        return film, best[0]
 
     def render(self, scene, seed: int = 0, verbose: bool = False) -> Film:
         if self.timeout_s is not None:
@@ -73,6 +102,10 @@ class IntegratorAverage:
         avg: Optional[Film] = None
         timeline = []
         it = 0
+        if self.resume and self.dump_base:
+            got = self._find_resume()
+            if got is not None:
+                avg, it = got
         averaging = getattr(self.integrator, "averaging", True)
         while True:
             film = _render_once(scene, self.integrator, self.spp_per_pass,

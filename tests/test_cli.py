@@ -85,3 +85,43 @@ class TestGlobalFlags:
     def test_average_inf_cli_parses(self):
         args = build_parser().parse_args(["cbox", "-a", "inf", "path"])
         assert args.average == "inf"
+
+
+def test_average_resume_is_bit_exact(tmp_path):
+    """--resume continues -a averaging from the newest dump and reproduces
+    the uninterrupted run bit-exactly (pass seeds are seed + pass index)."""
+    from rustlight_tpu.models import cornell_box
+    from rustlight_tpu.integrators import IntegratorPathTracing
+    from rustlight_tpu.integrators.meta import IntegratorAverage
+    from rustlight_tpu.utils.image import read_pfm
+    import numpy as np
+    sd = cornell_box(16, 16).compile()
+
+    def integ():
+        return IntegratorPathTracing(max_depth=2, hard_cap=2)
+
+    full = IntegratorAverage(integ(), spp_per_pass=1, nb_passes=4,
+                             dump_base=str(tmp_path / "full"))
+    full.render(sd, seed=5)
+
+    part = IntegratorAverage(integ(), spp_per_pass=1, nb_passes=2,
+                             dump_base=str(tmp_path / "res"))
+    part.render(sd, seed=5)
+    cont = IntegratorAverage(integ(), spp_per_pass=1, nb_passes=4,
+                             dump_base=str(tmp_path / "res"), resume=True)
+    film = cont.render(sd, seed=5)
+
+    a = read_pfm(str(tmp_path / "full_4.pfm"))
+    b = read_pfm(str(tmp_path / "res_4.pfm"))
+    assert np.array_equal(a, b)
+    assert np.array_equal(np.asarray(film.buffers["primal"], np.float32), b)
+    # no resume target -> fresh run still works
+    fresh = IntegratorAverage(integ(), spp_per_pass=1, nb_passes=1,
+                              dump_base=str(tmp_path / "none"), resume=True)
+    fresh.render(sd, seed=5)
+    assert (tmp_path / "none_1.pfm").exists()
+
+
+def test_resume_cli_parses():
+    args = build_parser().parse_args(["cbox", "-a", "4", "--resume", "path"])
+    assert args.resume and args.average == "4"
