@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="continue -a averaging from the newest "
                          "<output>_<k>.pfm dump (bit-exact vs an "
                          "uninterrupted run; beyond-reference)")
+    ap.add_argument("--aovs", action="store_true",
+                    help="also write every AOV buffer as "
+                         "<output>_<name>.<ext> (film dump_all — gradient "
+                         "integrators emit very_direct/gradient_x/gradient_y)")
     ap.add_argument("-t", "--threads", type=int, default=None,
                     help="device count to shard over (default: all)")
     ap.add_argument("-r", "--random-number-generator", default="independent",
@@ -424,6 +428,9 @@ def main(argv=None):
     log.info("Elapsed Integrator: %.3fs", time.time() - t1)
 
     film.save(args.output)
+    if args.aovs and len(film.buffers) > 1:
+        film.dump_all(args.output)
+        log.info("Wrote AOVs: %s", ", ".join(sorted(film.buffers)))
     log.info("Wrote %s (total %.3fs)", args.output, time.time() - t0)
 
 

@@ -125,3 +125,8 @@ def test_average_resume_is_bit_exact(tmp_path):
 def test_resume_cli_parses():
     args = build_parser().parse_args(["cbox", "-a", "4", "--resume", "path"])
     assert args.resume and args.average == "4"
+
+
+def test_aovs_cli_parses():
+    args = build_parser().parse_args(["cbox", "--aovs", "gradient-path"])
+    assert args.aovs

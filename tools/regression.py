@@ -103,7 +103,9 @@ def render_one(scene_data, name, spp, seed=0):
 
 
 def main():
-    from rustlight_tpu.cli import _enable_compile_cache
+    from rustlight_tpu.cli import (_enable_compile_cache,
+                               _respect_platform_env)
+    _respect_platform_env()  # axon ignores JAX_PLATFORMS=cpu
     _enable_compile_cache()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--out", default="regress")

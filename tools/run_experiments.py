@@ -68,7 +68,9 @@ def make_integrator(spec: str):
 
 
 def main():
-    from rustlight_tpu.cli import _enable_compile_cache
+    from rustlight_tpu.cli import (_enable_compile_cache,
+                               _respect_platform_env)
+    _respect_platform_env()  # axon ignores JAX_PLATFORMS=cpu
     _enable_compile_cache()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--scene", default="cbox")
