@@ -11,13 +11,46 @@ number of traced rays (trace + NEE shadow per live lane per bounce),
 measured by an instrumented pass — not lanes*bounces.
 """
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
 
+def _probe_devices(timeout_s: float = 240.0) -> str:
+    """Check device availability in a bounded subprocess: the axon TPU
+    tunnel has two observed failure phases — ops hang on a futex, or the
+    backend errors at init. Either way the bench must emit its one JSON
+    line instead of hanging the driver or stack-tracing."""
+    code = ("import os, jax\n"
+            "p = os.environ.get('JAX_PLATFORMS')\n"
+            "p and jax.config.update('jax_platforms', p)\n"  # axon ignores env
+            "print(jax.devices()[0].platform)")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True, timeout=timeout_s)
+        if r.returncode == 0:
+            return r.stdout.strip()
+        return f"backend init failed: {r.stderr.strip().splitlines()[-1][:200]}"
+    except subprocess.TimeoutExpired:
+        return "backend probe hung (wedged device tunnel)"
+
+
 def main():
+    from rustlight_tpu.cli import _respect_platform_env
+    _respect_platform_env()   # honor JAX_PLATFORMS=cpu despite the plugin
+    plat = _probe_devices()
+    if plat not in ("tpu", "axon", "cpu", "gpu"):
+        print(json.dumps({
+            "metric": "cbox_path_128spp_throughput",
+            "value": 0.0,
+            "unit": "Mrays/s/chip",
+            "vs_baseline": 0.0,
+            "error": plat,
+        }))
+        return
     import jax
     import jax.numpy as jnp
     from rustlight_tpu.models import cornell_box
