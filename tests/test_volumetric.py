@@ -153,3 +153,39 @@ class TestPhaseConnection:
                    spp=256, seed=9)
         m = f["primal"].mean()
         assert abs(m - ref) / ref < 0.2, (m, ref)
+
+
+class TestPhotonPrimitiveConsistency:
+    """Sharper oracle for the photon-primitive family: in a LOW-ALBEDO
+    medium (albedo 1/6, same optical depth as SC) multiple scattering is a
+    small correction, so BRE / beams / planes / VRL must all agree with the
+    single-scatter path oracle — not just sit inside a 0.5x-10x bracket —
+    and with each other (they estimate the same integral with 2D/1D/0D
+    kernels and unbiased MC respectively)."""
+
+    def test_primitive_family_agrees_in_absorbing_medium(self):
+        from rustlight_tpu.integrators import render
+        sc = cornell_box(24, 24)
+        sc.volume = make_volume(sigma_s=(0.0005,) * 3, sigma_a=(0.0025,) * 3)
+        sd = sc.compile()
+        ref = render(sd, IntegratorPathTracing(
+            max_depth=2, hard_cap=2, min_depth=1, single_scattering=True),
+            spp=64, seed=1)["primal"].mean()
+        means = {}
+        for prim in ("bre", "beams", "planes", "vrl"):
+            f = render(sd, IntegratorVolPrimitives(
+                nb_primitive=4096, primitives=prim, radius=4.0, hard_cap=3),
+                spp=4, seed=6)
+            means[prim] = float(f["primal"].mean())
+        # Expected decomposition of the excess over the SINGLE-scatter ref
+        # (measured: planes +0.24, vrl +0.25, beams +0.38, bre +0.30-0.41):
+        #   * photons multi-scatter (hard_cap=3; planes NEED >= 3 bounces,
+        #     vol_primitives.py:222): first-order excess ~ albedo = 1/6,
+        #     second ~ 1/36 -> ~ +0.20 for the unbiased estimators;
+        #   * bre/beams add positive 2D/1D kernel blur bias near the light.
+        for prim, m in means.items():
+            hi = 0.60 if prim in ("bre", "beams") else 0.45
+            assert 0.02 < (m - ref) / ref < hi, (prim, m, ref, means)
+        # family-internal consistency: same integral, four estimators
+        vals = sorted(means.values())
+        assert vals[-1] / max(vals[0], 1e-12) < 1.3, means
