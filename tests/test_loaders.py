@@ -320,3 +320,17 @@ class TestExampleScenes:
                     IntegratorPathTracing(max_depth=3, hard_cap=3),
                     spp=8, seed=0)["primal"]
         np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=1e-5)
+
+
+def test_envglass_example_loads():
+    """examples/envglass.xml: textured envmap + dielectric/roughconductor/
+    substrate spheres through the Mitsuba loader."""
+    from pathlib import Path
+    from rustlight_tpu.scene.loaders.mitsuba import load_mitsuba
+    root = Path(__file__).parent.parent
+    sc = load_mitsuba(root / "examples" / "envglass.xml")
+    assert sc.env_image is not None and sc.env_image.shape[2] == 3
+    assert len(sc.meshes) == 4        # floor + 3 spheres
+    assert sc.camera.width == 512 and sc.camera.height == 384
+    sd = sc.compile()
+    assert sd.geom.n_tris > 4         # tessellated spheres
