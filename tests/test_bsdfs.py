@@ -197,3 +197,64 @@ class TestTextures:
         wo = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32), (2, 1))
         f = np.asarray(bsdf_eval(t, _ids(0, 2), uv, wi, wo)) * np.pi
         assert f[0].argmax() == 0 and f[1].argmax() == 2
+
+
+class TestMicrofacetDistribution:
+    """Direct D(m)-level oracles (reference distribution.rs:25-145): the
+    sampled half-vector density must BE mf_pdf (chi-square GOF) and mf_pdf
+    must integrate to 1 over the hemisphere."""
+
+    @pytest.mark.parametrize("ggx", [False, True])
+    @pytest.mark.parametrize("alpha", [0.1, 0.4])
+    def test_pdf_normalizes(self, ggx, alpha):
+        import numpy as np
+        import jax.numpy as jnp
+        from rustlight_tpu.bsdfs.microfacet import mf_pdf
+        nt, np_ = 512, 256
+        th = (np.arange(nt) + 0.5) / nt * (np.pi / 2)
+        ph = (np.arange(np_) + 0.5) / np_ * (2 * np.pi)
+        T, P = np.meshgrid(th, ph, indexing="ij")
+        m = np.stack([np.sin(T) * np.cos(P), np.sin(T) * np.sin(P),
+                      np.cos(T)], -1).astype(np.float32)
+        pdf = np.asarray(mf_pdf(jnp.bool_(ggx), jnp.float32(alpha),
+                                jnp.asarray(m.reshape(-1, 3)))).reshape(nt, np_)
+        integral = float((pdf * np.sin(T)).sum()
+                         * (np.pi / 2 / nt) * (2 * np.pi / np_))
+        assert abs(integral - 1.0) < 2e-2, integral
+
+    @pytest.mark.parametrize("ggx", [False, True])
+    @pytest.mark.parametrize("alpha", [0.1, 0.4])
+    def test_sample_matches_pdf_chi_square(self, ggx, alpha):
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from rustlight_tpu.bsdfs.microfacet import mf_pdf, mf_sample
+        n = 1 << 18
+        u = jax.random.uniform(jax.random.PRNGKey(3), (n, 2))
+        m, _ = mf_sample(jnp.bool_(ggx), jnp.float32(alpha), u)
+        cz = np.asarray(m[..., 2])
+        assert (cz > 0).all()
+        # theta-marginal chi-square over EQUIPROBABLE bins (uniform cos-theta
+        # bins collapse to dof=0 for peaked distributions): bin edges are the
+        # quantiles of the quadrature marginal, expected mass = n/nb per bin
+        nb = 16
+        nt, np_ = 8192, 64
+        th = (np.arange(nt) + 0.5) / nt * (np.pi / 2)
+        ph = (np.arange(np_) + 0.5) / np_ * (2 * np.pi)
+        T, P = np.meshgrid(th, ph, indexing="ij")
+        grid = np.stack([np.sin(T) * np.cos(P), np.sin(T) * np.sin(P),
+                         np.cos(T)], -1).astype(np.float32)
+        pdf = np.asarray(mf_pdf(jnp.bool_(ggx), jnp.float32(alpha),
+                                jnp.asarray(grid.reshape(-1, 3))))
+        w = (pdf.reshape(nt, np_) * np.sin(T)).sum(1) * (np.pi / 2 / nt) \
+            * (2 * np.pi / np_)
+        cum = np.cumsum(w) / w.sum()
+        q = np.arange(1, nb) / nb
+        edges = np.concatenate([[0.0], np.interp(q, cum, th), [np.pi / 2]])
+        theta_s = np.arccos(np.clip(cz, 0.0, 1.0))
+        counts, _ = np.histogram(theta_s, bins=edges)
+        expected = n / nb
+        chi2 = ((counts - expected) ** 2 / expected).sum()
+        dof = nb - 1
+        # 99.9th percentile of chi2_15 is 37.7; allow quadrature-edge slack
+        assert chi2 < 60.0, (chi2, dof, counts)

@@ -305,3 +305,39 @@ def test_mxu_tritest_matches_dense(soup, monkeypatch):
                               jnp.full(nr, 2.2), True)
     occ = W.occluded_walk(wt, o, d, tfar=jnp.full(nr, 2.2), interpret=True)
     assert np.array_equal(np.asarray(occ_ref), np.asarray(occ))
+
+
+def test_degenerate_and_duplicate_triangles(monkeypatch):
+    """Zero-area (collapsed) and exactly-duplicated triangles must not
+    produce NaN entries or walk/dense divergence — degenerate rows appear in
+    real exports (T-junction collapses, double-welded faces)."""
+    import rustlight_tpu.accel.pallas_walk as W
+    rng = np.random.default_rng(11)
+    nt = 600
+    c = rng.uniform(-1, 1, (nt, 3)).astype(np.float32)
+    v0 = c + rng.normal(0, .05, (nt, 3)).astype(np.float32)
+    v1 = c + rng.normal(0, .05, (nt, 3)).astype(np.float32)
+    v2 = c + rng.normal(0, .05, (nt, 3)).astype(np.float32)
+    v1[:40] = v0[:40]                      # zero-area: two identical verts
+    v2[40:60] = v0[40:60] = v1[40:60]      # fully collapsed to a point
+    verts = np.concatenate([v0, v1, v2], 0).astype(np.float32)
+    idx = np.arange(3 * nt).reshape(3, nt).T.astype(np.int32)
+    idx = np.concatenate([idx, idx[100:140]], 0)   # exact duplicates
+    geom = build_geometry_tables(
+        [TriMesh(vertices=verts, indices=idx, material=0)], [-1])
+    wt = W.build_walk_tables(geom)
+    nr = 256
+    o = rng.uniform(-2.5, -1.8, (nr, 3)).astype(np.float32)
+    targ = c[rng.integers(0, nt, nr)]
+    d = targ - o
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    ref = _intersect_impl(geom.inter_rows, o, d, jnp.full(nr, 1e-4),
+                          jnp.full(nr, jnp.inf), False)
+    out = W.intersect_walk(wt, o, d, interpret=True)
+    assert np.array_equal(np.asarray(ref.hit), np.asarray(out.hit))
+    both = np.asarray(ref.hit)
+    assert both.mean() > 0.4
+    np.testing.assert_allclose(np.asarray(out.t)[both],
+                               np.asarray(ref.t)[both], rtol=1e-5, atol=1e-6)
+    assert np.isfinite(np.asarray(out.t)[both]).all()
