@@ -135,3 +135,39 @@ class TestTransmittanceExact:
         got = float(img[6:10, 6:10, 0].mean())
         want = le * np.exp(-(sig_s + sig_a) * depth)
         assert abs(got - want) / want < 0.03, (got, want)
+
+
+class TestEnvmapImportanceSampling:
+    """Estimator identities for the textured-envmap 2D CDF sampler
+    (reference EnvironmentLight new_texture/sample_direction,
+    emitter.rs:342-424): for samples d ~ pdf, mean(1/pdf)/4pi -> 1 and
+    mean(L/pdf) -> integral of L over the sphere (quadrature oracle)."""
+
+    def test_inverse_pdf_identities(self):
+        from pathlib import Path
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from rustlight_tpu.scene.loaders.mitsuba import load_mitsuba
+        from rustlight_tpu.scene.emitters import _sample_env_direction
+        root = Path(__file__).parent.parent
+        sd = load_mitsuba(root / "examples" / "envglass.xml").compile()
+        em = sd.emitters
+        assert em.env_textured
+        n = 1 << 18
+        uv = jax.random.uniform(jax.random.PRNGKey(9), (n, 2))
+        d, color, pdf = _sample_env_direction(em, uv)
+        pdf = np.asarray(pdf)
+        ok = pdf > 0
+        assert ok.mean() > 0.999
+        sphere = float((1.0 / pdf[ok]).mean() * ok.mean()) / (4 * np.pi)
+        assert abs(sphere - 1.0) < 0.02, sphere
+        # energy: MC with IS vs direct quadrature of the map
+        lum = np.asarray(color)[..., :3].mean(-1)
+        mc = float((lum[ok] / pdf[ok]).mean() * ok.mean())
+        img = np.asarray(em.env_img)[..., :3].mean(-1)
+        h, w = img.shape
+        th = (np.arange(h) + 0.5) / h * np.pi
+        quad = float((img * np.sin(th)[:, None]).sum()
+                     * (np.pi / h) * (2 * np.pi / w))
+        assert abs(mc - quad) / quad < 0.05, (mc, quad)
