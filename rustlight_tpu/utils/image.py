@@ -3,12 +3,14 @@
 Host-side (numpy) equivalents of the reference's Bitmap I/O
 (src/structure.rs:467-683): PFM read/write, EXR via OpenEXR, LDR with gamma 2.2.
 The EXR codec here is a self-contained pure-Python implementation of the EXR 2.0
-scanline format (FLOAT/HALF, compression=NONE) — enough for the renderer's own
-round-trips and external viewers; no native OpenEXR dependency.
+scanline format (FLOAT/HALF; compression NONE, ZIPS and ZIP — ZIP being what
+Mitsuba/Blender/pbrt emit by default, so external reference images and envmap
+textures load without a native OpenEXR dependency; PIZ is not supported).
 """
 from __future__ import annotations
 
 import struct as _struct
+import zlib as _zlib
 from pathlib import Path
 
 import numpy as np
@@ -50,8 +52,42 @@ def _exr_attr(name: bytes, typ: bytes, value: bytes) -> bytes:
     return name + b"\0" + typ + b"\0" + _struct.pack("<i", len(value)) + value
 
 
-def write_exr(path, img: np.ndarray, half: bool = False) -> None:
-    """Write [h, w, 3] float32 as an uncompressed scanline EXR (channels B,G,R)."""
+# compression enum (OpenEXR): 0=NONE, 1=RLE, 2=ZIPS (1 line), 3=ZIP (16 lines)
+_EXR_LINES_PER_BLOCK = {0: 1, 2: 1, 3: 16}
+
+
+def _zip_undo(payload: bytes) -> bytes:
+    """OpenEXR ZIP post-inflate transform: undo the byte delta predictor,
+    then interleave the two planar halves (ImfZip.cpp::uncompress)."""
+    t = np.frombuffer(_zlib.decompress(payload), np.uint8)
+    p = ((np.cumsum(t.astype(np.int64) - 128) + 128) & 0xFF).astype(np.uint8)
+    n = p.size
+    half = (n + 1) // 2
+    out = np.empty(n, np.uint8)
+    out[0::2] = p[:half]
+    out[1::2] = p[half:]
+    return out.tobytes()
+
+
+def _zip_do(raw: bytes) -> bytes:
+    """Inverse of _zip_undo: de-interleave halves, apply the delta
+    predictor, deflate (ImfZip.cpp::compress)."""
+    s = np.frombuffer(raw, np.uint8)
+    n = s.size
+    half = (n + 1) // 2
+    planar = np.empty(n, np.uint8)
+    planar[:half] = s[0::2]
+    planar[half:] = s[1::2]
+    d = planar.astype(np.int64)
+    pred = np.empty(n, np.int64)
+    pred[0] = d[0]
+    pred[1:] = d[1:] - d[:-1] + 128
+    return _zlib.compress((pred & 0xFF).astype(np.uint8).tobytes())
+
+
+def write_exr(path, img: np.ndarray, half: bool = False,
+              compression: str = "none") -> None:
+    """Write [h, w, 3] float32 as a scanline EXR (compression: none|zips|zip)."""
     img = np.asarray(img, dtype=np.float32)
     h, w = img.shape[:2]
     if img.ndim == 2:
@@ -60,6 +96,8 @@ def write_exr(path, img: np.ndarray, half: bool = False) -> None:
     names = ["Y"] if c == 1 else ["R", "G", "B"]  # names[j] = EXR channel of img column j
     pix_t = 1 if half else 2  # 1 = HALF, 2 = FLOAT
     dtype = np.float16 if half else np.float32
+    comp = {"none": 0, "zips": 2, "zip": 3}[compression]
+    lpb = _EXR_LINES_PER_BLOCK[comp]
 
     chlist = b""
     for n in sorted(names):
@@ -68,7 +106,7 @@ def write_exr(path, img: np.ndarray, half: bool = False) -> None:
 
     header = b"\x76\x2f\x31\x01" + _struct.pack("<i", 2)  # magic + version 2
     header += _exr_attr(b"channels", b"chlist", chlist)
-    header += _exr_attr(b"compression", b"compression", b"\0")  # NONE
+    header += _exr_attr(b"compression", b"compression", bytes([comp]))
     box = _struct.pack("<iiii", 0, 0, w - 1, h - 1)
     header += _exr_attr(b"dataWindow", b"box2i", box)
     header += _exr_attr(b"displayWindow", b"box2i", box)
@@ -78,20 +116,28 @@ def write_exr(path, img: np.ndarray, half: bool = False) -> None:
     header += _exr_attr(b"screenWindowWidth", b"float", _struct.pack("<f", 1.0))
     header += b"\0"
 
-    bpp = 2 if half else 4
-    row_bytes = 8 + w * bpp * c
-    table_off = len(header) + 8 * h
-    offsets = _struct.pack("<%dQ" % h, *[table_off + y * row_bytes for y in range(h)])
-
     # channel order in each scanline block is alphabetical
     order = [names.index(n) for n in sorted(names)]
-    rows = []
-    for y in range(h):
-        row = img[y]
-        payload = b"".join(row[:, j].astype(dtype).tobytes() for j in order)
-        rows.append(_struct.pack("<ii", y, len(payload)) + payload)
+    blocks = []
+    for y0 in range(0, h, lpb):
+        ny = min(lpb, h - y0)
+        raw = b"".join(
+            img[y][:, j].astype(dtype).tobytes()
+            for y in range(y0, y0 + ny) for j in order)
+        if comp:
+            z = _zip_do(raw)
+            payload = z if len(z) < len(raw) else raw   # OpenEXR raw fallback
+        else:
+            payload = raw
+        blocks.append(_struct.pack("<ii", y0, len(payload)) + payload)
+    table_off = len(header) + 8 * len(blocks)
+    offsets, acc = [], table_off
+    for b in blocks:
+        offsets.append(acc)
+        acc += len(b)
     with open(path, "wb") as f:
-        f.write(header + offsets + b"".join(rows))
+        f.write(header + _struct.pack("<%dQ" % len(blocks), *offsets)
+                + b"".join(blocks))
 
 
 def read_exr(path) -> np.ndarray:
@@ -120,20 +166,31 @@ def read_exr(path) -> np.ndarray:
         elif name == b"dataWindow":
             dw = _struct.unpack("<iiii", val)
     pos += 1  # header terminator
-    if comp != 0:
-        raise NotImplementedError("only compression=NONE supported")
+    if comp not in _EXR_LINES_PER_BLOCK:
+        raise NotImplementedError(
+            f"EXR compression {comp} unsupported (NONE/ZIPS/ZIP only)")
+    lpb = _EXR_LINES_PER_BLOCK[comp]
     x0, y0, x1, y1 = dw
     w, h = x1 - x0 + 1, y1 - y0 + 1
-    offsets = _struct.unpack_from("<%dQ" % h, data, pos)
+    n_blocks = (h + lpb - 1) // lpb
+    offsets = _struct.unpack_from("<%dQ" % n_blocks, data, pos)
+    line_bytes = sum(w * (2 if pt == 1 else 4) for _, pt in channels)
     out = np.zeros((h, w, len(channels)), dtype=np.float32)
-    for yi, off in enumerate(offsets):
-        y, _n = _struct.unpack_from("<ii", data, off)
-        p = off + 8
-        for ci, (cname, pt) in enumerate(channels):
-            bpp = 2 if pt == 1 else 4
-            dt = np.float16 if pt == 1 else np.float32
-            out[y - y0, :, ci] = np.frombuffer(data[p:p + w * bpp], dtype="<" + dt().dtype.str[1:]).astype(np.float32)
-            p += w * bpp
+    for off in offsets:
+        y, n = _struct.unpack_from("<ii", data, off)
+        ny = min(lpb, y1 - y + 1)
+        raw_len = ny * line_bytes
+        payload = data[off + 8:off + 8 + n]
+        blk = _zip_undo(payload) if (comp and n < raw_len) else payload
+        p = 0
+        for yy in range(y - y0, y - y0 + ny):
+            for ci, (cname, pt) in enumerate(channels):
+                bpp = 2 if pt == 1 else 4
+                dt = np.float16 if pt == 1 else np.float32
+                out[yy, :, ci] = np.frombuffer(
+                    blk[p:p + w * bpp],
+                    dtype="<" + dt().dtype.str[1:]).astype(np.float32)
+                p += w * bpp
     names = [c[0] for c in channels]
     if names == ["B", "G", "R"]:
         out = out[:, :, ::-1]
