@@ -3,7 +3,7 @@
 Host-side (numpy) equivalents of the reference's Bitmap I/O
 (src/structure.rs:467-683): PFM read/write, EXR via OpenEXR, LDR with gamma 2.2.
 The EXR codec here is a self-contained pure-Python implementation of the EXR 2.0
-scanline format (FLOAT/HALF; compression NONE, ZIPS and ZIP — ZIP being what
+scanline format (FLOAT/HALF; compression NONE, RLE, ZIPS and ZIP — ZIP being what
 Mitsuba/Blender/pbrt emit by default, so external reference images and envmap
 textures load without a native OpenEXR dependency; PIZ is not supported).
 """
@@ -53,13 +53,56 @@ def _exr_attr(name: bytes, typ: bytes, value: bytes) -> bytes:
 
 
 # compression enum (OpenEXR): 0=NONE, 1=RLE, 2=ZIPS (1 line), 3=ZIP (16 lines)
-_EXR_LINES_PER_BLOCK = {0: 1, 2: 1, 3: 16}
+_EXR_LINES_PER_BLOCK = {0: 1, 1: 1, 2: 1, 3: 16}
 
 
-def _zip_undo(payload: bytes) -> bytes:
-    """OpenEXR ZIP post-inflate transform: undo the byte delta predictor,
-    then interleave the two planar halves (ImfZip.cpp::uncompress)."""
-    t = np.frombuffer(_zlib.decompress(payload), np.uint8)
+def _rle_decode(src: bytes) -> bytes:
+    """OpenEXR RLE (ImfRle.cpp): signed count byte c — c < 0 copies -c
+    literal bytes, c >= 0 repeats the next byte c+1 times."""
+    out = bytearray()
+    i, n = 0, len(src)
+    while i < n:
+        c = src[i] - 256 if src[i] > 127 else src[i]
+        i += 1
+        if c < 0:
+            out += src[i:i - c]
+            i += -c
+        else:
+            out += src[i:i + 1] * (c + 1)
+            i += 1
+    return bytes(out)
+
+
+def _rle_encode(src: bytes) -> bytes:
+    """Simple valid RLE encoder (runs >= 3 as repeats, else literals)."""
+    out = bytearray()
+    i, n = 0, len(src)
+    while i < n:
+        run = 1
+        while i + run < n and src[i + run] == src[i] and run < 128:
+            run += 1
+        if run >= 3:
+            out.append(run - 1)
+            out.append(src[i])
+            i += run
+        else:
+            j = i + run
+            while j < n and j - i < 127:
+                nr = 1
+                while j + nr < n and src[j + nr] == src[j] and nr < 3:
+                    nr += 1
+                if nr >= 3:
+                    break
+                j += nr
+            out.append(256 - (j - i))
+            out += src[i:j]
+            i = j
+    return bytes(out)
+
+
+def _predict_interleave(t: np.ndarray) -> bytes:
+    """Shared ZIP/RLE post-transform: undo the byte delta predictor, then
+    interleave the two planar halves (ImfZip.cpp / ImfRle.cpp)."""
     p = ((np.cumsum(t.astype(np.int64) - 128) + 128) & 0xFF).astype(np.uint8)
     n = p.size
     half = (n + 1) // 2
@@ -69,9 +112,7 @@ def _zip_undo(payload: bytes) -> bytes:
     return out.tobytes()
 
 
-def _zip_do(raw: bytes) -> bytes:
-    """Inverse of _zip_undo: de-interleave halves, apply the delta
-    predictor, deflate (ImfZip.cpp::compress)."""
+def _deinterleave_predict(raw: bytes) -> bytes:
     s = np.frombuffer(raw, np.uint8)
     n = s.size
     half = (n + 1) // 2
@@ -82,7 +123,26 @@ def _zip_do(raw: bytes) -> bytes:
     pred = np.empty(n, np.int64)
     pred[0] = d[0]
     pred[1:] = d[1:] - d[:-1] + 128
-    return _zlib.compress((pred & 0xFF).astype(np.uint8).tobytes())
+    return (pred & 0xFF).astype(np.uint8).tobytes()
+
+
+def _zip_undo(payload: bytes) -> bytes:
+    return _predict_interleave(
+        np.frombuffer(_zlib.decompress(payload), np.uint8))
+
+
+def _rle_undo(payload: bytes) -> bytes:
+    return _predict_interleave(np.frombuffer(_rle_decode(payload), np.uint8))
+
+
+def _zip_do(raw: bytes) -> bytes:
+    """Inverse of _zip_undo: de-interleave halves, apply the delta
+    predictor, deflate (ImfZip.cpp::compress)."""
+    return _zlib.compress(_deinterleave_predict(raw))
+
+
+def _rle_do(raw: bytes) -> bytes:
+    return _rle_encode(_deinterleave_predict(raw))
 
 
 def write_exr(path, img: np.ndarray, half: bool = False,
@@ -96,7 +156,7 @@ def write_exr(path, img: np.ndarray, half: bool = False,
     names = ["Y"] if c == 1 else ["R", "G", "B"]  # names[j] = EXR channel of img column j
     pix_t = 1 if half else 2  # 1 = HALF, 2 = FLOAT
     dtype = np.float16 if half else np.float32
-    comp = {"none": 0, "zips": 2, "zip": 3}[compression]
+    comp = {"none": 0, "rle": 1, "zips": 2, "zip": 3}[compression]
     lpb = _EXR_LINES_PER_BLOCK[comp]
 
     chlist = b""
@@ -125,7 +185,7 @@ def write_exr(path, img: np.ndarray, half: bool = False,
             img[y][:, j].astype(dtype).tobytes()
             for y in range(y0, y0 + ny) for j in order)
         if comp:
-            z = _zip_do(raw)
+            z = _rle_do(raw) if comp == 1 else _zip_do(raw)
             payload = z if len(z) < len(raw) else raw   # OpenEXR raw fallback
         else:
             payload = raw
@@ -181,7 +241,10 @@ def read_exr(path) -> np.ndarray:
         ny = min(lpb, y1 - y + 1)
         raw_len = ny * line_bytes
         payload = data[off + 8:off + 8 + n]
-        blk = _zip_undo(payload) if (comp and n < raw_len) else payload
+        if comp and n < raw_len:
+            blk = _rle_undo(payload) if comp == 1 else _zip_undo(payload)
+        else:
+            blk = payload
         p = 0
         for yy in range(y - y0, y - y0 + ny):
             for ci, (cname, pt) in enumerate(channels):

@@ -163,7 +163,7 @@ class TestImageIO:
         """ZIP (16-line blocks) and ZIPS (per-line) compression — the
         formats Mitsuba/Blender/pbrt emit — round-trip bit-exactly,
         including odd sizes that leave a short trailing block."""
-        for comp in ("zip", "zips"):
+        for comp in ("zip", "zips", "rle"):
             for shape in ((9, 11, 3), (33, 7, 3), (16, 16, 3)):
                 img = (np.random.rand(*shape).astype(np.float32) * 10.0)
                 p = tmp_path / f"{comp}_{shape[0]}x{shape[1]}.exr"
