@@ -147,7 +147,7 @@ def _rle_do(raw: bytes) -> bytes:
 
 def write_exr(path, img: np.ndarray, half: bool = False,
               compression: str = "none") -> None:
-    """Write [h, w, 3] float32 as a scanline EXR (compression: none|zips|zip)."""
+    """Write [h, w, 3] float32 as a scanline EXR (compression: none|rle|zips|zip)."""
     img = np.asarray(img, dtype=np.float32)
     h, w = img.shape[:2]
     if img.ndim == 2:
@@ -201,7 +201,7 @@ def write_exr(path, img: np.ndarray, half: bool = False,
 
 
 def read_exr(path) -> np.ndarray:
-    """Read an uncompressed scanline EXR written by `write_exr` (or compatible)."""
+    """Read a scanline EXR (NONE/RLE/ZIPS/ZIP compression)."""
     data = Path(path).read_bytes()
     if data[:4] != b"\x76\x2f\x31\x01":
         raise ValueError("not an EXR file")
