@@ -54,14 +54,18 @@ class ClusterTables:
     orig_id: Any      # [C, CLUSTER] f32 original triangle ids (exact < 2^24)
 
 
-def build_clusters(geom) -> ClusterTables:
+def build_clusters(geom, bvh=None) -> ClusterTables:
     """Host build: BVH-order the triangles, chunk into clusters of 32.
 
-    Accepts GeometryTables or SceneData (host mirror used, no readbacks)."""
+    Accepts GeometryTables or SceneData (host mirror used, no readbacks).
+    `bvh` lets the caller share one build (build_walk_tables needs the
+    identical max_leaf=8 BVH — at 4.9M tris each build is tens of
+    seconds of host time)."""
     from .bvh import build_bvh
     if hasattr(geom, "host") and geom.host is not None:
         geom = geom.host.data.geom
-    bvh = build_bvh(geom, max_leaf=8)
+    if bvh is None:
+        bvh = build_bvh(geom, max_leaf=8)
     order = np.asarray(bvh.prim_index)           # SAH preorder
     rows = np.asarray(geom.inter_rows[: geom.n_tris])[order]   # [T, 3, 4]
     t = rows.shape[0]

@@ -138,14 +138,16 @@ def _treelet_cut(nodes: np.ndarray, max_tris: int):
     return out
 
 
-def build_walk_tables(geom) -> WalkTables:
+def build_walk_tables(geom, bvh=None) -> WalkTables:
     """Host build: SAH-BVH treelet cut points (segments of the preorder
     primitive array aligned to subtree boundaries), greedily re-packed up
-    to K per cluster, with tight per-range triangle AABBs."""
+    to K per cluster, with tight per-range triangle AABBs. `bvh` shares
+    the caller's max_leaf=8 build (see build_clusters)."""
     from .bvh import build_bvh
     if hasattr(geom, "host") and geom.host is not None:
         geom = geom.host.data.geom
-    bvh = build_bvh(geom, max_leaf=8)
+    if bvh is None:
+        bvh = build_bvh(geom, max_leaf=8)
     order = np.asarray(bvh.prim_index)                   # SAH preorder
     t = order.shape[0]
     nodes = np.stack([
@@ -179,16 +181,24 @@ def build_walk_tables(geom) -> WalkTables:
     p1, p2 = v0 + e1, v0 + e2
     tri_lo = np.minimum(np.minimum(v0, p1), p2)          # [T, 3]
     tri_hi = np.maximum(np.maximum(v0, p1), p2)
+    # vectorized packing: cuts tile the preorder prim array contiguously, so
+    # the destination of source tri j is cluster_of[j]*K + (j - start_of[j])
+    # and per-cluster AABBs are contiguous-segment reductions (reduceat) —
+    # the per-cluster Python loop this replaces was ~9 s at 55808 clusters
+    starts = np.fromiter((s for s, _ in cuts), np.int64, c)
+    counts = np.fromiter((n for _, n in cuts), np.int64, c)
+    cluster_of = np.repeat(np.arange(c, dtype=np.int64), counts)
+    dest = cluster_of * K + (np.arange(t, dtype=np.int64)
+                             - np.repeat(starts, counts))
     rows = np.zeros((cp * K, 3, 4), np.float32)
-    ids = np.full((cp, K), -1, np.int64)
+    rows[dest] = all_rows
+    ids_flat = np.full(cp * K, -1, np.int64)
+    ids_flat[dest] = order
     lo = np.full((3, cp), _BIG, np.float32)              # pads: distant
     hi = np.full((3, cp), _BIG, np.float32)              # points
-    for ci, (s0, n0) in enumerate(cuts):
-        rows[ci * K: ci * K + n0] = all_rows[s0: s0 + n0]
-        ids[ci, :n0] = order[s0: s0 + n0]
-        lo[:, ci] = tri_lo[s0: s0 + n0].min(0)
-        hi[:, ci] = tri_hi[s0: s0 + n0].max(0)
-    order = ids.reshape(-1)
+    lo[:, :c] = np.minimum.reduceat(tri_lo, starts, axis=0).T
+    hi[:, :c] = np.maximum.reduceat(tri_hi, starts, axis=0).T
+    order = ids_flat
 
     world_lo = tri_lo.min(0).astype(np.float32)
     world_hi = tri_hi.max(0).astype(np.float32)
@@ -200,10 +210,11 @@ def build_walk_tables(geom) -> WalkTables:
     sp = ((-(-cp // SUP) + 127) // 128) * 128            # lane-pad S
     slo = np.full((3, sp), _BIG, np.float32)
     shi = np.full((3, sp), _BIG, np.float32)
-    for s in range(ns):
-        r0, r1 = s * SUP, min((s + 1) * SUP, c)
-        slo[:, s] = lo[:, r0:r1].min(1)
-        shi[:, s] = hi[:, r0:r1].max(1)
+    ncol = cp // SUP          # cp and SUP are both multiples of 128
+    slo[:, :ncol] = lo.reshape(3, ncol, SUP).min(2)      # _BIG pads inert
+    hi_m = np.where(np.arange(cp)[None, :] < c, hi, -_BIG)
+    shi_v = hi_m.reshape(3, ncol, SUP).max(2)
+    shi[:, :ncol] = np.where(shi_v <= -_BIG, _BIG, shi_v)  # all-pad supers
     lo_h = np.full((3, sp, SUP), _BIG, np.float32)
     hi_h = np.full((3, sp, SUP), _BIG, np.float32)
     lo_h.reshape(3, -1)[:, :cp] = lo

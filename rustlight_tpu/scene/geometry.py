@@ -177,7 +177,8 @@ def _baldwin_weber_rows(v0, e1, e2, n):
     def row4(x):
         return np.concatenate([x, -np.sum(x * v0, axis=-1, keepdims=True)], axis=-1)
 
-    return np.stack([row4(n), row4(w1), row4(w2)], axis=1).astype(np.float32)
+    return np.stack([row4(n), row4(w1), row4(w2)], axis=1).astype(
+        np.float32, copy=False)
 
 
 def build_geometry_tables(meshes: List[TriMesh], mesh_emitter_id: List[int]) -> GeometryTables:
@@ -188,7 +189,9 @@ def build_geometry_tables(meshes: List[TriMesh], mesh_emitter_id: List[int]) -> 
     v0s, e1s, e2s, ngs, rows, vns, vuvs, areas = [], [], [], [], [], [], [], []
     mats, mids, eids, hasn = [], [], [], []
     for mi, m in enumerate(meshes):
-        v, idx = m.vertices, m.indices
+        # f32 up front: f64 vertices (some loaders/generators) would double
+        # every downstream copy of the multi-million-row tables
+        v, idx = np.asarray(m.vertices, np.float32), m.indices
         p0, p1, p2 = v[idx[:, 0]], v[idx[:, 1]], v[idx[:, 2]]
         e1 = p1 - p0
         e2 = p2 - p0
@@ -215,7 +218,9 @@ def build_geometry_tables(meshes: List[TriMesh], mesh_emitter_id: List[int]) -> 
         eids.append(np.full(len(idx), mesh_emitter_id[mi], np.int32))
 
     def cat(xs):
-        return np.concatenate(xs, axis=0)
+        # single-mesh scenes skip the copy (np.concatenate copies even for
+        # a one-element list — measured ~5 s at 4.9M tris)
+        return xs[0] if len(xs) == 1 else np.concatenate(xs, axis=0)
 
     v0 = cat(v0s); e1 = cat(e1s); e2 = cat(e2s); ng = cat(ngs)
     rws = cat(rows); vn = cat(vns); vuv = cat(vuvs); area = cat(areas)
@@ -248,16 +253,18 @@ def build_geometry_tables(meshes: List[TriMesh], mesh_emitter_id: List[int]) -> 
         gt.has_normals[:, None].astype(np.float32),
         gt.mat_id[:, None].astype(np.float32),
         gt.emitter_id[:, None].astype(np.float32),
-    ], axis=1).astype(np.float32))
+    ], axis=1).astype(np.float32, copy=False))
     if gt.n_tris > CLUSTER_THRESHOLD:
+        from ..accel.bvh import build_bvh
         from ..accel.clustered import build_clusters
-        gt = gt.replace(clusters=build_clusters(gt))
+        bvh = build_bvh(gt, max_leaf=8)   # ONE build shared by both accels
+        gt = gt.replace(clusters=build_clusters(gt, bvh=bvh))
         from ..accel.pallas_walk import (K, _MAX_CLUSTERS, build_walk_tables)
         if (gt.n_tris + K - 1) // K <= _MAX_CLUSTERS:
             # necessary precheck only: treelet packing can still overflow
             # the wide-mode cluster ceiling (fill >= 50%, so the true
             # ceiling is ~8-16M triangles depending on geometry)
-            wt = build_walk_tables(gt)   # None past the wide-mode ceiling
+            wt = build_walk_tables(gt, bvh=bvh)   # None past the ceiling
             if wt is not None:
                 gt = gt.replace(walk=wt)
         if gt.walk is None:
