@@ -33,7 +33,8 @@ def _probe_devices(timeout_s: float = 240.0) -> str:
                            capture_output=True, text=True, timeout=timeout_s)
         if r.returncode == 0:
             return r.stdout.strip()
-        return f"backend init failed: {r.stderr.strip().splitlines()[-1][:200]}"
+        tail = (r.stderr.strip().splitlines() or [f"rc={r.returncode}"])[-1]
+        return f"backend init failed: {tail[:200]}"
     except subprocess.TimeoutExpired:
         return "backend probe hung (wedged device tunnel)"
 

@@ -880,6 +880,12 @@ def _walk_impl(wt: WalkTables, o, d, tnear, tfar, any_hit: bool,
     hier = bool(hier) and not wt.resident and wt.lo_h is not None
     if wide is None:
         wide = cp > (1 << _ID_BITS) and not hier
+    # packed pops OR the cluster id into _ID_BITS mantissa bits; a larger
+    # table in packed mode would silently corrupt entries AND selections
+    if not wide and not hier and cp > (1 << _ID_BITS):
+        raise ValueError(
+            f"walk: {cp} clusters exceed the packed-id budget "
+            f"(2^{_ID_BITS}); use wide=True/hier=True (or leave them None)")
     # sanitize: dead wavefront lanes can carry NaN rays/ranges. A NaN best_t
     # would bitcast ABOVE +inf in the kernel's sortable-int ordering and spin
     # the walk loop forever (TPU watchdog kill). NaN/negative tfar -> 0

@@ -102,11 +102,29 @@ class IntegratorAverage:
         avg: Optional[Film] = None
         timeline = []
         it = 0
-        if self.resume and self.dump_base:
-            got = self._find_resume()
-            if got is not None:
-                avg, it = got
         averaging = getattr(self.integrator, "averaging", True)
+        if self.resume and self.dump_base:
+            if not averaging:
+                # a non-averaging integrator (e.g. SMCMC with persistent
+                # chains) replaces the film each pass and its chain state
+                # lives only in-process — "resuming" would overwrite dump
+                # numbering with fresh low-pass output while claiming
+                # cumulative progress. Refuse loudly and start clean.
+                import logging
+                logging.getLogger(__name__).warning(
+                    "--resume ignored: %s does not average passes, so a "
+                    "dump cannot seed a bit-exact continuation",
+                    type(self.integrator).__name__)
+            else:
+                got = self._find_resume()
+                if got is not None:
+                    avg, it = got
+        if (self.infinite and self.dump_base is None
+                and self.max_passes is None):
+            raise ValueError(
+                "IntegratorAverage with nb_passes=None and timeout_s=None "
+                "runs forever: give it dump_base (per-pass checkpoints, the "
+                "-a inf contract) or max_passes")
         while True:
             film = _render_once(scene, self.integrator, self.spp_per_pass,
                                 seed + it, mesh=self.mesh)

@@ -37,12 +37,23 @@ _F_DOUBLE = 0x2000
 
 
 def _mesh_offsets(data: bytes):
-    """Trailing dictionary: u32 count at EOF, preceded by count u64s."""
+    """Trailing dictionary: u32 count at EOF, preceded by count offsets —
+    u64 in current files, u32 in old (pre-0.4) ones. Validate the decoded
+    offsets against the chunk magic and fall back across widths, so both
+    generations load (the reference delegates this to mitsuba_rs)."""
     (count,) = struct.unpack_from("<I", data, len(data) - 4)
-    if count == 0 or len(data) < 4 + 8 * count:
-        return [0]
-    off = struct.unpack_from(f"<{count}Q", data, len(data) - 4 - 8 * count)
-    return list(off)
+
+    def try_width(fmt, width):
+        if count == 0 or len(data) < 4 + width * count:
+            return None
+        off = struct.unpack_from(f"<{count}{fmt}",
+                                 data, len(data) - 4 - width * count)
+        for o in off:
+            if o + 4 > len(data) or struct.unpack_from("<H", data, o)[0] != MAGIC:
+                return None
+        return list(off)
+
+    return try_width("Q", 8) or try_width("I", 4) or [0]
 
 
 def load_serialized(path, shape_index: int = 0, material: int = 0,

@@ -334,3 +334,30 @@ def test_envglass_example_loads():
     assert sc.camera.width == 512 and sc.camera.height == 384
     sd = sc.compile()
     assert sd.geom.n_tris > 4         # tessellated spheres
+
+
+def test_serialized_legacy_u32_footer(tmp_path):
+    """Old (pre-0.4) .serialized files store the trailing mesh-offset
+    dictionary as u32, not u64 — both widths must load (validated against
+    the chunk magic)."""
+    import struct, zlib
+    import numpy as np
+    from rustlight_tpu.scene.loaders.serialized import (MAGIC, _F_SINGLE,
+                                                        load_serialized)
+    blobs = []
+    for k in (1, 2):
+        payload = struct.pack("<I", _F_SINGLE)       # version 3: no name
+        payload += struct.pack("<QQ", 3, 1)
+        payload += np.arange(9, dtype=np.float32).tobytes()
+        payload += (np.array([[0, 1, 2]], np.uint32) * k).tobytes()
+        blobs.append(struct.pack("<HH", MAGIC, 3) + zlib.compress(payload))
+    out, offs = b"", []
+    for b in blobs:
+        offs.append(len(out)); out += b
+    out += struct.pack("<2I", *offs) + struct.pack("<I", 2)   # u32 footer
+    p = tmp_path / "old.serialized"
+    p.write_bytes(out)
+    m0 = load_serialized(p, 0)
+    m1 = load_serialized(p, 1)
+    assert m0.vertices.shape == (3, 3) and m0.indices.tolist() == [[0, 1, 2]]
+    assert m1.indices.tolist() == [[0, 2, 4]]

@@ -288,16 +288,33 @@ def test_hier_multi_super_traversal(soup, monkeypatch):
 def test_mxu_tritest_matches_dense(soup, monkeypatch):
     """RUSTLIGHT_TPU_MXU_TRITEST=1 folds the two [R,4]x[4,3K] affine
     products onto the MXU; hits must stay dense-oracle-exact (t within the
-    f32-dot tolerance)."""
+    f32-dot tolerance).
+
+    The flag is read at TRACE time, and _walk_impl's jit cache is keyed on
+    shapes/static-args only — calling with the same 512-ray shape the other
+    tests already traced would silently reuse the VPU executable and test
+    nothing. Use a ray count unique to this test so the monkeypatched flag
+    is live when the kernel traces (and assert the branch was taken)."""
     import rustlight_tpu.accel.pallas_walk as W
     geom, wt, o, d = soup
     monkeypatch.setattr(W, "MXU_TRITEST", True)
+    taken = []
+    orig = W._test_rows
+
+    def spy(*a, **k):
+        taken.append(W.MXU_TRITEST)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(W, "_test_rows", spy)
+    o, d = o[:320], d[:320]          # unique shape -> fresh trace
     nr = o.shape[0]
     ref = _intersect_impl(geom.inter_rows, o, d, jnp.full(nr, 1e-4),
                           jnp.full(nr, jnp.inf), False)
     out = W.intersect_walk(wt, o, d, interpret=True)
+    assert taken and all(taken), "MXU branch never traced (stale jit cache?)"
     assert np.array_equal(np.asarray(ref.hit), np.asarray(out.hit))
     both = np.asarray(ref.hit)
+    assert both.mean() > 0.5
     np.testing.assert_allclose(np.asarray(out.t)[both],
                                np.asarray(ref.t)[both], rtol=1e-5, atol=1e-6)
     assert (np.asarray(ref.tri)[both] == np.asarray(out.tri)[both]).all()
