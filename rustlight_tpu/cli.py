@@ -46,6 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="continue -a averaging from the newest "
                          "<output>_<k>.pfm dump (bit-exact vs an "
                          "uninterrupted run; beyond-reference)")
+    ap.add_argument("--adaptive", action="store_true",
+                    help="variance-adaptive sampling: a pilot quarter of -n "
+                         "measures per-pixel noise, the rest of the budget "
+                         "concentrates on noisy pixels (beyond-reference; "
+                         "per-pixel MC integrators, single render only)")
     ap.add_argument("--aovs", action="store_true",
                     help="also write every AOV buffer as "
                          "<output>_<name>.<ext> (film dump_all — gradient "
@@ -422,6 +427,16 @@ def main(argv=None):
                 log.info("interrupted; last dump kept at %s_<n>.pfm",
                          meta.dump_base)
             raise
+    elif args.adaptive:
+        from .integrators.common import SplattingIntegrator, render_adaptive
+        if (isinstance(integrator, SplattingIntegrator)
+                or hasattr(integrator, "render")):
+            ap_err = ("--adaptive needs a per-pixel MC integrator "
+                      "(path/ao/direct/...); splatting and self-driving "
+                      "integrators allocate their own budgets")
+            raise SystemExit(ap_err)
+        film = render_adaptive(sd, integrator, args.nbsamples, seed,
+                               verbose=True)
     else:
         film = _render_once(sd, integrator, args.nbsamples, seed,
                             sampler=sampler, mesh=mesh)

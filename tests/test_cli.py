@@ -130,3 +130,8 @@ def test_resume_cli_parses():
 def test_aovs_cli_parses():
     args = build_parser().parse_args(["cbox", "--aovs", "gradient-path"])
     assert args.aovs
+
+
+def test_adaptive_cli_parses():
+    args = build_parser().parse_args(["cbox", "--adaptive", "-n", "16", "path"])
+    assert args.adaptive

@@ -290,3 +290,26 @@ class TestSceneAsArgument:
                                    spp=4, seed=5)["primal"]
         a, b = self._both(run, monkeypatch)
         assert np.array_equal(a, b)
+
+
+class TestAdaptiveSampling:
+    """render_adaptive (beyond-reference): variance-guided per-pixel budget."""
+
+    def test_matches_uniform_mean_and_spends_budget(self):
+        import numpy as np
+        from rustlight_tpu.models import cornell_box
+        from rustlight_tpu.integrators import IntegratorPathTracing
+        from rustlight_tpu.integrators.common import render, render_adaptive
+        sd = cornell_box(24, 24).compile()
+        integ = IntegratorPathTracing(max_depth=3, hard_cap=3)
+        ref = render(sd, integ, spp=96, seed=3,
+                     persistent=False).buffers["primal"]
+        ada = render_adaptive(sd, integ, spp=24, seed=5)
+        spp_map = ada.buffers["spp"][..., 0]
+        # exact budget: same total samples as a uniform 24-spp render
+        assert int(spp_map.sum()) == 24 * 24 * 24
+        # allocation is genuinely non-uniform (noisy pixels got more)
+        assert spp_map.max() > spp_map.min()
+        # unbiasedness: agrees with a high-spp uniform reference
+        a, b = ada.buffers["primal"].mean(), ref.mean()
+        assert abs(a - b) / b < 0.05, (a, b)
