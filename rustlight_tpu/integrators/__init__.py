@@ -1,5 +1,5 @@
-from .common import (Integrator, SplattingIntegrator, render, render_splat,
-                     mis_power, mis_balance)
+from .common import (Integrator, SplattingIntegrator, render,
+                     render_adaptive, render_splat, mis_power, mis_balance)
 from .ao import IntegratorAO
 from .direct import IntegratorDirect
 from .path import IntegratorPathTracing, STRATEGY_ALL, STRATEGY_BSDF, STRATEGY_EMITTER
