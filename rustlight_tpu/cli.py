@@ -51,6 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "measures per-pixel noise, the rest of the budget "
                          "concentrates on noisy pixels (beyond-reference; "
                          "per-pixel MC integrators, single render only)")
+    ap.add_argument("--guiding", action="store_true",
+                    help="path guiding: per-voxel directional radiance "
+                         "histograms learned online, sampled as a defensive "
+                         "bsdf/guide MIS mixture (beyond-reference; "
+                         "IntegratorPathTracing, single render only)")
     ap.add_argument("--aovs", action="store_true",
                     help="also write every AOV buffer as "
                          "<output>_<name>.<ext> (film dump_all — gradient "
@@ -427,6 +432,13 @@ def main(argv=None):
                 log.info("interrupted; last dump kept at %s_<n>.pfm",
                          meta.dump_base)
             raise
+    elif args.guiding:
+        from .integrators import IntegratorPathTracing
+        from .integrators.guiding import render_guided
+        if not type(integrator) is IntegratorPathTracing:
+            raise SystemExit("--guiding needs the `path` integrator")
+        film = render_guided(sd, integrator, args.nbsamples, seed,
+                             verbose=True)
     elif args.adaptive:
         from .integrators.common import SplattingIntegrator, render_adaptive
         if (isinstance(integrator, SplattingIntegrator)

@@ -121,7 +121,14 @@ class IntegratorPathTracing(Integrator):
                 jnp.where(use_n, pdf_n > 0.0, bs.valid))
 
     # ----------------------------------------------------------------- core
-    def compute_pixel(self, scene, pix, stream):
+    def compute_pixel(self, scene, pix, stream, guide=None, collect=False):
+        """`guide` (a guiding.GuideGrid, traced) switches the directional
+        bounce on rough surfaces to a defensive one-sample-MIS mixture of
+        BSDF and learned distributions; `collect=True` additionally returns
+        a flat [g^3 * N_BINS] deposit accumulator of incident-radiance
+        estimates (emission hits, env escapes and NEE contributions binned
+        by the direction they arrived from). Unbiased for ANY table: the
+        mixture pdf keeps a uniform prior floor (guiding.py)."""
         n = pix.shape[0]
         u_pix, stream = stream_next2d(stream, (n,))
         o, d = generate_rays(scene.camera, pix.astype(jnp.float32) + u_pix)
@@ -130,6 +137,12 @@ class IntegratorPathTracing(Integrator):
         mis_on = self.strategy == STRATEGY_ALL
         keep_bsdf_hits = self.strategy in (STRATEGY_ALL, STRATEGY_BSDF,
                                            STRATEGY_NAIVE)
+        if guide is not None:
+            from . import guiding as _gd
+            g_alpha = getattr(self, "guide_alpha", 0.5)
+            n_cells = guide.table.shape[0] * guide.table.shape[1]
+        dep0 = jnp.zeros(n_cells if (guide is not None and collect) else 1,
+                         jnp.float32)
 
         state = _PathState(
             k=jnp.int32(0), stream=stream, o=o, d=d,
@@ -141,12 +154,14 @@ class IntegratorPathTracing(Integrator):
             prev_nee=jnp.zeros(n, bool),
         )
 
-        def cond(s):
+        def cond(sd_):
+            s = sd_[0]
             return (s.k < self.hard_cap) & jnp.any(s.alive)
 
         has_med = scene.volume is not None
 
-        def body(s):
+        def body(sd_):
+            s, dep = sd_
             k = s.k
             stream = s.stream
             # dead lanes trace inert (tfar=0) rays: they cannot hit, and on
@@ -190,6 +205,18 @@ class IntegratorPathTracing(Integrator):
             contrib = thr * le * w_hit[:, None]
             add = lane_hit & min_ok & senses
             radiance = s.radiance + jnp.where(add[:, None], contrib, 0.0)
+            if guide is not None and collect:
+                # incident radiance along the PREVIOUS bounce direction s.d,
+                # seen from s.o. Deposits arrive with frequency ~ the bounce
+                # pdf, so the VALUE divides by s.prev_pdf — bin mass then
+                # estimates the integral of L over the bin independent of
+                # how the current guide samples (without this, mass feeds
+                # back on sampling frequency and the table collapses onto
+                # its own peak — measured: a near-black render at decay=1).
+                inv_p = 1.0 / jnp.maximum(s.prev_pdf, 1e-4)
+                dep = _gd.deposit(dep, guide, s.o, s.d,
+                                  jnp.mean(le, -1) * w_hit * inv_p,
+                                  add & (k > 0) & (~s.prev_delta))
 
             # ---- escaped rays: environment light
             esc = s.alive & (~hit.valid) & (~scattered)
@@ -202,6 +229,12 @@ class IntegratorPathTracing(Integrator):
                 radiance = radiance + jnp.where(
                     (esc & min_ok & senses)[:, None],
                     thr * le_env * w_env[:, None], 0.0)
+                if guide is not None and collect:
+                    dep = _gd.deposit(
+                        dep, guide, s.o, s.d,
+                        jnp.mean(le_env, -1) * w_env
+                        / jnp.maximum(s.prev_pdf, 1e-4),
+                        esc & min_ok & senses & (k > 0) & (~s.prev_delta))
 
             smooth = bsdf_is_smooth(scene.materials, hit.mat)
             # single_scattering: surface vertices contribute nothing further
@@ -241,6 +274,14 @@ class IntegratorPathTracing(Integrator):
                     f = f_s
                     pdf_other = pdf_s
                     tr_sh = 1.0
+                if guide is not None:
+                    # the directional strategy on rough surfaces is the
+                    # bsdf/guide MIXTURE — its pdf enters the NEE MIS weight
+                    vox_nee = _gd.voxel_of(guide, p_v)
+                    pdf_other = jnp.where(
+                        lane_surface & (~smooth),
+                        g_alpha * _gd.guide_pdf(guide, vox_nee, ls.d)
+                        + (1.0 - g_alpha) * pdf_s, pdf_other)
                 p_shadow = jnp.where(
                     scattered[:, None], p_v,
                     offset_ray_origin(hit.p, hit.n_g, ls.d))
@@ -257,6 +298,25 @@ class IntegratorPathTracing(Integrator):
                 radiance = radiance + jnp.where(
                     nee_ok[:, None],
                     thr * f * tr_sh * ls.weight * w_nee[:, None], 0.0)
+                if guide is not None and collect:
+                    # ls.weight = Le*G/pdf: the incident-radiance estimate
+                    # along ls.d (f excluded — the grid learns L_i, not the
+                    # product); w_nee keeps emission-hit deposits disjoint
+                    dep = _gd.deposit(
+                        dep, guide, p_v, ls.d,
+                        jnp.mean(ls.weight * tr_sh, -1) * w_nee, nee_ok)
+                    # one-bounce lookahead: the same event, seen from the
+                    # PREVIOUS vertex along its bounce direction (radiance
+                    # into s.o along s.d includes f_here * NEE_here). This
+                    # is what lets hard-visibility paths bootstrap: a wall
+                    # facing a doorway learns that the door direction glows
+                    # even though its own NEE is occluded. 1/prev_pdf for
+                    # the same frequency-normalization as the deposits above.
+                    dep = _gd.deposit(
+                        dep, guide, s.o, s.d,
+                        jnp.mean(f * tr_sh * ls.weight, -1) * w_nee
+                        / jnp.maximum(s.prev_pdf, 1e-4),
+                        nee_ok & (k > 0) & (~s.prev_delta))
 
             # ---- directional bounce: BSDF at surfaces, phase in the medium
             u_bsdf, stream = stream_next2d(stream, (n,))
@@ -269,6 +329,30 @@ class IntegratorPathTracing(Integrator):
                 bs_wo, weight, pdf_dir, is_delta, valid_dir = (
                     bs.wo, bs.weight, bs.pdf, bs.is_delta, bs.valid)
             wo_world = to_world(hit.frame, bs_wo)
+            if guide is not None:
+                # defensive one-sample MIS: with prob alpha draw from the
+                # learned distribution, else from the BSDF; either way the
+                # realized direction is weighted by f*cos / pdf_mixture
+                u_gsel, stream = stream_next(stream, (n,))
+                u_gdir, stream = stream_next2d(stream, (n,))
+                vox_b = _gd.voxel_of(guide, p_v)
+                d_guided, _ = _gd.guide_sample(guide, vox_b, u_gdir)
+                mixable = lane_surface & (~smooth) & (
+                    ~jnp.asarray(self.strategy == STRATEGY_NAIVE))
+                take_g = mixable & (u_gsel < g_alpha)
+                wo_world = jnp.where(take_g[:, None], d_guided, wo_world)
+                wo_loc = to_local(hit.frame, wo_world)
+                f_mix = bsdf_eval(scene.materials, hit.mat, hit.uv, hit.wi,
+                                  wo_loc, TRANSPORT_IMPORTANCE)
+                pdf_b = bsdf_pdf(scene.materials, hit.mat, hit.uv, hit.wi,
+                                 wo_loc, TRANSPORT_IMPORTANCE)
+                pdf_mix = (g_alpha * _gd.guide_pdf(guide, vox_b, wo_world)
+                           + (1.0 - g_alpha) * pdf_b)
+                w_mix = f_mix / jnp.maximum(pdf_mix, 1e-20)[:, None]
+                weight = jnp.where(mixable[:, None], w_mix, weight)
+                pdf_dir = jnp.where(mixable, pdf_mix, pdf_dir)
+                valid_dir = jnp.where(mixable, pdf_mix > 0.0, valid_dir)
+                is_delta = jnp.where(mixable, False, is_delta)
             if has_med:
                 d_ph, w_ph, pdf_ph = phase_sample(scene.volume.phase_g, -s.d, u_bsdf)
                 wo_world = jnp.where(scattered[:, None], d_ph, wo_world)
@@ -286,6 +370,13 @@ class IntegratorPathTracing(Integrator):
             else:
                 do_rr = (k + 1) >= self.rr_depth
                 rr_p = jnp.minimum(channel_max(throughput), 0.95)
+                if guide is not None:
+                    # guided bounces legitimately carry small f/pdf_mix
+                    # throughput into BRIGHT regions; plain throughput-RR
+                    # would kill >90% of exactly the learned paths and
+                    # leave rare huge-weight survivors (measured: a 9x-dark
+                    # 64spp render). Floor survival for mixture lanes.
+                    rr_p = jnp.where(mixable, jnp.maximum(rr_p, 0.6), rr_p)
                 rr_keep = jnp.where(do_rr, u_rr < rr_p, True)
                 rr_w = jnp.where(do_rr & rr_keep, 1.0 / jnp.maximum(rr_p, 1e-8), 1.0)
             throughput = throughput * rr_w[:, None]
@@ -306,9 +397,11 @@ class IntegratorPathTracing(Integrator):
                 prev_pdf=jnp.where(alive, pdf_dir, s.prev_pdf),
                 prev_delta=jnp.where(alive, is_delta, s.prev_delta),
                 prev_nee=jnp.where(alive, nee_possible, s.prev_nee),
-            )
+            ), dep
 
-        final = lax.while_loop(cond, body, state)
+        final, dep = lax.while_loop(cond, body, (state, dep0))
+        if guide is not None and collect:
+            return final.radiance, dep
         return final.radiance
 
     # ------------------------------------------------- persistent wavefront

@@ -135,3 +135,8 @@ def test_aovs_cli_parses():
 def test_adaptive_cli_parses():
     args = build_parser().parse_args(["cbox", "--adaptive", "-n", "16", "path"])
     assert args.adaptive
+
+
+def test_guiding_cli_parses():
+    args = build_parser().parse_args(["cbox", "--guiding", "-n", "16", "path"])
+    assert args.guiding

@@ -1,0 +1,85 @@
+"""Path guiding (integrators/guiding.py, beyond the reference).
+
+Oracles: the guide distribution is a proper pdf whose samples match it
+(chi-square); guided renders stay unbiased for ANY table because the bounce
+uses a defensive one-sample-MIS mixture; on the hard-visibility door scene
+the learned distribution beats uniform BSDF sampling at equal spp."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rustlight_tpu.integrators import guiding as G
+from rustlight_tpu.integrators import IntegratorPathTracing
+from rustlight_tpu.integrators.common import render
+from rustlight_tpu.integrators.guiding import render_guided
+from rustlight_tpu.models import cornell_box, door_box
+
+
+class TestGuideGrid:
+    def _grid(self):
+        rng = np.random.default_rng(0)
+        return G.GuideGrid(
+            g=2, lo=jnp.zeros(3), inv_extent=jnp.ones(3),
+            table=jnp.asarray(
+                rng.gamma(0.3, 2.0, (8, G.N_BINS)).astype(np.float32)))
+
+    def test_pdf_normalizes(self):
+        grid = self._grid()
+        rng = np.random.default_rng(1)
+        n = 1 << 16
+        u = rng.random((n, 2)).astype(np.float32)
+        z = 1 - 2 * u[:, 0]
+        phi = 2 * np.pi * u[:, 1]
+        s = np.sqrt(np.maximum(1 - z * z, 0))
+        d = jnp.asarray(np.stack([s * np.cos(phi), s * np.sin(phi), z], -1))
+        vox = jnp.full(n, 3, jnp.int32)
+        integral = float(jnp.mean(G.guide_pdf(grid, vox, d)) * 4 * np.pi)
+        assert abs(integral - 1.0) < 0.02, integral
+
+    def test_sample_matches_pdf(self):
+        grid = self._grid()
+        rng = np.random.default_rng(2)
+        n = 1 << 17
+        vox = jnp.full(n, 3, jnp.int32)
+        u = jnp.asarray(rng.random((n, 2)).astype(np.float32))
+        d, pdf = G.guide_sample(grid, vox, u)
+        assert float(jnp.max(jnp.abs(jnp.linalg.norm(d, axis=1) - 1))) < 1e-4
+        bins = np.asarray(G.bin_of(d))
+        counts = np.bincount(bins, minlength=G.N_BINS)
+        row = np.asarray(grid.table[3]) + G.UNIFORM_PRIOR
+        expected = row / row.sum() * n
+        chi2 = (((counts - expected) ** 2) / np.maximum(expected, 1e-9)).sum()
+        assert chi2 < 2.2 * (G.N_BINS - 1), chi2
+        # reported pdf == evaluated pdf (modulo measure-zero bin edges)
+        pdf2 = np.asarray(G.guide_pdf(grid, vox, d))
+        frac_bad = np.mean(~np.isclose(np.asarray(pdf), pdf2, rtol=1e-3))
+        assert frac_bad < 1e-4, frac_bad
+
+
+class TestGuidedRender:
+    def test_unbiased_on_cbox(self):
+        """Guided mean == plain path mean within MC tolerance (the mixture
+        keeps every realized direction's pdf exact for any table)."""
+        sd = cornell_box(24, 24).compile()
+        integ = IntegratorPathTracing(max_depth=4, hard_cap=4)
+        ref = render(sd, integ, spp=192, seed=9,
+                     persistent=False).buffers["primal"].mean()
+        gu = render_guided(sd, integ, spp=48, seed=1).buffers["primal"].mean()
+        assert abs(gu - ref) / ref < 0.06, (gu, ref)
+
+    def test_door_scene_improves(self):
+        """Equal-spp error on the door scene: guiding must beat uniform
+        BSDF sampling (measured ~1.4x l1 at these settings/seeds)."""
+        sd = door_box(40, 30).compile()
+        integ = IntegratorPathTracing(max_depth=6, hard_cap=6)
+        ref = render(sd, integ, spp=1024, seed=99,
+                     persistent=False).buffers["primal"]
+        un = render(sd, integ, spp=64, seed=1,
+                    persistent=False).buffers["primal"]
+        gu = render_guided(sd, integ, spp=64, seed=1,
+                           g=16).buffers["primal"]
+        l1u = np.abs(un - ref).mean()
+        l1g = np.abs(gu - ref).mean()
+        assert l1g < l1u, (l1g, l1u)
+        # sane brightness (the RR-starvation failure mode rendered 9x dark)
+        assert 0.5 < gu.mean() / ref.mean() < 2.0, (gu.mean(), ref.mean())
