@@ -3,9 +3,11 @@
 Host-side (numpy) equivalents of the reference's Bitmap I/O
 (src/structure.rs:467-683): PFM read/write, EXR via OpenEXR, LDR with gamma 2.2.
 The EXR codec here is a self-contained pure-Python implementation of the EXR 2.0
-scanline format (FLOAT/HALF; compression NONE, RLE, ZIPS and ZIP — ZIP being what
-Mitsuba/Blender/pbrt emit by default, so external reference images and envmap
-textures load without a native OpenEXR dependency; PIZ is not supported).
+scanline format (FLOAT/HALF; compression NONE, RLE, ZIPS, ZIP and PIZ — ZIP being
+what Mitsuba/Blender/pbrt emit by default and PIZ OpenEXR's own wavelet default in
+several DCC tools, so external reference images and envmap textures load without
+a native OpenEXR dependency). PIZ rides the dual native-C++/pure-Python codec in
+piz.py.
 """
 from __future__ import annotations
 
@@ -52,8 +54,9 @@ def _exr_attr(name: bytes, typ: bytes, value: bytes) -> bytes:
     return name + b"\0" + typ + b"\0" + _struct.pack("<i", len(value)) + value
 
 
-# compression enum (OpenEXR): 0=NONE, 1=RLE, 2=ZIPS (1 line), 3=ZIP (16 lines)
-_EXR_LINES_PER_BLOCK = {0: 1, 1: 1, 2: 1, 3: 16}
+# compression enum (OpenEXR): 0=NONE, 1=RLE, 2=ZIPS (1 line), 3=ZIP (16 lines),
+# 4=PIZ (32 lines)
+_EXR_LINES_PER_BLOCK = {0: 1, 1: 1, 2: 1, 3: 16, 4: 32}
 
 
 def _rle_decode(src: bytes) -> bytes:
@@ -145,9 +148,40 @@ def _rle_do(raw: bytes) -> bytes:
     return _rle_encode(_deinterleave_predict(raw))
 
 
+def _piz_chans(channels, w: int, ny: int):
+    """PIZ channel descriptors: (pixels per row, rows, u16 words per pixel)."""
+    return [(w, ny, 1 if pt == 1 else 2) for _, pt in channels]
+
+
+def _piz_do(raw: bytes, channels, w: int, ny: int) -> bytes:
+    """Scanline-interleaved raw block -> PIZ payload (channel-planar inside)."""
+    from . import piz as _piz
+    chans = _piz_chans(channels, w, ny)
+    words = np.frombuffer(raw, "<u2").reshape(ny, -1)
+    # per scanline the channels sit side by side (alphabetical); split them
+    # out into the per-channel planar order PIZ compresses
+    widths = [nx * size for nx, _, size in chans]
+    edges = np.cumsum([0] + widths)
+    planar = np.concatenate(
+        [words[:, edges[i]:edges[i + 1]].reshape(-1) for i in range(len(chans))])
+    return _piz.piz_compress(planar, chans)
+
+
+def _piz_undo(payload: bytes, channels, w: int, ny: int) -> bytes:
+    from . import piz as _piz
+    chans = _piz_chans(channels, w, ny)
+    planar = _piz.piz_uncompress(payload, chans)
+    parts, off = [], 0
+    for nx, ny_, size in chans:
+        parts.append(planar[off:off + nx * ny_ * size].reshape(ny_, nx * size))
+        off += nx * ny_ * size
+    return np.concatenate(parts, axis=1).astype("<u2").tobytes()
+
+
 def write_exr(path, img: np.ndarray, half: bool = False,
               compression: str = "none") -> None:
-    """Write [h, w, 3] float32 as a scanline EXR (compression: none|rle|zips|zip)."""
+    """Write [h, w, 3] float32 as a scanline EXR
+    (compression: none|rle|zips|zip|piz)."""
     img = np.asarray(img, dtype=np.float32)
     h, w = img.shape[:2]
     if img.ndim == 2:
@@ -156,7 +190,7 @@ def write_exr(path, img: np.ndarray, half: bool = False,
     names = ["Y"] if c == 1 else ["R", "G", "B"]  # names[j] = EXR channel of img column j
     pix_t = 1 if half else 2  # 1 = HALF, 2 = FLOAT
     dtype = np.float16 if half else np.float32
-    comp = {"none": 0, "rle": 1, "zips": 2, "zip": 3}[compression]
+    comp = {"none": 0, "rle": 1, "zips": 2, "zip": 3, "piz": 4}[compression]
     lpb = _EXR_LINES_PER_BLOCK[comp]
 
     chlist = b""
@@ -184,7 +218,10 @@ def write_exr(path, img: np.ndarray, half: bool = False,
         raw = b"".join(
             img[y][:, j].astype(dtype).tobytes()
             for y in range(y0, y0 + ny) for j in order)
-        if comp:
+        if comp == 4:
+            z = _piz_do(raw, [(n, pix_t) for n in sorted(names)], w, ny)
+            payload = z if len(z) < len(raw) else raw   # OpenEXR raw fallback
+        elif comp:
             z = _rle_do(raw) if comp == 1 else _zip_do(raw)
             payload = z if len(z) < len(raw) else raw   # OpenEXR raw fallback
         else:
@@ -201,7 +238,7 @@ def write_exr(path, img: np.ndarray, half: bool = False,
 
 
 def read_exr(path) -> np.ndarray:
-    """Read a scanline EXR (NONE/RLE/ZIPS/ZIP compression)."""
+    """Read a scanline EXR (NONE/RLE/ZIPS/ZIP/PIZ compression)."""
     data = Path(path).read_bytes()
     if data[:4] != b"\x76\x2f\x31\x01":
         raise ValueError("not an EXR file")
@@ -228,7 +265,7 @@ def read_exr(path) -> np.ndarray:
     pos += 1  # header terminator
     if comp not in _EXR_LINES_PER_BLOCK:
         raise NotImplementedError(
-            f"EXR compression {comp} unsupported (NONE/ZIPS/ZIP only)")
+            f"EXR compression {comp} unsupported (NONE/RLE/ZIPS/ZIP/PIZ only)")
     lpb = _EXR_LINES_PER_BLOCK[comp]
     x0, y0, x1, y1 = dw
     w, h = x1 - x0 + 1, y1 - y0 + 1
@@ -242,7 +279,12 @@ def read_exr(path) -> np.ndarray:
         raw_len = ny * line_bytes
         payload = data[off + 8:off + 8 + n]
         if comp and n < raw_len:
-            blk = _rle_undo(payload) if comp == 1 else _zip_undo(payload)
+            if comp == 4:
+                blk = _piz_undo(payload, channels, w, ny)
+            elif comp == 1:
+                blk = _rle_undo(payload)
+            else:
+                blk = _zip_undo(payload)
         else:
             blk = payload
         p = 0
