@@ -60,6 +60,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="also write every AOV buffer as "
                          "<output>_<name>.<ext> (film dump_all — gradient "
                          "integrators emit very_direct/gradient_x/gradient_y)")
+    ap.add_argument("--feature-aovs", action="store_true",
+                    help="add denoiser guide channels (first-hit "
+                         "albedo/normal/depth, anti-aliased) to the film; "
+                         "write them with --aovs (beyond-reference)")
     ap.add_argument("-t", "--threads", type=int, default=None,
                     help="device count to shard over (default: all)")
     ap.add_argument("-r", "--random-number-generator", default="independent",
@@ -453,6 +457,11 @@ def main(argv=None):
         film = _render_once(sd, integrator, args.nbsamples, seed,
                             sampler=sampler, mesh=mesh)
     log.info("Elapsed Integrator: %.3fs", time.time() - t1)
+
+    if args.feature_aovs:
+        from .integrators.common import render_feature_aovs
+        film.buffers.update(render_feature_aovs(sd, spp=8, seed=seed))
+        log.info("Feature AOVs rendered (albedo/normal/depth)")
 
     film.save(args.output)
     if args.aovs and len(film.buffers) > 1:

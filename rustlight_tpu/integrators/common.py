@@ -401,3 +401,62 @@ def render_adaptive(scene: SceneData, integrator: Integrator, spp: int,
     out.buffers["primal"] = img.astype(np.float32)
     out.buffers["spp"] = total[..., None].astype(np.float32)
     return out
+
+
+def render_feature_aovs(scene: SceneData, spp: int = 8, seed: int = 0) -> dict:
+    """First-hit feature AOVs for external denoisers: `albedo`, `normal`,
+    `depth`, each [h, w, 3], averaged over `spp` jittered camera samples
+    (anti-aliased like the beauty pass).
+
+    Beyond the reference: its BufferCollection carries only radiance-derived
+    buffers (src/integrators/mod.rs:48-216); joint-filtering denoisers
+    (OIDN-style) want noise-free guide channels. Conventions:
+      albedo — textured diffuse reflectance at the first hit; delta/smooth
+               materials and emitters report 1 (their detail rides in the
+               radiance, not the albedo); misses report 0.
+      normal — world-space shading normal, averaged without renormalizing
+               (edge pixels blend, as denoisers expect).
+      depth  — first-hit distance replicated to 3 channels; 0 for misses.
+    """
+    from ..accel import intersect_rays
+    from ..scene import generate_rays, fill_hit
+    from ..bsdfs import bsdf_is_smooth
+    from ..bsdfs.kernels import _gather, diffuse_color
+    from ..utils.rng import stream_next2d
+
+    cam = scene.camera
+    w, h = cam.width, cam.height
+    pix = jnp.asarray(_pixel_grid(w, h))
+    n = pix.shape[0]
+
+    def _impl(sd, base):
+        def one(s, acc):
+            alb_a, nrm_a, dep_a = acc
+            stream = stream_fold(base, s)
+            u_pix, stream = stream_next2d(stream, (n,))
+            o, d = generate_rays(sd.camera, pix.astype(jnp.float32) + u_pix)
+            rh = intersect_rays(sd.geom, o, d)
+            hit = fill_hit(sd, o, d, rh)
+            v = hit.valid
+            p = _gather(sd.materials, hit.mat)
+            alb = diffuse_color(p, hit.uv)
+            one_alb = bsdf_is_smooth(sd.materials, hit.mat) | hit.is_light
+            alb = jnp.where(one_alb[:, None], 1.0, alb)
+            alb = jnp.where(v[:, None], alb, 0.0)
+            nrm = jnp.where(v[:, None], hit.n_s, 0.0)
+            dep = jnp.where(v, hit.t, 0.0)
+            return (alb_a + alb, nrm_a + nrm, dep_a + dep)
+
+        z3 = jnp.zeros((n, 3), jnp.float32)
+        return jax.lax.fori_loop(0, spp, one, (z3, z3, jnp.zeros(n)))
+
+    if _scene_as_arg(scene):
+        alb, nrm, dep = jax.jit(_impl)(_device_scene(scene), make_stream(seed))
+    else:
+        alb, nrm, dep = jax.jit(partial(_impl, scene))(make_stream(seed))
+    alb = np.asarray(alb).reshape(h, w, 3) / spp
+    nrm = np.asarray(nrm).reshape(h, w, 3) / spp
+    dep = np.repeat(np.asarray(dep).reshape(h, w, 1) / spp, 3, axis=-1)
+    return {"albedo": alb.astype(np.float32),
+            "normal": nrm.astype(np.float32),
+            "depth": dep.astype(np.float32)}

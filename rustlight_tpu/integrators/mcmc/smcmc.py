@@ -67,6 +67,39 @@ class IntegratorSMCMC:
         cap = getattr(integrator, "hard_cap", 16)
         self.pss_dims = pss_dims or (2 + 6 * cap)
 
+    # ---- chain-state checkpointing (beyond-reference: the reference keeps
+    # self.chains only in-process, smcmc.rs:1174-1212 — a crashed -a run
+    # loses all chain history). The carry is a flat tuple of arrays; dumped
+    # as-is it reproduces an uninterrupted run bit-exactly because pass
+    # streams are derived from seed + pass index, not from carried RNG.
+
+    def state_dict(self):
+        """Serializable chain state, or None if no chains are held."""
+        if self._chain_state is None:
+            return None
+        import numpy as _np
+        _, carry = self._chain_state
+        leaves = jax.tree.leaves(carry)
+        d = {f"leaf_{i}": _np.asarray(x) for i, x in enumerate(leaves)}
+        d["n_leaves"] = _np.asarray(len(leaves))
+        d["pss_dims"] = _np.asarray(self.pss_dims)
+        return d
+
+    def load_state_dict(self, d, scene):
+        """Bind a dumped chain state to `scene` for the next render()."""
+        n_leaves = int(d["n_leaves"])
+        if int(d["pss_dims"]) != self.pss_dims:
+            raise ValueError(
+                "SMCMC state mismatch: dumped pss_dims "
+                f"{int(d['pss_dims'])} != configured {self.pss_dims}")
+        carry = tuple(jnp.asarray(d[f"leaf_{i}"]) for i in range(n_leaves))
+        n = scene.camera.width * scene.camera.height
+        if carry[0].shape[0] != n:
+            raise ValueError(
+                f"SMCMC state mismatch: {carry[0].shape[0]} tile-chains "
+                f"dumped, scene has {n} pixels")
+        self._chain_state = (scene, carry)
+
     def render(self, scene, spp: int, seed: int = 0, verbose: bool = False,
                mesh=None) -> Film:
         """`mesh` (1-axis Mesh over 'd'): the per-pixel tile-chain arrays are

@@ -106,15 +106,27 @@ class IntegratorAverage:
         if self.resume and self.dump_base:
             if not averaging:
                 # a non-averaging integrator (e.g. SMCMC with persistent
-                # chains) replaces the film each pass and its chain state
-                # lives only in-process — "resuming" would overwrite dump
-                # numbering with fresh low-pass output while claiming
-                # cumulative progress. Refuse loudly and start clean.
-                import logging
-                logging.getLogger(__name__).warning(
-                    "--resume ignored: %s does not average passes, so a "
-                    "dump cannot seed a bit-exact continuation",
-                    type(self.integrator).__name__)
+                # chains) replaces the film each pass; a film dump alone
+                # cannot seed a continuation. If the integrator dumped its
+                # chain state ({dump_base}_state.npz, written atomically
+                # alongside each pass dump), reload it — the continuation
+                # is then bit-exact because pass streams derive from
+                # seed + pass index. Otherwise refuse loudly, start clean.
+                import os
+                state_path = f"{self.dump_base}_state.npz"
+                if (hasattr(self.integrator, "load_state_dict")
+                        and os.path.exists(state_path)):
+                    with np.load(state_path) as z:
+                        sd = {k: z[k] for k in z.files}
+                    it = int(sd.pop("pass_count"))
+                    self.integrator.load_state_dict(sd, scene)
+                else:
+                    import logging
+                    logging.getLogger(__name__).warning(
+                        "--resume ignored: %s does not average passes and "
+                        "no chain-state dump was found, so a film dump "
+                        "cannot seed a bit-exact continuation",
+                        type(self.integrator).__name__)
             else:
                 got = self._find_resume()
                 if got is not None:
@@ -136,6 +148,16 @@ class IntegratorAverage:
             timeline.append((time.time() - t0, it))
             if self.dump_base:
                 avg.save(f"{self.dump_base}_{it}.pfm")
+                if not averaging and hasattr(self.integrator, "state_dict"):
+                    sd = self.integrator.state_dict()
+                    if sd is not None:
+                        # atomic write: a crash mid-save must not destroy
+                        # the previous checkpoint
+                        import os
+                        sd["pass_count"] = np.asarray(it)
+                        tmp = f"{self.dump_base}_state_tmp.npz"
+                        np.savez(tmp, **sd)
+                        os.replace(tmp, f"{self.dump_base}_state.npz")
             if self.max_passes is not None and it >= self.max_passes:
                 break
             if self.infinite:

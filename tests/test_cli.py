@@ -122,6 +122,50 @@ def test_average_resume_is_bit_exact(tmp_path):
     assert (tmp_path / "none_1.pfm").exists()
 
 
+def test_smcmc_resume_is_bit_exact(tmp_path):
+    """--resume for SMCMC (non-averaging, persistent chains): the chain
+    carry is checkpointed atomically alongside each pass dump
+    ({dump_base}_state.npz) and reloaded on resume, so the continued run
+    reproduces the uninterrupted run bit-exactly (pass streams derive from
+    seed + pass index, not carried RNG). Beyond-reference: rustlight keeps
+    self.chains only in-process (smcmc.rs:1174-1212), so its crashed -a
+    runs lose all chain history."""
+    from rustlight_tpu.models import cornell_box
+    from rustlight_tpu.integrators import IntegratorPathTracing
+    from rustlight_tpu.integrators.mcmc import IntegratorSMCMC
+    from rustlight_tpu.integrators.meta import IntegratorAverage
+    from rustlight_tpu.utils.image import read_pfm
+    import numpy as np
+    sd = cornell_box(12, 12).compile()
+
+    def integ():
+        return IntegratorSMCMC(
+            IntegratorPathTracing(max_depth=2, hard_cap=2),
+            recons="naive", keep_chains=True)
+
+    full = IntegratorAverage(integ(), spp_per_pass=8, nb_passes=4,
+                             dump_base=str(tmp_path / "full"))
+    full.render(sd, seed=5)
+
+    part = IntegratorAverage(integ(), spp_per_pass=8, nb_passes=2,
+                             dump_base=str(tmp_path / "res"))
+    part.render(sd, seed=5)
+    assert (tmp_path / "res_state.npz").exists()
+    cont = IntegratorAverage(integ(), spp_per_pass=8, nb_passes=4,
+                             dump_base=str(tmp_path / "res"), resume=True)
+    film = cont.render(sd, seed=5)
+
+    a = read_pfm(str(tmp_path / "full_4.pfm"))
+    b = read_pfm(str(tmp_path / "res_4.pfm"))
+    assert np.array_equal(a, b)
+    assert np.array_equal(np.asarray(film.buffers["primal"], np.float32), b)
+    # without a state dump the old loud-refusal behavior is preserved
+    fresh = IntegratorAverage(integ(), spp_per_pass=8, nb_passes=1,
+                              dump_base=str(tmp_path / "none"), resume=True)
+    fresh.render(sd, seed=5)
+    assert (tmp_path / "none_1.pfm").exists()
+
+
 def test_resume_cli_parses():
     args = build_parser().parse_args(["cbox", "-a", "4", "--resume", "path"])
     assert args.resume and args.average == "4"
@@ -130,6 +174,11 @@ def test_resume_cli_parses():
 def test_aovs_cli_parses():
     args = build_parser().parse_args(["cbox", "--aovs", "gradient-path"])
     assert args.aovs
+
+
+def test_feature_aovs_cli_parses():
+    args = build_parser().parse_args(["cbox", "--feature-aovs", "path"])
+    assert args.feature_aovs
 
 
 def test_adaptive_cli_parses():

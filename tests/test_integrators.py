@@ -313,3 +313,41 @@ class TestAdaptiveSampling:
         # unbiasedness: agrees with a high-spp uniform reference
         a, b = ada.buffers["primal"].mean(), ref.mean()
         assert abs(a - b) / b < 0.05, (a, b)
+
+
+class TestFeatureAOVs:
+    def test_albedo_normal_depth_on_cbox(self):
+        """Denoiser guide channels (beyond-reference): first-hit albedo
+        matches the wall kd, normals are unit and face the camera, depth is
+        positive everywhere (cbox encloses the camera's view)."""
+        import jax.numpy as jnp
+        from rustlight_tpu.models import cornell_box
+        from rustlight_tpu.integrators.common import render_feature_aovs
+        from rustlight_tpu.scene import generate_rays
+        sd = cornell_box(24, 24).compile()
+        a = render_feature_aovs(sd, spp=8, seed=0)
+        assert set(a) == {"albedo", "normal", "depth"}
+        for v in a.values():
+            assert v.shape == (24, 24, 3) and np.isfinite(v).all()
+        assert (a["albedo"] >= 0).all() and (a["albedo"] <= 1).all()
+        assert (a["depth"] > 0).all()          # every view ray hits the box
+        # interior pixel (away from silhouettes): unit normal facing the ray
+        nc = a["normal"][12, 12]
+        # averaged over jittered sub-pixel samples: near-unit, not exact
+        assert abs(np.linalg.norm(nc) - 1.0) < 2e-2
+        o, d = generate_rays(sd.camera, jnp.asarray([[12.5, 12.5]]))
+        assert float(np.dot(nc, np.asarray(d)[0])) < 0.0
+        # the ceiling light reports albedo 1 (denoiser convention); at 48^2
+        # with unjittered-enough sampling some pixels sit fully inside it
+        b = render_feature_aovs(cornell_box(48, 48).compile(), spp=1, seed=0)
+        frac_one = (b["albedo"] == 1.0).all(-1).mean()
+        assert 0.0 < frac_one < 0.3             # light occupies a small area
+
+    def test_feature_aovs_deterministic(self):
+        from rustlight_tpu.models import cornell_box
+        from rustlight_tpu.integrators.common import render_feature_aovs
+        sd = cornell_box(12, 12).compile()
+        a = render_feature_aovs(sd, spp=2, seed=3)
+        b = render_feature_aovs(sd, spp=2, seed=3)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
