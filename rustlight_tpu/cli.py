@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import sys
 import time
 
@@ -64,6 +65,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="add denoiser guide channels (first-hit "
                          "albedo/normal/depth, anti-aliased) to the film; "
                          "write them with --aovs (beyond-reference)")
+    ap.add_argument("--profile", metavar="OUT.json", default=None,
+                    help="write per-phase wall-clock timings (scene "
+                         "compile, render, save) + run metadata as JSON "
+                         "(structured form of the reference's Elapsed "
+                         "log spans, integrators/mod.rs:324-334)")
     ap.add_argument("-t", "--threads", type=int, default=None,
                     help="device count to shard over (default: all)")
     ap.add_argument("-r", "--random-number-generator", default="independent",
@@ -354,6 +360,48 @@ def _enable_compile_cache():
         pass
 
 
+def _bounded_device_probe(log, timeout_s=None, _run=None):
+    """Refuse to hang forever on a wedged device tunnel.
+
+    The axon TPU relay has two observed failure phases: device ops hang on
+    a futex, or the backend errors at init (see bench.py's probe, which
+    exists for the same reason). A render CLI that silently hangs is a
+    production hazard, so before the FIRST device op (scene compile
+    device-puts the tables) we run a real array op in a bounded
+    subprocess; on failure we exit with an actionable message. Skipped on
+    CPU backends (nothing to wedge) and with RUSTLIGHT_TPU_SKIP_PROBE=1.
+    The reference has no analog (its backend is the local CPU)."""
+    import subprocess
+    if os.environ.get("RUSTLIGHT_TPU_SKIP_PROBE") == "1":
+        return
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        return
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("RUSTLIGHT_TPU_PROBE_TIMEOUT", "240"))
+    code = ("import os, jax\n"
+            "p = os.environ.get('JAX_PLATFORMS')\n"
+            "p and jax.config.update('jax_platforms', p)\n"
+            "import jax.numpy as jnp\n"
+            "print(float(jnp.sum(jnp.ones((8, 8)))), "
+            "jax.devices()[0].platform)")
+    run = _run or subprocess.run
+    try:
+        r = run([sys.executable, "-c", code], capture_output=True,
+                text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        raise SystemExit(
+            f"device backend unresponsive after {timeout_s:.0f}s (wedged "
+            "device tunnel?) — set JAX_PLATFORMS=cpu to render on CPU, "
+            "RUSTLIGHT_TPU_PROBE_TIMEOUT to wait longer, or "
+            "RUSTLIGHT_TPU_SKIP_PROBE=1 to skip this check")
+    if r.returncode != 0:
+        tail = (r.stderr.strip().splitlines() or ["no stderr"])[-1]
+        raise SystemExit(
+            f"device backend failed to initialize: {tail[:300]}\n"
+            "set JAX_PLATFORMS=cpu to render on CPU instead")
+    log.info("Device probe ok: %s", r.stdout.strip())
+
+
 def _respect_platform_env():
     """Honor JAX_PLATFORMS even when a plugin (the axon TPU relay) force-
     selects itself through jax.config at interpreter startup — plugin
@@ -379,11 +427,13 @@ def main(argv=None):
         format="%(levelname)s %(module)s - %(message)s",
         **({"filename": args.log} if args.log else {}))
     log = logging.getLogger("rustlight_tpu")
+    _bounded_device_probe(log)
 
     t0 = time.time()
     scene = load_scene_arg(args)
     sd = scene.compile(use_ats="ats" in args.xtra_options,
                        use_shading_normals="no-shading" not in args.xtra_options)
+    t_compile = time.time() - t0
     log.info("Scene compiled: %d triangles", sd.geom.n_tris)
 
     integrator = build_integrator(args)
@@ -456,18 +506,38 @@ def main(argv=None):
     else:
         film = _render_once(sd, integrator, args.nbsamples, seed,
                             sampler=sampler, mesh=mesh)
-    log.info("Elapsed Integrator: %.3fs", time.time() - t1)
+    t_render = time.time() - t1
+    log.info("Elapsed Integrator: %.3fs", t_render)
 
     if args.feature_aovs:
         from .integrators.common import render_feature_aovs
         film.buffers.update(render_feature_aovs(sd, spp=8, seed=seed))
         log.info("Feature AOVs rendered (albedo/normal/depth)")
 
+    t2 = time.time()
     film.save(args.output)
     if args.aovs and len(film.buffers) > 1:
         film.dump_all(args.output)
         log.info("Wrote AOVs: %s", ", ".join(sorted(film.buffers)))
     log.info("Wrote %s (total %.3fs)", args.output, time.time() - t0)
+
+    if args.profile:
+        import json
+        import jax
+        with open(args.profile, "w") as f:
+            json.dump({
+                "scene_compile_s": round(t_compile, 4),
+                "integrator_s": round(t_render, 4),
+                "save_s": round(time.time() - t2, 4),
+                "total_s": round(time.time() - t0, 4),
+                "n_triangles": int(sd.geom.n_tris),
+                "resolution": [sd.camera.width, sd.camera.height],
+                "spp": args.nbsamples,
+                "integrator": args.command,
+                "backend": jax.default_backend(),
+                "n_devices": len(jax.devices()),
+            }, f, indent=1)
+        log.info("Wrote profile %s", args.profile)
 
 
 if __name__ == "__main__":

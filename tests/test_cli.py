@@ -51,6 +51,70 @@ class TestGlobalFlags:
               "-o", str(out), "path", "-m", "2"])
         assert out.exists()
 
+    def test_profile_writes_phase_timings(self, tmp_path):
+        from rustlight_tpu.cli import main
+        import json
+        out = tmp_path / "p.pfm"
+        prof = tmp_path / "p.json"
+        main(["cbox", "-n", "1", "-s", "0.0625", "-o", str(out),
+              "--profile", str(prof), "ao"])
+        d = json.loads(prof.read_text())
+        for k in ("scene_compile_s", "integrator_s", "save_s", "total_s",
+                  "n_triangles", "backend", "n_devices"):
+            assert k in d, k
+        assert d["integrator_s"] > 0 and d["n_triangles"] > 0
+
+
+class TestDeviceProbe:
+    """The CLI must not hang forever on a wedged device tunnel (both
+    observed axon failure phases); it exits with an actionable message."""
+
+    def test_skips_on_cpu(self, monkeypatch):
+        import logging
+        from rustlight_tpu import cli
+        monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+
+        def boom(*a, **k):
+            raise AssertionError("probe subprocess must not run on cpu")
+        cli._bounded_device_probe(logging.getLogger("t"), _run=boom)
+
+    def test_exits_on_hang(self, monkeypatch):
+        import logging
+        import subprocess
+        import pytest
+        from rustlight_tpu import cli
+        monkeypatch.setenv("JAX_PLATFORMS", "axon")
+
+        def hang(*a, **k):
+            raise subprocess.TimeoutExpired(cmd="x", timeout=1)
+        with pytest.raises(SystemExit, match="unresponsive"):
+            cli._bounded_device_probe(logging.getLogger("t"),
+                                      timeout_s=1, _run=hang)
+
+    def test_exits_on_init_error(self, monkeypatch):
+        import logging
+        import pytest
+        from rustlight_tpu import cli
+        monkeypatch.setenv("JAX_PLATFORMS", "axon")
+
+        class R:
+            returncode = 1
+            stderr = "jax.errors.JaxRuntimeError: UNAVAILABLE: boom"
+            stdout = ""
+        with pytest.raises(SystemExit, match="failed to initialize"):
+            cli._bounded_device_probe(logging.getLogger("t"),
+                                      _run=lambda *a, **k: R())
+
+    def test_skip_env(self, monkeypatch):
+        import logging
+        from rustlight_tpu import cli
+        monkeypatch.setenv("JAX_PLATFORMS", "axon")
+        monkeypatch.setenv("RUSTLIGHT_TPU_SKIP_PROBE", "1")
+
+        def boom(*a, **k):
+            raise AssertionError("probe must be skippable")
+        cli._bounded_device_probe(logging.getLogger("t"), _run=boom)
+
     def test_equal_time_is_milliseconds(self):
         """-e 500 must mean a 0.5 s budget, not 500 s (equal_time.rs:5)."""
         import time
