@@ -458,6 +458,17 @@ def main(argv=None):
             log.info("Sharding over %d devices (-t %d)", n_dev, args.threads)
 
     t1 = time.time()
+    if args.guiding and (args.average is not None
+                         or args.equal_time is not None):
+        # under -a/-e the guide table PERSISTS across passes: each pass
+        # keeps training the table the previous ones built (and -a dumps
+        # checkpoint it, so --resume continues bit-exactly)
+        from .integrators import IntegratorPathTracing
+        from .integrators.guiding import IntegratorGuidedPath
+        if not type(integrator) is IntegratorPathTracing:
+            raise SystemExit("--guiding needs the `path` integrator")
+        integrator = IntegratorGuidedPath(integrator)
+        log.info("Guided path tracing: table persists across passes")
     if args.equal_time is not None:
         # -e is MILLISECONDS like the reference (equal_time.rs:5)
         meta = IntegratorEqualTime(integrator, target_s=args.equal_time / 1e3,

@@ -123,12 +123,16 @@ def deposit(acc, grid: GuideGrid, p, d, value, ok):
 
 def render_guided(scene, integrator, spp: int, seed: int = 0, g: int = 16,
                   alpha: float = 0.5, decay: float = 0.8,
-                  verbose: bool = False):
+                  verbose: bool = False, grid: "GuideGrid" = None,
+                  return_grid: bool = False):
     """Guided progressive render: every 1-spp pass renders with the current
     grid (traced as a jit ARGUMENT — updating it never recompiles) and
     deposits incident-radiance estimates that train the next pass. Each pass
     is individually unbiased (its grid depends only on EARLIER passes), so
-    all passes accumulate with equal weight."""
+    all passes accumulate with equal weight.
+
+    `grid` continues training from an existing table (pass persistence —
+    see IntegratorGuidedPath); `return_grid` also returns the trained grid."""
     import time as _time
     from ..utils.film import Film
     from ..utils.rng import make_stream, stream_fold
@@ -137,7 +141,8 @@ def render_guided(scene, integrator, spp: int, seed: int = 0, g: int = 16,
     cam = scene.camera
     w, h = cam.width, cam.height
     pix = jnp.asarray(_pixel_grid(w, h))
-    grid = make_guide_grid(scene, g)
+    if grid is None:
+        grid = make_guide_grid(scene, g)
     integrator.guide_alpha = alpha
 
     @jax.jit
@@ -164,4 +169,55 @@ def render_guided(scene, integrator, spp: int, seed: int = 0, g: int = 16,
               f"(grid mass {tw:.3g})")
     film = Film(w, h)
     film.buffers["primal"] = img
+    if return_grid:
+        return film, grid
     return film
+
+
+class IntegratorGuidedPath:
+    """Self-driving guided path tracer whose guide table PERSISTS across
+    render() calls: under `-a`, every averaging pass continues training the
+    table the previous passes built, so later passes sample better than a
+    fresh-table run (the progressive-guiding idea applied across passes).
+    Averaging stays unbiased: each pass's grid depends only on EARLIER
+    samples, so per-pass estimates are independent conditioned on history
+    and identically-weighted averaging is exact.
+
+    state_dict/load_state_dict checkpoint the table alongside -a dumps
+    (same protocol as SMCMC chains) so --resume reproduces an
+    uninterrupted run bit-exactly."""
+
+    averaging = True
+
+    def __init__(self, integrator, g: int = 16, alpha: float = 0.5,
+                 decay: float = 0.8):
+        self.integrator = integrator
+        self.g = g
+        self.alpha = alpha
+        self.decay = decay
+        self._grid = None
+        self._grid_scene = None   # retained: id() reuse after GC aliases
+
+    def render(self, scene, spp: int, seed: int = 0, verbose: bool = False):
+        grid = self._grid if self._grid_scene is scene else None
+        film, grid = render_guided(
+            scene, self.integrator, spp, seed=seed, g=self.g,
+            alpha=self.alpha, decay=self.decay, verbose=verbose,
+            grid=grid, return_grid=True)
+        self._grid = grid
+        self._grid_scene = scene
+        return film
+
+    def state_dict(self):
+        if self._grid is None:
+            return None
+        return {"table": np.asarray(self._grid.table),
+                "g": np.asarray(self.g)}
+
+    def load_state_dict(self, d, scene):
+        if int(d["g"]) != self.g:
+            raise ValueError(f"guide-grid mismatch: dumped g={int(d['g'])} "
+                             f"!= configured g={self.g}")
+        grid = make_guide_grid(scene, self.g)
+        self._grid = grid.replace(table=jnp.asarray(d["table"]))
+        self._grid_scene = scene

@@ -71,6 +71,18 @@ class IntegratorAverage:
         # run reproduces the uninterrupted run bit-exactly.
         self.resume = resume
 
+    def _load_dump(self, k: int):
+        """Load dump pass k as a Film, or None."""
+        import os
+        path = f"{self.dump_base}_{k}.pfm"
+        if not os.path.exists(path):
+            return None
+        from ..utils import image as _image
+        img = _image.load(path)
+        film = Film(img.shape[1], img.shape[0])
+        film.buffers["primal"] = np.asarray(img, np.float32)
+        return film
+
     def _find_resume(self):
         """Newest existing dump (film, pass_count), or None."""
         import re
@@ -87,11 +99,7 @@ class IntegratorAverage:
                     best = (k, f)
         if best is None:
             return None
-        from ..utils import image as _image
-        img = _image.load(str(best[1]))
-        film = Film(img.shape[1], img.shape[0])
-        film.buffers["primal"] = np.asarray(img, np.float32)
-        return film, best[0]
+        return self._load_dump(best[0]), best[0]
 
     def render(self, scene, seed: int = 0, verbose: bool = False) -> Film:
         if self.timeout_s is not None:
@@ -131,6 +139,23 @@ class IntegratorAverage:
                 got = self._find_resume()
                 if got is not None:
                     avg, it = got
+                    # averaging integrators with auxiliary state (e.g. the
+                    # guided path tracer's trained table) reload it too;
+                    # if a crash landed between the film save and the state
+                    # save, rewind to the pass the state matches so the
+                    # continuation stays bit-exact
+                    import os
+                    state_path = f"{self.dump_base}_state.npz"
+                    if (hasattr(self.integrator, "load_state_dict")
+                            and os.path.exists(state_path)):
+                        with np.load(state_path) as z:
+                            sd = {k: z[k] for k in z.files}
+                        k = int(sd.pop("pass_count"))
+                        if k < it:
+                            older = self._load_dump(k)
+                            if older is not None:
+                                avg, it = older, k
+                        self.integrator.load_state_dict(sd, scene)
         if (self.infinite and self.dump_base is None
                 and self.max_passes is None):
             raise ValueError(
@@ -148,7 +173,7 @@ class IntegratorAverage:
             timeline.append((time.time() - t0, it))
             if self.dump_base:
                 avg.save(f"{self.dump_base}_{it}.pfm")
-                if not averaging and hasattr(self.integrator, "state_dict"):
+                if hasattr(self.integrator, "state_dict"):
                     sd = self.integrator.state_dict()
                     if sd is not None:
                         # atomic write: a crash mid-save must not destroy
