@@ -503,7 +503,7 @@ def main(argv=None):
         if not type(integrator) is IntegratorPathTracing:
             raise SystemExit("--guiding needs the `path` integrator")
         film = render_guided(sd, integrator, args.nbsamples, seed,
-                             verbose=True)
+                             verbose=True, mesh=mesh)
     elif args.adaptive:
         from .integrators.common import SplattingIntegrator, render_adaptive
         if (isinstance(integrator, SplattingIntegrator)

@@ -124,7 +124,7 @@ def deposit(acc, grid: GuideGrid, p, d, value, ok):
 def render_guided(scene, integrator, spp: int, seed: int = 0, g: int = 16,
                   alpha: float = 0.5, decay: float = 0.8,
                   verbose: bool = False, grid: "GuideGrid" = None,
-                  return_grid: bool = False):
+                  return_grid: bool = False, mesh=None):
     """Guided progressive render: every 1-spp pass renders with the current
     grid (traced as a jit ARGUMENT — updating it never recompiles) and
     deposits incident-radiance estimates that train the next pass. Each pass
@@ -132,26 +132,66 @@ def render_guided(scene, integrator, spp: int, seed: int = 0, g: int = 16,
     all passes accumulate with equal weight.
 
     `grid` continues training from an existing table (pass persistence —
-    see IntegratorGuidedPath); `return_grid` also returns the trained grid."""
+    see IntegratorGuidedPath); `return_grid` also returns the trained grid.
+    `mesh` shards the pixel wavefront over the device mesh ('d' axis) with
+    the grid replicated: per-device deposits psum over ICI so every device
+    trains the SAME table (padding lanes re-deposit one pixel's estimate —
+    training signal, not a film estimate, so no bias). The compiled pass is
+    cached per (scene, integrator, mesh), so -a passes never retrace."""
     import time as _time
     from ..utils.film import Film
     from ..utils.rng import make_stream, stream_fold
-    from .common import _device_scene, _pixel_grid, _scene_as_arg
+    from .common import (_BLOCK_CACHE, _cache_put, _device_scene,
+                         _pixel_grid, _scene_as_arg)
 
     cam = scene.camera
     w, h = cam.width, cam.height
     pix = jnp.asarray(_pixel_grid(w, h))
+    n = pix.shape[0]
     if grid is None:
         grid = make_guide_grid(scene, g)
     integrator.guide_alpha = alpha
 
-    @jax.jit
-    def one_pass(sd, gr, stream):
-        rad, dep = integrator.compute_pixel(sd, pix, stream, guide=gr,
-                                            collect=True)
-        ok = jnp.all(jnp.isfinite(rad), axis=-1) & jnp.all(rad >= 0.0,
-                                                           axis=-1)
-        return jnp.where(ok[:, None], rad, 0.0), dep
+    ck = (id(scene), id(integrator), w, h, alpha,
+          id(mesh) if mesh is not None else 0, "guided")
+    one_pass = _BLOCK_CACHE.get(ck)
+    if one_pass is None:
+        if mesh is None:
+            @jax.jit
+            def one_pass(sd, gr, stream):
+                rad, dep = integrator.compute_pixel(sd, pix, stream,
+                                                    guide=gr, collect=True)
+                ok = jnp.all(jnp.isfinite(rad), axis=-1) & jnp.all(
+                    rad >= 0.0, axis=-1)
+                return jnp.where(ok[:, None], rad, 0.0), dep
+        else:
+            from jax.sharding import PartitionSpec as P
+            from jax import shard_map
+            n_dev = mesh.shape["d"]
+            pad = (-n) % n_dev
+            pix_pad = (jnp.concatenate([pix, jnp.tile(pix[-1:], (pad, 1))], 0)
+                       if pad else pix)
+
+            def device_fn(sd_, gr_, pix_, base_):
+                dev = jax.lax.axis_index("d")
+                stream = stream_fold(base_, dev)
+                rad, dep = integrator.compute_pixel(sd_, pix_, stream,
+                                                    guide=gr_, collect=True)
+                ok = jnp.all(jnp.isfinite(rad), axis=-1) & jnp.all(
+                    rad >= 0.0, axis=-1)
+                return (jnp.where(ok[:, None], rad, 0.0),
+                        jax.lax.psum(dep, "d"))
+
+            sharded = shard_map(device_fn, mesh=mesh,
+                                in_specs=(P(), P(), P("d", None), P()),
+                                out_specs=(P("d", None), P()),
+                                check_vma=False)
+
+            @jax.jit
+            def one_pass(sd, gr, stream):
+                rad, dep = sharded(sd, gr, pix_pad, stream)
+                return rad[:n], dep
+        _cache_put(ck, one_pass)
 
     sd = _device_scene(scene) if _scene_as_arg(scene) else scene
     base = make_stream(seed)
@@ -198,12 +238,13 @@ class IntegratorGuidedPath:
         self._grid = None
         self._grid_scene = None   # retained: id() reuse after GC aliases
 
-    def render(self, scene, spp: int, seed: int = 0, verbose: bool = False):
+    def render(self, scene, spp: int, seed: int = 0, verbose: bool = False,
+               mesh=None):
         grid = self._grid if self._grid_scene is scene else None
         film, grid = render_guided(
             scene, self.integrator, spp, seed=seed, g=self.g,
             alpha=self.alpha, decay=self.decay, verbose=verbose,
-            grid=grid, return_grid=True)
+            grid=grid, return_grid=True, mesh=mesh)
         self._grid = grid
         self._grid_scene = scene
         return film

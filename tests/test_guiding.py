@@ -137,3 +137,41 @@ class TestGuidedPersistence:
         other = IntegratorGuidedPath(IntegratorPathTracing(max_depth=3), g=4)
         with pytest.raises(ValueError, match="guide-grid mismatch"):
             other.load_state_dict(d, sd)
+
+
+class TestGuidedSharded:
+    def test_sharded_matches_single_device_mean(self):
+        """render_guided over an 8-device mesh (replicated grid, psum'd
+        deposits) agrees with the single-device estimate; per-device
+        streams fold the axis index so devices draw independent samples."""
+        import numpy as np
+        from rustlight_tpu.models import cornell_box
+        from rustlight_tpu.integrators import IntegratorPathTracing
+        from rustlight_tpu.integrators.guiding import render_guided
+        from rustlight_tpu.parallel import make_device_mesh
+        sd = cornell_box(16, 16).compile()
+        integ = IntegratorPathTracing(max_depth=3)
+        f1 = render_guided(sd, integ, 48, seed=1, g=8)
+        f8 = render_guided(sd, integ, 48, seed=1, g=8,
+                           mesh=make_device_mesh(8))
+        a = float(np.asarray(f1.buffers["primal"]).mean())
+        b = float(np.asarray(f8.buffers["primal"]).mean())
+        assert abs(a - b) / a < 0.15, (a, b)
+
+    def test_guided_passes_reuse_one_executable(self):
+        """IntegratorGuidedPath under -a calls render_guided once per pass;
+        the pass function must be cached (scene, integrator)-keyed with the
+        RNG stream and grid as traced ARGUMENTS — a fresh jit per pass
+        would retrace and recompile every averaging pass."""
+        from rustlight_tpu.models import cornell_box
+        from rustlight_tpu.integrators import IntegratorPathTracing
+        from rustlight_tpu.integrators.guiding import IntegratorGuidedPath
+        from rustlight_tpu.integrators import common as C
+        sd = cornell_box(12, 12).compile()
+        g = IntegratorGuidedPath(IntegratorPathTracing(max_depth=3), g=8)
+        C._BLOCK_CACHE.clear()
+        g.render(sd, spp=2, seed=0)
+        g.render(sd, spp=2, seed=1)
+        keys = [k for k in C._BLOCK_CACHE if k[-1] == "guided"]
+        assert len(keys) == 1
+        assert C._BLOCK_CACHE[keys[0]]._cache_size() == 1
