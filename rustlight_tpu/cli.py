@@ -513,7 +513,7 @@ def main(argv=None):
                       "integrators allocate their own budgets")
             raise SystemExit(ap_err)
         film = render_adaptive(sd, integrator, args.nbsamples, seed,
-                               verbose=True)
+                               verbose=True, mesh=mesh)
     else:
         film = _render_once(sd, integrator, args.nbsamples, seed,
                             sampler=sampler, mesh=mesh)

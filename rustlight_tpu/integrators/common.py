@@ -320,7 +320,7 @@ def render_splat(scene: SceneData, integrator: SplattingIntegrator, spp: int,
 
 def render_adaptive(scene: SceneData, integrator: Integrator, spp: int,
                     seed: int = 0, pilot_frac: float = 0.25,
-                    verbose: bool = False) -> Film:
+                    verbose: bool = False, mesh=None) -> Film:
     """Variance-adaptive render (beyond the reference, which samples every
     pixel uniformly): a pilot pass measures per-pixel noise, then the
     remaining sample budget is allocated across pixels proportionally to
@@ -329,15 +329,23 @@ def render_adaptive(scene: SceneData, integrator: Integrator, spp: int,
 
     Unbiased: each pixel's estimate is the mean of its OWN iid samples; the
     per-pixel counts depend only on the pilot samples, not the extra ones.
-    The total sample budget equals `spp * w * h` like render(spp)."""
+    The total sample budget equals `spp * w * h` like render(spp).
+    `mesh` shards both phases over the device mesh (pilot via
+    render_variance_sharded; extra passes scatter into per-device films
+    merged by one psum). The allocation itself stays on host."""
     cam = scene.camera
     w, h = cam.width, cam.height
     n_pix = w * h
     # pilot floor of 8: below that the variance estimates misallocate
     # against fireflies (measured 0.5x rmse at pilot=4 vs 2x at pilot=8)
     pilot = max(8, min(int(round(spp * pilot_frac)), spp))
-    film = render(scene, integrator, pilot, seed=seed, variance=True,
-                  persistent=False)
+    if mesh is not None:
+        from ..parallel import render_variance_sharded
+        film = render_variance_sharded(scene, integrator, pilot, mesh=mesh,
+                                       seed=seed)
+    else:
+        film = render(scene, integrator, pilot, seed=seed, variance=True,
+                      persistent=False)
     extra_budget = (spp - pilot) * n_pix
     if extra_budget <= 0:
         return film
@@ -360,8 +368,9 @@ def render_adaptive(scene: SceneData, integrator: Integrator, spp: int,
     pix_list = np.repeat(pix, counts, axis=0)               # [extra_budget, 2]
     pids = (pix_list[:, 1].astype(np.int64) * w + pix_list[:, 0]).astype(
         np.int32)
-    # chunk the extra wavefront at the base resolution's width
-    lanes = n_pix
+    # chunk the extra wavefront at the base resolution's width (rounded up
+    # to a device multiple when sharded)
+    lanes = n_pix if mesh is None else n_pix + ((-n_pix) % mesh.shape["d"])
     n_total = pix_list.shape[0]
     pad = (-n_total) % lanes
     if pad:
@@ -375,13 +384,25 @@ def render_adaptive(scene: SceneData, integrator: Integrator, spp: int,
     pid_d = jnp.asarray(pids.reshape(n_passes, lanes))
     base = make_stream(seed + 7919)
 
-    @jax.jit
-    def extra_pass(sd, px, pid, k):
-        li = integrator.compute_pixel(sd, px, stream_fold(base, k))
-        ok = jnp.all(jnp.isfinite(li), axis=-1) & jnp.all(li >= 0.0, axis=-1)
-        li = jnp.where(ok[:, None], li, 0.0)
-        acc = jnp.zeros((n_pix, 3), jnp.float32)
-        return acc.at[pid].add(li, mode="drop")
+    if mesh is None:
+        @jax.jit
+        def extra_pass(sd, px, pid, k):
+            li = integrator.compute_pixel(sd, px, stream_fold(base, k))
+            ok = jnp.all(jnp.isfinite(li), axis=-1) & jnp.all(li >= 0.0,
+                                                              axis=-1)
+            li = jnp.where(ok[:, None], li, 0.0)
+            acc = jnp.zeros((n_pix, 3), jnp.float32)
+            return acc.at[pid].add(li, mode="drop")
+    else:
+        from ..parallel import adaptive_step_sharded
+        from ..parallel.render import _step_cached
+        step = _step_cached(
+            ("adaptive", id(integrator), id(mesh), n_pix, lanes),
+            lambda: jax.jit(lambda sc, px, pid, b, k: adaptive_step_sharded(
+                sc, integrator, mesh, n_pix, px, pid, b, k)))
+
+        def extra_pass(sd, px, pid, k):
+            return step(sd, px, pid, base, k)
 
     sd = _device_scene(scene) if _scene_as_arg(scene) else scene
     extra_sum = jnp.zeros((n_pix, 3), jnp.float32)

@@ -60,7 +60,8 @@ def _step_cached(key, make):
 def render_step_sharded(scene: SceneData, integrator: Integrator, mesh: Mesh,
                         pix_sharded, seed: int = 0, spp_per_pass: int = 1,
                         sampler: str = "independent", spp_total: int = None,
-                        start_idx: int = 0, base: RngStream = None):
+                        start_idx: int = 0, base: RngStream = None,
+                        with_sq: bool = False):
     """One sharded render step: pix_sharded [n_dev * lanes_per_dev, 2] ->
     radiance accumulated over spp_per_pass samples. jit-compatible; this is
     the `dryrun_multichip` "training step". `sampler="stratified"` keys the
@@ -77,7 +78,8 @@ def render_step_sharded(scene: SceneData, integrator: Integrator, mesh: Mesh,
         dev = jax.lax.axis_index("d")
         base = base_
 
-        def one(s, acc):
+        def one(s, carry):
+            acc, acc2 = carry
             # fold the GLOBAL pass index: chunked host loops would otherwise
             # replay identical streams every chunk (identical samples)
             stream = stream_fold(stream_fold(base, dev), start_idx + s)
@@ -90,16 +92,23 @@ def render_step_sharded(scene: SceneData, integrator: Integrator, mesh: Mesh,
                                           base_key=base.key)
             li = integrator.compute_pixel(scene_, pix_, stream)
             ok = jnp.all(jnp.isfinite(li), axis=-1) & jnp.all(li >= 0.0, axis=-1)
-            return acc + jnp.where(ok[:, None], li, 0.0)
+            li = jnp.where(ok[:, None], li, 0.0)
+            if with_sq:
+                acc2 = acc2 + li * li
+            return acc + li, acc2
 
         n = pix_.shape[0]
-        return jax.lax.fori_loop(
-            0, spp_per_pass, one, jnp.zeros((n, 3), jnp.float32))
+        z = jnp.zeros((n, 3), jnp.float32)
+        z2 = z if with_sq else jnp.zeros((1, 3), jnp.float32)
+        return jax.lax.fori_loop(0, spp_per_pass, one, (z, z2))
 
+    out_sq = P("d", None) if with_sq else P()
     fn = shard_map(device_fn, mesh=mesh,
-                   in_specs=(P(), P("d", None), P()), out_specs=P("d", None),
+                   in_specs=(P(), P("d", None), P()),
+                   out_specs=(P("d", None), out_sq),
                    check_vma=False)
-    return fn(scene, pix_sharded, base)
+    acc, acc2 = fn(scene, pix_sharded, base)
+    return (acc, acc2) if with_sq else acc
 
 
 def render_block_sharded(scene: SceneData, integrator, mesh: Mesh,
@@ -256,3 +265,71 @@ def render_sharded(scene: SceneData, integrator: Integrator, spp: int,
     film = Film(w, h)
     film.buffers["primal"] = img
     return film
+
+
+def render_variance_sharded(scene: SceneData, integrator: Integrator,
+                            spp: int, mesh: Optional[Mesh] = None,
+                            seed: int = 0, spp_per_pass: int = 8,
+                            sampler: str = "independent") -> Film:
+    """Sharded chunked render that also tracks per-sample second moments:
+    the mesh form of `render(..., variance=True)` (per-pixel mean/variance
+    AOVs, reference BufferCollection mod.rs:102-135). Used as
+    render_adaptive's pilot when a mesh is given."""
+    if mesh is None:
+        mesh = make_device_mesh()
+    n_dev = mesh.shape["d"]
+    w, h = scene.camera.width, scene.camera.height
+    pix = _pixel_grid(w, h)
+    n = pix.shape[0]
+    pad = (-n) % n_dev
+    if pad:
+        pix = np.concatenate([pix, np.tile(pix[-1:], (pad, 1))], 0)
+    pix = jnp.asarray(pix)
+
+    chunk = max(1, min(spp_per_pass, spp))
+    step = _step_cached(
+        ("chunk-var", id(integrator), id(mesh), chunk, sampler, spp, w, h),
+        lambda: jax.jit(lambda sc, px, b, s0: render_step_sharded(
+            sc, integrator, mesh, px, spp_per_pass=chunk, sampler=sampler,
+            spp_total=spp, start_idx=s0, base=b, with_sq=True)))
+
+    base = make_stream(seed)
+    acc = jnp.zeros((pix.shape[0], 3), jnp.float32)
+    acc2 = jnp.zeros((pix.shape[0], 3), jnp.float32)
+    done = 0
+    while done < spp:
+        a, a2 = step(scene, pix, base, jnp.int32(done))
+        acc = acc + a
+        acc2 = acc2 + a2
+        done += chunk
+    img = np.asarray(acc)[:n].reshape(h, w, 3) / done
+    m2 = np.asarray(acc2)[:n].reshape(h, w, 3) - done * img * img
+    film = Film(w, h)
+    film.buffers["primal"] = img
+    film.buffers["mean"] = img
+    film.buffers["variance"] = np.maximum(m2 / max(done - 1, 1), 0.0)
+    return film
+
+
+def adaptive_step_sharded(scene: SceneData, integrator, mesh: Mesh,
+                          n_pix: int, pix_lanes, pid_lanes, base: RngStream,
+                          pass_idx):
+    """One sharded adaptive extra pass: the resampled pixel list shards by
+    lane, each device scatter-adds its lanes' radiance into a private
+    [n_pix, 3] film, one psum merges (pad lanes carry pid == n_pix and are
+    dropped by the scatter)."""
+
+    def device_fn(scene_, px_, pid_, base_, k_):
+        dev = jax.lax.axis_index("d")
+        stream = stream_fold(stream_fold(base_, dev), k_)
+        li = integrator.compute_pixel(scene_, px_, stream)
+        ok = jnp.all(jnp.isfinite(li), axis=-1) & jnp.all(li >= 0.0, axis=-1)
+        li = jnp.where(ok[:, None], li, 0.0)
+        film = jnp.zeros((n_pix, 3), jnp.float32)
+        film = film.at[pid_].add(li, mode="drop")
+        return jax.lax.psum(film, "d")
+
+    fn = shard_map(device_fn, mesh=mesh,
+                   in_specs=(P(), P("d", None), P("d",), P(), P()),
+                   out_specs=P(), check_vma=False)
+    return fn(scene, pix_lanes, pid_lanes, base, pass_idx)

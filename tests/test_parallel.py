@@ -161,3 +161,37 @@ class TestStepReuse:
         assert len(R._STEP_CACHE) == 1
         (step,) = R._STEP_CACHE.values()
         assert step._cache_size() == 1, step._cache_size()
+
+
+class TestAdaptiveSharded:
+    def test_adaptive_sharded_budget_and_mean(self):
+        """render_adaptive over a mesh: pilot via render_variance_sharded,
+        extra passes scatter into per-device films merged by psum. The
+        sample budget stays exact and the estimate agrees with the
+        single-device run within MC noise."""
+        from rustlight_tpu.integrators.common import render_adaptive
+        sd = cornell_box(20, 20).compile()
+        integ = IntegratorPathTracing(max_depth=3, hard_cap=3)
+        mesh = make_device_mesh(8)
+        f1 = render_adaptive(sd, integ, 16, seed=0)
+        f8 = render_adaptive(sd, integ, 16, seed=0, mesh=mesh)
+        for f in (f1, f8):
+            assert int(np.asarray(f.buffers["spp"])[..., 0].sum()) == 16 * 400
+        a = float(np.asarray(f1.buffers["primal"]).mean())
+        b = float(np.asarray(f8.buffers["primal"]).mean())
+        assert abs(a - b) / a < 0.15, (a, b)
+
+    def test_variance_sharded_matches_single_device(self):
+        """render_variance_sharded's mean/variance AOVs agree with the
+        single-device render(..., variance=True) statistics."""
+        from rustlight_tpu.integrators.common import render
+        from rustlight_tpu.parallel import render_variance_sharded
+        sd = cornell_box(16, 16).compile()
+        integ = IntegratorPathTracing(max_depth=2, hard_cap=2)
+        f1 = render(sd, integ, 32, seed=0, variance=True, persistent=False)
+        f8 = render_variance_sharded(sd, integ, 32, seed=0,
+                                     mesh=make_device_mesh(8))
+        for k in ("primal", "variance"):
+            a = float(np.asarray(f1.buffers[k]).mean())
+            b = float(np.asarray(f8.buffers[k]).mean())
+            assert abs(a - b) / max(a, 1e-9) < 0.25, (k, a, b)
