@@ -374,8 +374,17 @@ def _bounded_device_probe(log, timeout_s=None, _run=None):
     import subprocess
     if os.environ.get("RUSTLIGHT_TPU_SKIP_PROBE") == "1":
         return
-    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    plat = os.environ.get("JAX_PLATFORMS", "").strip().lower()
+    if plat == "cpu":
         return
+    if not plat:
+        # no platform requested: probe only when an accelerator plugin is
+        # actually installed — a CPU-only install has nothing to wedge and
+        # should not pay a subprocess jax import on every render
+        import importlib.util
+        if (importlib.util.find_spec("jax_plugins") is None
+                and importlib.util.find_spec("libtpu") is None):
+            return
     if timeout_s is None:
         timeout_s = float(os.environ.get("RUSTLIGHT_TPU_PROBE_TIMEOUT", "240"))
     code = ("import os, jax\n"

@@ -339,13 +339,16 @@ def render_adaptive(scene: SceneData, integrator: Integrator, spp: int,
     # pilot floor of 8: below that the variance estimates misallocate
     # against fireflies (measured 0.5x rmse at pilot=4 vs 2x at pilot=8)
     pilot = max(8, min(int(round(spp * pilot_frac)), spp))
+    # spp_per_pass=pilot: one exact-size chunk — the default chunked loop
+    # rounds UP to the chunk size, which would silently render extra pilot
+    # samples (budget overshoot) while the merge weights them as `pilot`
     if mesh is not None:
         from ..parallel import render_variance_sharded
         film = render_variance_sharded(scene, integrator, pilot, mesh=mesh,
-                                       seed=seed)
+                                       seed=seed, spp_per_pass=pilot)
     else:
         film = render(scene, integrator, pilot, seed=seed, variance=True,
-                      persistent=False)
+                      persistent=False, spp_per_pass=pilot)
     extra_budget = (spp - pilot) * n_pix
     if extra_budget <= 0:
         return film

@@ -99,7 +99,13 @@ class IntegratorAverage:
                     best = (k, f)
         if best is None:
             return None
-        return self._load_dump(best[0]), best[0]
+        # load the FOUND file (a re-derived name would miss e.g.
+        # zero-padded dump names and silently mis-weight the resume)
+        from ..utils import image as _image
+        img = _image.load(str(best[1]))
+        film = Film(img.shape[1], img.shape[0])
+        film.buffers["primal"] = np.asarray(img, np.float32)
+        return film, best[0]
 
     def render(self, scene, seed: int = 0, verbose: bool = False) -> Film:
         if self.timeout_s is not None:
@@ -145,17 +151,32 @@ class IntegratorAverage:
                     # save, rewind to the pass the state matches so the
                     # continuation stays bit-exact
                     import os
+                    import logging
                     state_path = f"{self.dump_base}_state.npz"
                     if (hasattr(self.integrator, "load_state_dict")
                             and os.path.exists(state_path)):
                         with np.load(state_path) as z:
                             sd = {k: z[k] for k in z.files}
                         k = int(sd.pop("pass_count"))
-                        if k < it:
-                            older = self._load_dump(k)
-                            if older is not None:
-                                avg, it = older, k
-                        self.integrator.load_state_dict(sd, scene)
+                        older = self._load_dump(k) if k < it else None
+                        if k == it:
+                            self.integrator.load_state_dict(sd, scene)
+                        elif older is not None:
+                            # crash between film and state save: rewind to
+                            # the pass the state matches (bit-exact)
+                            avg, it = older, k
+                            self.integrator.load_state_dict(sd, scene)
+                        else:
+                            # state and films cannot be aligned (stale
+                            # state from a longer prior run, or the pass-k
+                            # dump is gone): loading it would silently
+                            # break the bit-exact guarantee — skip it
+                            logging.getLogger(__name__).warning(
+                                "--resume: state checkpoint (pass %d) does "
+                                "not align with newest dump (pass %d) and "
+                                "no pass-%d dump exists; continuing from "
+                                "the film only (auxiliary state restarts)",
+                                k, it, k)
         if (self.infinite and self.dump_base is None
                 and self.max_passes is None):
             raise ValueError(
@@ -163,6 +184,10 @@ class IntegratorAverage:
                 "runs forever: give it dump_base (per-pass checkpoints, the "
                 "-a inf contract) or max_passes")
         while True:
+            if (self.nb_passes is not None and self.timeout_s is None
+                    and not self.infinite and it >= self.nb_passes
+                    and avg is not None):
+                break   # resumed run already complete: no extra pass
             film = _render_once(scene, self.integrator, self.spp_per_pass,
                                 seed + it, mesh=self.mesh)
             if avg is None or not averaging:

@@ -302,6 +302,11 @@ def render_variance_sharded(scene: SceneData, integrator: Integrator,
         acc = acc + a
         acc2 = acc2 + a2
         done += chunk
+    # same layout guard as render_sharded: the [:n] slice assumes shard i
+    # holds rows [i*per_dev, (i+1)*per_dev) in input order
+    spec = getattr(getattr(acc, "sharding", None), "spec", None)
+    assert spec is None or tuple(spec) in ((), ("d",), ("d", None)), (
+        f"render_variance_sharded: unexpected film shard layout {spec}")
     img = np.asarray(acc)[:n].reshape(h, w, 3) / done
     m2 = np.asarray(acc2)[:n].reshape(h, w, 3) - done * img * img
     film = Film(w, h)

@@ -11,7 +11,7 @@
 //
 // Exposed via ctypes (see rustlight_tpu/utils/piz.py). A pure-Python
 // fallback implements the same format; the two are cross-validated in
-// tests/test_image.py.
+// tests/test_foundations.py (plus hand-computed spec vectors).
 
 #include <cstdint>
 #include <cstring>

@@ -12,7 +12,8 @@ format from its public specification twice:
     Huffman) for environments without g++.
 
 The two implementations are independent of each other and cross-validated
-in tests/test_image.py (each decodes the other's output). No conformant
+in tests/test_foundations.py (each decodes the other's output, plus
+hand-computed spec vectors built without either codec). No conformant
 external PIZ sample is available in this environment (no OpenEXR binding,
 zero egress), so conformance rests on the spec-structural tests plus the
 dual implementation — the same validation stance as the ZIP/RLE codecs.
@@ -60,9 +61,17 @@ def _load_native():
     src = _NATIVE_DIR / "piz_codec.cpp"
     try:
         if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
-            subprocess.run(
-                ["g++", "-O2", "-shared", "-fPIC", "-o", str(so), str(src)],
-                check=True, capture_output=True)
+            try:
+                subprocess.run(
+                    ["g++", "-O2", "-shared", "-fPIC", "-o", str(so),
+                     str(src)],
+                    check=True, capture_output=True)
+            except Exception:
+                # no compiler but a prebuilt .so exists (checkout mtimes
+                # are arbitrary): a possibly-stale native codec beats the
+                # bit-serial Python fallback by orders of magnitude
+                if not so.exists():
+                    raise
         lib = ctypes.CDLL(str(so))
         lib.rl_piz_compress.restype = ctypes.c_longlong
         lib.rl_piz_compress.argtypes = [

@@ -253,3 +253,75 @@ def test_adaptive_cli_parses():
 def test_guiding_cli_parses():
     args = build_parser().parse_args(["cbox", "--guiding", "-n", "16", "path"])
     assert args.guiding
+
+
+def test_resume_of_completed_run_adds_no_pass(tmp_path):
+    """Resuming a run that already reached nb_passes must not render (and
+    dump) an extra pass beyond the request."""
+    from rustlight_tpu.models import cornell_box
+    from rustlight_tpu.integrators import IntegratorPathTracing
+    from rustlight_tpu.integrators.meta import IntegratorAverage
+    import numpy as np
+    sd = cornell_box(12, 12).compile()
+    integ = IntegratorPathTracing(max_depth=2, hard_cap=2)
+    IntegratorAverage(integ, spp_per_pass=1, nb_passes=2,
+                      dump_base=str(tmp_path / "d")).render(sd, seed=1)
+    done = IntegratorAverage(integ, spp_per_pass=1, nb_passes=2,
+                             dump_base=str(tmp_path / "d"),
+                             resume=True).render(sd, seed=1)
+    assert not (tmp_path / "d_3.pfm").exists()
+    from rustlight_tpu.utils.image import read_pfm
+    np.testing.assert_array_equal(
+        np.asarray(done.buffers["primal"], np.float32),
+        read_pfm(str(tmp_path / "d_2.pfm")))
+
+
+def test_resume_loads_zero_padded_dump_names(tmp_path):
+    """_find_resume must load the file it actually globbed — a zero-padded
+    dump name (external tooling) would otherwise resolve to pass k with a
+    silently missing film."""
+    from rustlight_tpu.models import cornell_box
+    from rustlight_tpu.integrators import IntegratorPathTracing
+    from rustlight_tpu.integrators.meta import IntegratorAverage
+    import numpy as np
+    import os
+    sd = cornell_box(12, 12).compile()
+    integ = IntegratorPathTracing(max_depth=2, hard_cap=2)
+    IntegratorAverage(integ, spp_per_pass=1, nb_passes=2,
+                      dump_base=str(tmp_path / "z")).render(sd, seed=3)
+    os.rename(tmp_path / "z_2.pfm", tmp_path / "z_002.pfm")
+    os.remove(tmp_path / "z_1.pfm")
+    meta = IntegratorAverage(integ, spp_per_pass=1, nb_passes=3,
+                             dump_base=str(tmp_path / "z"), resume=True)
+    got = meta._find_resume()
+    assert got is not None and got[1] == 2
+    assert got[0] is not None          # the film itself was loaded
+    meta.render(sd, seed=3)
+    assert (tmp_path / "z_3.pfm").exists()
+
+
+def test_resume_misaligned_state_falls_back_to_film(tmp_path):
+    """A state checkpoint whose pass count cannot be aligned with the
+    newest dump (stale leftover from a longer run) must be skipped, not
+    silently paired with the wrong film."""
+    from rustlight_tpu.models import door_box
+    from rustlight_tpu.integrators import IntegratorPathTracing
+    from rustlight_tpu.integrators.guiding import IntegratorGuidedPath
+    from rustlight_tpu.integrators.meta import IntegratorAverage
+    import numpy as np
+    import os
+    sd = door_box(12, 9).compile()
+
+    def gi():
+        return IntegratorGuidedPath(IntegratorPathTracing(max_depth=3), g=8)
+    IntegratorAverage(gi(), spp_per_pass=1, nb_passes=3,
+                      dump_base=str(tmp_path / "m")).render(sd, seed=2)
+    # fake the misalignment: drop all dumps newer than pass 1, keep the
+    # pass-3 state -> k=3 > it=1 and no pass-3 film exists
+    os.remove(tmp_path / "m_2.pfm")
+    os.remove(tmp_path / "m_3.pfm")
+    g = gi()
+    meta = IntegratorAverage(g, spp_per_pass=1, nb_passes=2,
+                             dump_base=str(tmp_path / "m"), resume=True)
+    meta.render(sd, seed=2)            # must not crash
+    assert (tmp_path / "m_2.pfm").exists()

@@ -351,3 +351,18 @@ class TestFeatureAOVs:
         b = render_feature_aovs(sd, spp=2, seed=3)
         for k in a:
             np.testing.assert_array_equal(a[k], b[k])
+
+
+class TestAdaptiveBudgetExact:
+    def test_non_multiple_pilot_budget(self):
+        """spp=44 -> pilot=11: the pilot must render EXACTLY 11 spp (one
+        exact-size chunk), not round up to the chunk size — the spp AOV
+        accounts for every sample and the total equals spp * n_pix."""
+        from rustlight_tpu.models import cornell_box
+        from rustlight_tpu.integrators.common import render_adaptive
+        from rustlight_tpu.integrators import IntegratorPathTracing
+        sd = cornell_box(10, 10).compile()
+        integ = IntegratorPathTracing(max_depth=2, hard_cap=2)
+        f = render_adaptive(sd, integ, 44, seed=0)
+        assert int(np.asarray(f.buffers["spp"])[..., 0].sum()) == 44 * 100
+        assert int(np.asarray(f.buffers["spp"]).min()) >= 11
