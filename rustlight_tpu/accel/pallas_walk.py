@@ -74,6 +74,10 @@ _BIG = 1e30
 # on-chip measurement says it wins (the kernel is VPU-bound on these tests
 # — STATUS.md "Measured ceilings").
 MXU_TRITEST = os.environ.get("RUSTLIGHT_TPU_MXU_TRITEST", "0") == "1"
+# Sub-tiled schedule (opt-in, measured NEGATIVE — see _closest_kernel_sub):
+# read once at import so the jit cache (keyed on the static `sub` argument
+# resolved at trace time) can never go stale on a mid-process env change.
+SUBTILES_DEFAULT = int(os.environ.get("RUSTLIGHT_TPU_SUBTILES", "1"))
 
 
 @struct.dataclass
@@ -303,15 +307,18 @@ def _entry_floor(emin_bits, id_bits=_ID_BITS):
 
 
 def _tile_entries(lo_ref, hi_ref, o, d, tnear, tfar, n_real, cp,
-                  wide=False):
+                  wide=False, sub=1):
     """Per-cluster tile entry distance: min over rays of the slab entry.
 
-    Returns [1, C] f32 with the cluster id PACKED into the low _ID_BITS
-    mantissa bits (wide=False) or the plain entry (wide=True). +inf where
-    no ray in the tile enters the AABB, so a single min-reduce yields the
-    next entry distance (and, packed, its cluster)."""
+    Returns [sub, C] f32 — row s reduced over the tile's s-th contiguous
+    ray sub-group (sub=1: the whole tile, the classic behavior) — with the
+    cluster id PACKED into the low _ID_BITS mantissa bits (wide=False) or
+    the plain entry (wide=True). +inf where no ray of the group enters the
+    AABB, so a single min-reduce per row yields the group's next entry
+    distance (and, packed, its cluster)."""
     inv = 1.0 / jnp.where(jnp.abs(d) > 1e-12, d,
                           jnp.where(d >= 0, 1e-12, -1e-12))
+    rs = o.shape[0] // sub
     # chunk over clusters so the [R, C] intermediates stay within VMEM
     # headroom next to the resident row tables at large C; the chunk loop is
     # Python-unrolled, so bound the chunk COUNT (not just width) for
@@ -331,10 +338,15 @@ def _tile_entries(lo_ref, hi_ref, o, d, tnear, tfar, n_real, cp,
             tmax = jnp.minimum(tmax, jnp.maximum(t0, t1))
         entry = jnp.maximum(tmin, tnear[:, None])
         ok = (tmax >= entry) & (entry < tfar[:, None])
-        parts.append(jnp.min(jnp.where(ok, entry, jnp.inf), axis=0,
-                             keepdims=True))
+        ent_rays = jnp.where(ok, entry, jnp.inf)
+        if sub == 1:
+            parts.append(jnp.min(ent_rays, axis=0, keepdims=True))
+        else:
+            parts.append(jnp.concatenate(
+                [jnp.min(ent_rays[s * rs:(s + 1) * rs], axis=0,
+                         keepdims=True) for s in range(sub)], axis=0))
     ent = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
-    ciota = lax.broadcasted_iota(jnp.int32, (1, cp), 1)
+    ciota = lax.broadcasted_iota(jnp.int32, (sub, cp), 1)
     fin = (ciota < n_real) & jnp.isfinite(ent)
     if wide:
         return jnp.where(fin, jnp.maximum(ent, 0.0), jnp.inf)
@@ -515,6 +527,142 @@ def _anyhit_kernel(n_real, wide, lo_ref, hi_ref, rows_ref, ids_ref,
     init = (jnp.int32(0), emin0, csel0, _sortable_max(tfar), occ0)
     _, _, _, _, occ = lax.while_loop(cond, body, init)
     occ_ref[:, 0] = occ
+
+
+# --- sub-tiled walk (VMEM-resident tables; opt-in, measured NEGATIVE) -----
+# The tile walk's recorded SIMD waste: a 64-ray divergent tile visits the
+# UNION of its rays' overlapped clusters (~175 at 122k tris) while each ray
+# overlaps ~4 — every visit tests all 64 rays against 128 triangles. Here
+# the tile is split into `sub` contiguous sub-groups (the coherence sort
+# makes neighbors similar), each with its own entry heap ([1, C] scratch
+# row) and its own termination cap (max best_t over 8/16 rays instead of
+# 64). A sub-group only visits the clusters ITS rays overlap, so IF the
+# per-ray union scaled near-linearly in group size, the total pop COUNT
+# would stay ~constant while the triangle-test volume dropped by ~sub.
+# The entry pass is unchanged (O(R*C) slab work) and still amortized over
+# the full tile. Results are exact/bit-identical for the same reason the
+# tile walk is: a sub-group's conservative entry floor never skips a
+# cluster that could still beat one of its rays' best hits.
+#
+# MEASURED ON-CHIP (v5e, 122k tris, 262k rays, tools/perf/trace_122k.py —
+# checksums bit-identical): LOSES monotonically. sub=2: 98/239 ms
+# (coherent/divergent), sub=4: 139/266, sub=8: 196/287, vs 78.5/231.1 for
+# the tile walk. Back-solving the visit counts puts the 8-ray union at
+# ~45 clusters — divergent rays genuinely don't share traversal, so the
+# union shrinks far sublinearly and the extra pops + dynamic row fetches
+# cost more than the narrower tests save (the same root cause that sank
+# the per-ray pair schedule, STATUS.md "Measured ceilings"). Kept opt-in
+# (RUSTLIGHT_TPU_SUBTILES) with an interpret-mode parity test.
+
+def _closest_kernel_sub(n_real, sub, lo_ref, hi_ref, rows_ref, ids_ref,
+                        o_ref, d_ref, tnear_ref, tfar_ref,
+                        t_ref, tri_ref, u_ref, v_ref, *scrs):
+    cp = lo_ref.shape[1]
+    o_all = o_ref[:]
+    d_all = d_ref[:]
+    tnear_all = tnear_ref[:, 0]
+    tfar_all = tfar_ref[:, 0]
+    rs = o_all.shape[0] // sub
+    ent = _tile_entries(lo_ref, hi_ref, o_all, d_all, tnear_all, tfar_all,
+                        n_real, cp, False, sub)
+    for s in range(sub):
+        scrs[s][:] = ent[s:s + 1]
+    kiota = lax.broadcasted_iota(jnp.int32, (rs, K), 1)
+
+    for s in range(sub):
+        o = o_all[s * rs:(s + 1) * rs]
+        d = d_all[s * rs:(s + 1) * rs]
+        tnear = tnear_all[s * rs:(s + 1) * rs]
+        tfar = tfar_all[s * rs:(s + 1) * rs]
+        ent_scr = scrs[s]
+        emin0, csel0 = _pop_min(ent_scr, False)
+
+        def cond(st):
+            nv, emin, _, thresh, *_ = st
+            return (_entry_floor(emin) < thresh) & (nv < cp)
+
+        def visit(emin, csel, best_t, best_i, best_u, best_v):
+            t, u, v, valid = _test_cluster(rows_ref, csel, o, d, tnear,
+                                           best_t)
+            tm = jnp.where(valid, t, jnp.inf)
+            bt = jnp.min(tm, axis=1)
+            better = bt < best_t
+            j = jnp.minimum(
+                jnp.min(jnp.where(tm == bt[:, None], kiota, K), 1), K - 1)
+            jhot = (kiota == j[:, None]) & better[:, None]
+            ids = ids_ref[pl.ds(csel, 1), :]             # [1, K]
+            tri_new = jnp.sum(jnp.where(jhot, ids, 0), axis=1)
+            best_u = jnp.where(better, jnp.sum(jnp.where(jhot, u, 0.0), 1),
+                               best_u)
+            best_v = jnp.where(better, jnp.sum(jnp.where(jhot, v, 0.0), 1),
+                               best_v)
+            best_t = jnp.where(better, bt, best_t)
+            best_i = jnp.where(better, tri_new, best_i)
+            emin, csel = _pop_min(ent_scr, False)
+            return emin, csel, best_t, best_i, best_u, best_v
+
+        def body(st):
+            nv, emin, csel, _, best_t, best_i, best_u, best_v = st
+            out = visit(emin, csel, best_t, best_i, best_u, best_v)
+            out = visit(*out)
+            emin, csel, best_t, best_i, best_u, best_v = out
+            return (nv + 1, emin, csel, _sortable_max(best_t),
+                    best_t, best_i, best_u, best_v)
+
+        best_t0 = jnp.minimum(tfar, jnp.inf)
+        init = (jnp.int32(0), emin0, csel0, _sortable_max(best_t0), best_t0,
+                jnp.full(rs, -1, jnp.int32), jnp.zeros(rs), jnp.zeros(rs))
+        _, _, _, _, best_t, best_i, best_u, best_v = lax.while_loop(
+            cond, body, init)
+        hit = best_i >= 0
+        t_ref[s * rs:(s + 1) * rs, 0] = jnp.where(hit, best_t, jnp.inf)
+        tri_ref[s * rs:(s + 1) * rs, 0] = best_i
+        u_ref[s * rs:(s + 1) * rs, 0] = best_u
+        v_ref[s * rs:(s + 1) * rs, 0] = best_v
+
+
+def _anyhit_kernel_sub(n_real, sub, lo_ref, hi_ref, rows_ref, ids_ref,
+                       o_ref, d_ref, tnear_ref, tfar_ref, occ_ref, *scrs):
+    cp = lo_ref.shape[1]
+    o_all = o_ref[:]
+    d_all = d_ref[:]
+    tnear_all = tnear_ref[:, 0]
+    tfar_all = tfar_ref[:, 0]
+    rs = o_all.shape[0] // sub
+    ent = _tile_entries(lo_ref, hi_ref, o_all, d_all, tnear_all, tfar_all,
+                        n_real, cp, False, sub)
+    for s in range(sub):
+        scrs[s][:] = ent[s:s + 1]
+
+    for s in range(sub):
+        o = o_all[s * rs:(s + 1) * rs]
+        d = d_all[s * rs:(s + 1) * rs]
+        tnear = tnear_all[s * rs:(s + 1) * rs]
+        tfar = tfar_all[s * rs:(s + 1) * rs]
+        ent_scr = scrs[s]
+        emin0, csel0 = _pop_min(ent_scr, False)
+
+        def cond(st):
+            nv, emin, _, thresh, _ = st
+            return (_entry_floor(emin) < thresh) & (nv < cp)
+
+        def visit(emin, csel, occ):
+            _, _, _, valid = _test_cluster(rows_ref, csel, o, d, tnear,
+                                           tfar)
+            occ = jnp.maximum(occ, jnp.any(valid, axis=1).astype(jnp.int32))
+            emin, csel = _pop_min(ent_scr, False)
+            return emin, csel, occ
+
+        def body(st):
+            nv, emin, csel, _, occ = st
+            emin, csel, occ = visit(*visit(emin, csel, occ))
+            thresh = _sortable_max(jnp.where(occ > 0, 0.0, tfar))
+            return nv + 1, emin, csel, thresh, occ
+
+        occ0 = jnp.zeros(rs, jnp.int32)
+        init = (jnp.int32(0), emin0, csel0, _sortable_max(tfar), occ0)
+        _, _, _, _, occ = lax.while_loop(cond, body, init)
+        occ_ref[s * rs:(s + 1) * rs, 0] = occ
 
 
 def _closest_kernel_hbm(n_real, wide, lo_ref, hi_ref, rows_hbm,
@@ -865,10 +1013,10 @@ def _anyhit_kernel_hbm_hier(n_real, n_sup, slo_ref, shi_ref,
 
 
 @partial(jax.jit, static_argnames=("any_hit", "interpret", "sort_rays",
-                                   "wide", "hier"))
+                                   "wide", "hier", "sub"))
 def _walk_impl(wt: WalkTables, o, d, tnear, tfar, any_hit: bool,
                interpret: bool = False, sort_rays: bool = True,
-               wide: bool = None, hier: bool = None):
+               wide: bool = None, hier: bool = None, sub: int = None):
     n = o.shape[0]
     cp = wt.n_clusters
     # packed entry+id pops cap at 2^14 clusters; larger scenes use the
@@ -962,13 +1110,29 @@ def _walk_impl(wt: WalkTables, o, d, tnear, tfar, any_hit: bool,
         k_closest, k_anyhit = _closest_kernel_hbm, _anyhit_kernel_hbm
         tables = (wt.rows,)
     if not hier:
+        # sub-tiled schedule (resident, packed-pop scenes only): split the
+        # ray tile into `sub` groups with private entry heaps/caps — cuts
+        # the per-visit triangle-test width by ~sub at ~constant pop count
+        # on divergent wavefronts (see _closest_kernel_sub).
+        if sub is None:
+            sub = SUBTILES_DEFAULT
+        sub = sub if (wt.resident and not wide and sub > 1
+                      and RAY_TILE % (8 * sub) == 0) else 1
         in_specs = [
             const((3, cp)), const((3, cp)),              # lo, hi
             *table_specs,                                # rows (+ids)
             ray2, ray2, row, row,
         ]
         args = (wt.lo, wt.hi, *tables, o, d, tnear2, tfar2)
-        scratch = [pltpu.VMEM((1, cp), jnp.float32)] + extra_scratch
+        if sub > 1:
+            scratch = [pltpu.VMEM((1, cp), jnp.float32)
+                       for _ in range(sub)]
+            k_closest = partial(_closest_kernel_sub, wt.n_real, sub)
+            k_anyhit = partial(_anyhit_kernel_sub, wt.n_real, sub)
+        else:
+            scratch = [pltpu.VMEM((1, cp), jnp.float32)] + extra_scratch
+            k_closest = partial(k_closest, wt.n_real, wide)
+            k_anyhit = partial(k_anyhit, wt.n_real, wide)
 
         # the 16 MB default scoped-vmem cap is conservative; the resident
         # tables alone reach ~12.6 MB at MAX_VMEM_CLUSTERS, so lift the cap
@@ -977,8 +1141,6 @@ def _walk_impl(wt: WalkTables, o, d, tnear, tfar, any_hit: bool,
         cparams = pltpu.CompilerParams(
             vmem_limit_bytes=20 * 1024 * 1024 + 4 * cp * 3 * K * 4
         ) if wt.resident else pltpu.CompilerParams()
-        k_closest = partial(k_closest, wt.n_real, wide)
-        k_anyhit = partial(k_anyhit, wt.n_real, wide)
 
     if any_hit:
         occ = pl.pallas_call(
@@ -1025,23 +1187,23 @@ def walk_supported(wt) -> bool:
 
 def intersect_walk(wt: WalkTables, o, d, tnear=None, tfar=None,
                    interpret: bool = False, wide: bool = None,
-                   hier: bool = None):
+                   hier: bool = None, sub: int = None):
     n = o.shape[0]
     if tnear is None:
         tnear = jnp.full(n, EPSILON, jnp.float32)
     if tfar is None:
         tfar = jnp.full(n, jnp.inf, jnp.float32)
     return _walk_impl(wt, o, d, tnear, tfar, False, interpret, wide=wide,
-                      hier=hier)
+                      hier=hier, sub=sub)
 
 
 def occluded_walk(wt: WalkTables, o, d, tnear=None, tfar=None,
                   interpret: bool = False, wide: bool = None,
-                  hier: bool = None):
+                  hier: bool = None, sub: int = None):
     n = o.shape[0]
     if tnear is None:
         tnear = jnp.full(n, EPSILON, jnp.float32)
     if tfar is None:
         tfar = jnp.full(n, jnp.inf, jnp.float32)
     return _walk_impl(wt, o, d, tnear, tfar, True, interpret, wide=wide,
-                      hier=hier)
+                      hier=hier, sub=sub)

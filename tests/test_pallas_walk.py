@@ -324,6 +324,30 @@ def test_mxu_tritest_matches_dense(soup, monkeypatch):
     assert np.array_equal(np.asarray(occ_ref), np.asarray(occ))
 
 
+def test_subtile_schedule_matches_dense(soup):
+    """RUSTLIGHT_TPU_SUBTILES / sub=N splits each ray tile into N groups
+    with private entry heaps and termination caps (_closest_kernel_sub).
+    Measured slower on-chip (see the kernel comment) but kept opt-in; its
+    hits must stay EXACTLY dense-oracle-equal at every split factor."""
+    geom, wt, o, d = soup
+    nr = o.shape[0]
+    ref = _intersect_impl(geom.inter_rows, o, d, jnp.full(nr, 1e-4),
+                          jnp.full(nr, jnp.inf), False)
+    occ_ref = _intersect_impl(geom.inter_rows, o, d, jnp.full(nr, 1e-4),
+                              jnp.full(nr, 2.2), True)
+    both = np.asarray(ref.hit)
+    for sub in (2, 4, 8):
+        out = intersect_walk(wt, o, d, interpret=True, sub=sub)
+        assert np.array_equal(np.asarray(ref.hit), np.asarray(out.hit)), sub
+        np.testing.assert_allclose(np.asarray(out.t)[both],
+                                   np.asarray(ref.t)[both], rtol=1e-5,
+                                   atol=1e-6)
+        assert (np.asarray(ref.tri)[both] == np.asarray(out.tri)[both]).all()
+        occ = occluded_walk(wt, o, d, tfar=jnp.full(nr, 2.2),
+                            interpret=True, sub=sub)
+        assert np.array_equal(np.asarray(occ_ref), np.asarray(occ)), sub
+
+
 def test_degenerate_and_duplicate_triangles(monkeypatch):
     """Zero-area (collapsed) and exactly-duplicated triangles must not
     produce NaN entries or walk/dense divergence — degenerate rows appear in
