@@ -40,8 +40,9 @@ def _probe_devices(timeout_s: float = 240.0) -> str:
 
 
 def main():
-    from rustlight_tpu.cli import _respect_platform_env
+    from rustlight_tpu.cli import _respect_platform_env, _enable_compile_cache
     _respect_platform_env()   # honor JAX_PLATFORMS=cpu despite the plugin
+    _enable_compile_cache()   # relay compiles run 20-270 s; cache repeats
     plat = _probe_devices()
     if plat not in ("tpu", "axon", "cpu", "gpu"):
         print(json.dumps({

@@ -1,0 +1,89 @@
+"""Cluster-size (K) sweep for the Pallas tile-walk intersector.
+
+The kernel is VPU-bound on the [R, 3K] triangle tests (STATUS "Measured
+ceilings"), and per 64-ray tile most tested triangles are waste (union ~175
+clusters visited, each ray overlaps ~4). Smaller clusters cut the per-pop
+test width 3K at the price of more pops and a lower treelet fill rate;
+larger clusters amortize pops but widen the waste. This sweep rebuilds the
+walk tables and re-traces the kernels at K in {64, 128, 256} on the 122k-tri
+grid scene and times coherent + divergent 262k-ray wavefronts.
+
+MAX_VMEM_CLUSTERS is rescaled by 128/K so the VMEM rows budget (6 KB/cluster
+at K=128) — and therefore the resident-vs-HBM-DMA choice — stays constant
+across the sweep; otherwise K=64 would silently flip the 122k scene to the
+DMA variant and confound the A/B.
+
+Run on a real chip:  python tools/perf/k_sweep.py
+"""
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent.parent))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rustlight_tpu.scene.geometry import TriMesh, make_sphere, \
+    build_geometry_tables
+import rustlight_tpu.accel.pallas_walk as pw
+from rustlight_tpu.cli import _enable_compile_cache
+
+_enable_compile_cache()
+
+base = make_sphere((0, 0, 0), 1.0, n_theta=18, n_phi=18)
+nt_per = base.indices.shape[0]
+rng = np.random.default_rng(3)
+n = 262144
+gs = int(np.ceil((110_000 / nt_per) ** (1 / 3)))
+vs, idxs, off = [], [], 0
+for i in range(gs):
+    for j in range(gs):
+        for k in range(gs):
+            c = np.array([i, j, k], np.float32) * 3.0
+            vs.append(base.vertices + c)
+            idxs.append(base.indices + off)
+            off += base.vertices.shape[0]
+verts = np.concatenate(vs).astype(np.float32)
+idx = np.concatenate(idxs).astype(np.int32)
+geom = build_geometry_tables([TriMesh(vertices=verts, indices=idx,
+                                      material=0)], [-1])
+ext = gs * 3.0
+o_c = np.tile(np.array([ext / 2, ext / 2, -0.35 * ext], np.float32), (n, 1))
+tgt = rng.uniform(0, ext, (n, 3)).astype(np.float32)
+d_c = tgt - o_c
+d_c /= np.linalg.norm(d_c, axis=1, keepdims=True)
+o_d = rng.uniform(0, ext, (n, 3)).astype(np.float32)
+d_d = rng.normal(size=(n, 3)).astype(np.float32)
+d_d /= np.linalg.norm(d_d, axis=1, keepdims=True)
+
+K0, MV0 = pw.K, pw.MAX_VMEM_CLUSTERS
+ref_hits = {}
+for Ksw in (64, 128, 256):
+    pw.K = Ksw
+    pw.MAX_VMEM_CLUSTERS = MV0 * K0 // Ksw
+    wt = jax.device_put(pw.build_walk_tables(geom))
+    print(f"K={Ksw}: C={wt.n_clusters} resident={wt.ids is not None}",
+          flush=True)
+    for name, o, d in [("coherent", o_c, d_c), ("divergent", o_d, d_d)]:
+        o_j, d_j = jnp.asarray(o), jnp.asarray(d)
+        f = lambda: pw.intersect_walk(wt, o_j, d_j)
+        r = f()
+        chk = float(jnp.sum(jnp.where(jnp.isfinite(r.t), r.t, 0.0)))
+        hits = int(jnp.sum(r.hit))
+        if name not in ref_hits:
+            ref_hits[name] = (hits, chk)
+        elif (hits, round(chk, 1)) != (ref_hits[name][0],
+                                       round(ref_hits[name][1], 1)):
+            print(f"  PARITY DRIFT {name}: hits={hits} chk={chk:.1f} vs "
+                  f"{ref_hits[name]}", flush=True)
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            r = f()
+            float(jnp.sum(jnp.where(jnp.isfinite(r.t), r.t, 0.0)))
+            ts.append(time.time() - t0)
+        print(f"  {name}: {min(ts)*1e3:7.1f} ms hits={hits} chk={chk:.1f}",
+              flush=True)
+pw.K, pw.MAX_VMEM_CLUSTERS = K0, MV0
