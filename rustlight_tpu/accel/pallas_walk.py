@@ -78,6 +78,13 @@ MXU_TRITEST = os.environ.get("RUSTLIGHT_TPU_MXU_TRITEST", "0") == "1"
 # read once at import so the jit cache (keyed on the static `sub` argument
 # resolved at trace time) can never go stale on a mid-process env change.
 SUBTILES_DEFAULT = int(os.environ.get("RUSTLIGHT_TPU_SUBTILES", "1"))
+# Sparse-visit schedule (see _closest_kernel_sparse): test only the rays
+# that overlap the popped cluster (gathered by exact one-hot matmuls into a
+# [SPARSE_CAP, 3K] narrow test) instead of the whole [R, 3K] tile; falls
+# back to the dense test when more than SPARSE_CAP rays overlap. Resolved
+# at import for jit-cache hygiene, like SUBTILES_DEFAULT.
+SPARSE_DEFAULT = os.environ.get("RUSTLIGHT_TPU_SPARSE_VISIT", "0") == "1"
+SPARSE_CAP = int(os.environ.get("RUSTLIGHT_TPU_SPARSE_CAP", "16"))
 
 
 @struct.dataclass
@@ -294,6 +301,7 @@ def _sort_key(wt: WalkTables, o, d):
 # path; ceiling becomes _MAX_CLUSTERS, a VMEM/entry-pass budget only).
 _ID_BITS = 14
 _MAX_CLUSTERS = 1 << 17        # wide-mode ceiling: ent_scr 512 KB VMEM
+_FMAX = float(np.finfo(np.float32).max)   # inf-free cap for one-hot gathers
 
 import os as _os
 _NO_HIER = _os.environ.get("RUSTLIGHT_TPU_NO_HIER") == "1"
@@ -307,7 +315,7 @@ def _entry_floor(emin_bits, id_bits=_ID_BITS):
 
 
 def _tile_entries(lo_ref, hi_ref, o, d, tnear, tfar, n_real, cp,
-                  wide=False, sub=1):
+                  wide=False, sub=1, rc_ref=None):
     """Per-cluster tile entry distance: min over rays of the slab entry.
 
     Returns [sub, C] f32 — row s reduced over the tile's s-th contiguous
@@ -315,7 +323,13 @@ def _tile_entries(lo_ref, hi_ref, o, d, tnear, tfar, n_real, cp,
     cluster id PACKED into the low _ID_BITS mantissa bits (wide=False) or
     the plain entry (wide=True). +inf where no ray of the group enters the
     AABB, so a single min-reduce per row yields the group's next entry
-    distance (and, packed, its cluster)."""
+    distance (and, packed, its cluster).
+
+    rc_ref (sparse-visit schedule): [C, R] VMEM scratch that receives every
+    ray's own entry (inf = miss) before the min-reduce — the per-visit
+    overlap mask, persisted here because the slab pass computes it anyway.
+    Stored cluster-major (one transpose per tile) because Mosaic only
+    allows dynamic slicing on the sublane-major dim."""
     inv = 1.0 / jnp.where(jnp.abs(d) > 1e-12, d,
                           jnp.where(d >= 0, 1e-12, -1e-12))
     rs = o.shape[0] // sub
@@ -325,6 +339,7 @@ def _tile_entries(lo_ref, hi_ref, o, d, tnear, tfar, n_real, cp,
     # wide-mode cluster counts ([R, 2048] f32 is only 512 KB transient)
     cc = min(cp, 512 if cp <= 1024 else max(256, -(-cp // 64)))
     parts = []
+    rc_parts = []
     for c0 in range(0, cp, cc):
         w = min(cc, cp - c0)             # last chunk may be narrower
         tmin = jnp.full((o.shape[0], w), -jnp.inf)
@@ -339,12 +354,18 @@ def _tile_entries(lo_ref, hi_ref, o, d, tnear, tfar, n_real, cp,
         entry = jnp.maximum(tmin, tnear[:, None])
         ok = (tmax >= entry) & (entry < tfar[:, None])
         ent_rays = jnp.where(ok, entry, jnp.inf)
+        if rc_ref is not None:
+            rc_parts.append(ent_rays)
         if sub == 1:
             parts.append(jnp.min(ent_rays, axis=0, keepdims=True))
         else:
             parts.append(jnp.concatenate(
                 [jnp.min(ent_rays[s * rs:(s + 1) * rs], axis=0,
                          keepdims=True) for s in range(sub)], axis=0))
+    if rc_ref is not None:
+        full = (jnp.concatenate(rc_parts, axis=1) if len(rc_parts) > 1
+                else rc_parts[0])                        # [R, C]
+        rc_ref[:] = full.T                               # one relayout/tile
     ent = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
     ciota = lax.broadcasted_iota(jnp.int32, (sub, cp), 1)
     fin = (ciota < n_real) & jnp.isfinite(ent)
@@ -421,6 +442,25 @@ def _test_rows(r0, r1, r2, r3, o, d, tnear, tcap):
     u = uo + t * ud
     v = vo + t * vd
     valid = (live & (t > tnear[:, None]) & (t < tcap[:, None])
+             & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0))
+    return t, u, v, valid
+
+
+def _test_rows_cols(r0, r1, r2, r3, o, d, tnear2, tcap2):
+    """_test_rows with [*, 1]-column tnear/tcap: the sparse-visit compact
+    path keeps every per-slot quantity rank-2 because Mosaic rejects
+    rank-1 vectors at sub-lane-width sizes ([cap]=16)."""
+    ao = (o[:, 0:1] * r0[None, :] + o[:, 1:2] * r1[None, :]
+          + o[:, 2:3] * r2[None, :] + r3[None, :])
+    ad = (d[:, 0:1] * r0[None, :] + d[:, 1:2] * r1[None, :]
+          + d[:, 2:3] * r2[None, :])
+    no, uo, vo = ao[:, :K], ao[:, K:2 * K], ao[:, 2 * K:]
+    nd, ud, vd = ad[:, :K], ad[:, K:2 * K], ad[:, 2 * K:]
+    live = jnp.abs(nd) > 1e-20
+    t = -no / jnp.where(live, nd, 1.0)
+    u = uo + t * ud
+    v = vo + t * vd
+    valid = (live & (t > tnear2) & (t < tcap2)
              & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0))
     return t, u, v, valid
 
@@ -663,6 +703,269 @@ def _anyhit_kernel_sub(n_real, sub, lo_ref, hi_ref, rows_ref, ids_ref,
         init = (jnp.int32(0), emin0, csel0, _sortable_max(tfar), occ0)
         _, _, _, _, occ = lax.while_loop(cond, body, init)
         occ_ref[s * rs:(s + 1) * rs, 0] = occ
+
+
+# --- sparse-visit walk (VMEM-resident tables, packed pops) ----------------
+# The tile walk's recorded SIMD waste: every visit tests all R=64 rays
+# against the popped cluster's K triangles, yet on divergent wavefronts only
+# ~1.5 rays of the tile actually overlap that cluster (union ~175 visited,
+# ~4 overlaps per ray — 122k-tri measurements, STATUS.md). The sub-tile and
+# per-ray pair schedules attacked this by REPLICATING the scheduling state
+# (private heaps/pops per group) and lost to the added pop + fetch overhead.
+# Here the schedule stays exactly the production tile walk — ONE heap, ONE
+# pop sequence, ONE row fetch per visit — and only the triangle-test WIDTH
+# narrows: the entry pass already computes every ray's slab entry for every
+# cluster before min-reducing it away, so it now also persists the per-ray
+# entries to a [C, R] VMEM scratch (cluster-major: Mosaic only dynamically
+# slices the sublane-major dim). A visit then
+#   * reads its cluster's entry row [1, R] (finite = ray overlaps),
+#   * if <= SPARSE_CAP rays overlap: compacts them with exact one-hot
+#     matmuls (position = strict-lower-triangular prefix sum; one-hot
+#     gathers/scatters are exact in f32 at HIGHEST precision — the same
+#     contract ops/gather.py relies on) and runs the [SPARSE_CAP, 3K] test,
+#   * else: runs the classic dense [R, 3K] test (coherent tiles, where the
+#     dense test wastes little anyway).
+# Correctness: the compact mask is the tfar-capped slab overlap — a
+# superset of the rays the cluster could improve — and scatters only
+# strictly-better hits, so results are bit-identical to the dense walk.
+#
+# MEASURED ON-CHIP (v5e, 122k tris, 262k rays, tools/perf/trace_122k.py —
+# checksums bit-identical): LOSES. 179.5/724.0 ms coherent/divergent vs
+# 82.2/236.1 for the dense tile walk (0.46x / 0.33x). The narrow test saves
+# VPU throughput but the per-visit overhead — three tiny serialized MXU
+# dots (prefix-sum, gather, scatter), a dynamic rc-row slice, and an
+# scf.if — is LATENCY-bound inside the scalar walk loop, where nothing
+# pipelines across the pop -> test -> update dependency chain. Together
+# with the pair-walk and sub-tile negatives this closes the schedule-
+# narrowing design space: all three ways of not testing non-overlapping
+# rays (per-ray scheduling, private sub-heaps, per-visit compaction) cost
+# more than the 40x SIMD waste they remove, because the dense [R, 3K] test
+# is the one shape this hardware executes at full throughput. Kept opt-in
+# (RUSTLIGHT_TPU_SPARSE_VISIT) with a dense-parity test.
+
+
+def _sparse_visit_tools(r, cap):
+    siota = lax.broadcasted_iota(jnp.int32, (r, r), 0)
+    liota = lax.broadcasted_iota(jnp.int32, (r, r), 1)
+    # strict upper triangular: pos[0, j] = sum_i m[0, i] * (i < j) — the
+    # exclusive prefix count of flagged rays before lane j
+    triu = (siota < liota).astype(jnp.float32)
+    capio = lax.broadcasted_iota(jnp.int32, (cap, 1), 0).astype(jnp.float32)
+    return triu, capio
+
+
+def _compact_rays(mrow_fin, triu, capio, state):
+    """One-hot compaction of the rays flagged in mrow_fin [1, R].
+
+    Returns (Wt [cap, R] f32 one-hot, g [cap, 8] gathered ray state). Ray r
+    maps to compact slot pos[r] = #flagged rays before r; unflagged rays
+    (or rays beyond cap — caller guarantees none) map to no slot. Both the
+    prefix-sum dot and the gather dot are exact: 0/1 factors, one term per
+    output at HIGHEST precision (ops/gather.py's one-hot contract)."""
+    cap, r = capio.shape[0], mrow_fin.shape[1]
+    mf = mrow_fin.astype(jnp.float32)                    # [1, R]
+    pos = lax.dot(mf, triu, precision=lax.Precision.HIGHEST)   # [1, R]
+    # explicit broadcasts: Mosaic's layout inference is happier with
+    # broadcast_to than with implicit two-way [1,R] x [cap,1] broadcasting
+    pos_b = jnp.broadcast_to(pos, (cap, r))
+    cap_b = jnp.broadcast_to(capio, (cap, r))
+    m_b = jnp.broadcast_to(mrow_fin, (cap, r))
+    Wt = jnp.where(m_b, (pos_b == cap_b).astype(jnp.float32), 0.0)
+    g = lax.dot(Wt, state, precision=lax.Precision.HIGHEST)    # [cap, 8]
+    return Wt, g
+
+
+def _closest_kernel_sparse(n_real, cap, lo_ref, hi_ref, rows_ref, ids_ref,
+                           o_ref, d_ref, tnear_ref, tfar_ref,
+                           t_ref, tri_ref, u_ref, v_ref, ent_scr, rc_scr):
+    cp = lo_ref.shape[1]
+    r = o_ref.shape[0]
+    o = o_ref[:]
+    d = d_ref[:]
+    tnear = tnear_ref[:, 0]
+    tfar = tfar_ref[:, 0]
+    ent_scr[:] = _tile_entries(lo_ref, hi_ref, o, d, tnear, tfar, n_real, cp,
+                               rc_ref=rc_scr)
+    kiota = lax.broadcasted_iota(jnp.int32, (r, K), 1)
+    kiota8 = lax.broadcasted_iota(jnp.int32, (cap, K), 1)
+    triu, capio = _sparse_visit_tools(r, cap)
+    # the one-hot gather SUMS 0 * state[r'] over every non-selected ray, and
+    # 0 * inf = NaN: one dead lane (NaN o/d) or one inf tnear (tile padding)
+    # would poison every gathered row. Sanitize the gathered copy only —
+    # such lanes never flag (their entries are inf), so parity is unaffected.
+    o_s = jnp.where(jnp.isfinite(o), o, 0.0)
+    d_s = jnp.where(jnp.isfinite(d), d, 0.0)
+    tn_s = jnp.where(jnp.isfinite(tnear), tnear, _FMAX)
+    state7 = jnp.concatenate([o_s, d_s, tn_s[:, None]], axis=1)  # [R, 7]
+
+    emin0, csel0 = _pop_min(ent_scr, False)
+
+    def cond(s):
+        nv, emin, _, thresh, *_ = s
+        return (_entry_floor(emin) < thresh) & (nv < cp)
+
+    def visit(emin, csel, best_t, best_i, best_u, best_v):
+        # all ref reads happen OUTSIDE the cond: branch closures over VMEM
+        # refs are fragile across Pallas lowerings; the branches below are
+        # pure functions of these operands
+        mrow = rc_scr[pl.ds(csel, 1), :] < jnp.inf       # [1, R]
+        cnt = jnp.sum(mrow.astype(jnp.int32))
+        r0 = rows_ref[0, pl.ds(csel, 1), :][0]           # [3K]
+        r1 = rows_ref[1, pl.ds(csel, 1), :][0]
+        r2 = rows_ref[2, pl.ds(csel, 1), :][0]
+        r3 = rows_ref[3, pl.ds(csel, 1), :][0]
+        ids = ids_ref[pl.ds(csel, 1), :]                 # [1, K]
+
+        def sparse(best_t, best_i, best_u, best_v):
+            # inf best_t (no hit yet) -> FMAX: an uncapped test, NaN-free.
+            # EVERYTHING below stays rank-2: Mosaic rejects rank-1 vectors
+            # of sub-lane-width sizes ([cap]=16), so the compact path works
+            # in [cap, 1] columns throughout (layout_rank check, measured).
+            bt_s = jnp.minimum(best_t, _FMAX)
+            state = jnp.concatenate([state7, bt_s[:, None]], axis=1)
+            Wt, g = _compact_rays(mrow, triu, capio, state)
+            o8, d8 = g[:, 0:3], g[:, 3:6]
+            tn8, cap8 = g[:, 6:7], g[:, 7:8]             # [cap, 1]
+            # empty slots gather zeros: d8 = 0 -> |nd| <= 1e-20 -> miss
+            t, u, v, valid = _test_rows_cols(r0, r1, r2, r3, o8, d8, tn8,
+                                             cap8)
+            tm = jnp.where(valid, t, jnp.inf)
+            bt8 = jnp.min(tm, axis=1, keepdims=True)     # [cap, 1]
+            better8 = bt8 < cap8
+            j8 = jnp.minimum(
+                jnp.min(jnp.where(tm == bt8, kiota8, K), 1, keepdims=True),
+                K - 1)
+            jhot = (kiota8 == j8) & better8
+            tri8 = jnp.sum(jnp.where(jhot, ids, 0), axis=1,
+                           keepdims=True)                # [cap, 1] i32
+            u8 = jnp.sum(jnp.where(jhot, u, 0.0), 1, keepdims=True)
+            v8 = jnp.sum(jnp.where(jhot, v, 0.0), 1, keepdims=True)
+            # scatter compact slot k back to its ray lane with ONE
+            # transposed-contraction dot: S[r, c] = sum_k Wm[k, r] P[k, c].
+            # Wm columns have at most one 1 (exact one-hot at HIGHEST).
+            # bt8 is masked first: a no-hit slot has bt8 = inf and Wm = 0,
+            # and 0 * inf = NaN would poison the sum. tri ids ride as f32 —
+            # exact below 2^24, and the sparse path only runs on resident
+            # tables (<= MAX_VMEM_CLUSTERS * K = 2^18 triangles).
+            Wm = Wt * better8                            # [cap, R]
+            P = jnp.concatenate(
+                [better8.astype(jnp.float32),
+                 jnp.where(better8, bt8, 0.0), u8, v8,
+                 tri8.astype(jnp.float32)], axis=1)      # [cap, 5]
+            S = lax.dot_general(Wm, P, (((0,), (0,)), ((), ())),
+                                precision=lax.Precision.HIGHEST)   # [R, 5]
+            flag = S[:, 0] > 0.0                         # [R]
+            return (jnp.where(flag, S[:, 1], best_t),
+                    jnp.where(flag, S[:, 4].astype(jnp.int32), best_i),
+                    jnp.where(flag, S[:, 2], best_u),
+                    jnp.where(flag, S[:, 3], best_v))
+
+        def dense(best_t, best_i, best_u, best_v):
+            t, u, v, valid = _test_rows(r0, r1, r2, r3, o, d, tnear, best_t)
+            tm = jnp.where(valid, t, jnp.inf)
+            bt = jnp.min(tm, axis=1)
+            better = bt < best_t
+            j = jnp.minimum(
+                jnp.min(jnp.where(tm == bt[:, None], kiota, K), 1), K - 1)
+            jhot = (kiota == j[:, None]) & better[:, None]
+            tri_new = jnp.sum(jnp.where(jhot, ids, 0), axis=1)
+            return (jnp.where(better, bt, best_t),
+                    jnp.where(better, tri_new, best_i),
+                    jnp.where(better, jnp.sum(jnp.where(jhot, u, 0.0), 1),
+                              best_u),
+                    jnp.where(better, jnp.sum(jnp.where(jhot, v, 0.0), 1),
+                              best_v))
+
+        best_t, best_i, best_u, best_v = lax.cond(
+            cnt <= cap, sparse, dense, best_t, best_i, best_u, best_v)
+        emin, csel = _pop_min(ent_scr, False)
+        return emin, csel, best_t, best_i, best_u, best_v
+
+    def body(s):
+        nv, emin, csel, _, best_t, best_i, best_u, best_v = s
+        out = visit(emin, csel, best_t, best_i, best_u, best_v)
+        out = visit(*out)
+        emin, csel, best_t, best_i, best_u, best_v = out
+        return (nv + 1, emin, csel, _sortable_max(best_t),
+                best_t, best_i, best_u, best_v)
+
+    best_t0 = jnp.minimum(tfar, jnp.inf)
+    init = (jnp.int32(0), emin0, csel0, _sortable_max(best_t0), best_t0,
+            jnp.full(r, -1, jnp.int32), jnp.zeros(r), jnp.zeros(r))
+    _, _, _, _, best_t, best_i, best_u, best_v = lax.while_loop(cond, body,
+                                                                init)
+    hit = best_i >= 0
+    t_ref[:, 0] = jnp.where(hit, best_t, jnp.inf)
+    tri_ref[:, 0] = best_i
+    u_ref[:, 0] = best_u
+    v_ref[:, 0] = best_v
+
+
+def _anyhit_kernel_sparse(n_real, cap, lo_ref, hi_ref, rows_ref, ids_ref,
+                          o_ref, d_ref, tnear_ref, tfar_ref, occ_ref,
+                          ent_scr, rc_scr):
+    cp = lo_ref.shape[1]
+    r = o_ref.shape[0]
+    o = o_ref[:]
+    d = d_ref[:]
+    tnear = tnear_ref[:, 0]
+    tfar = tfar_ref[:, 0]
+    ent_scr[:] = _tile_entries(lo_ref, hi_ref, o, d, tnear, tfar, n_real, cp,
+                               rc_ref=rc_scr)
+    triu, capio = _sparse_visit_tools(r, cap)
+    # sanitized gather copy — see _closest_kernel_sparse (0 * inf = NaN)
+    o_s = jnp.where(jnp.isfinite(o), o, 0.0)
+    d_s = jnp.where(jnp.isfinite(d), d, 0.0)
+    tn_s = jnp.where(jnp.isfinite(tnear), tnear, _FMAX)
+    tf_s = jnp.minimum(tfar, _FMAX)
+    state8 = jnp.concatenate([o_s, d_s, tn_s[:, None], tf_s[:, None]],
+                             axis=1)
+
+    emin0, csel0 = _pop_min(ent_scr, False)
+
+    def cond(s):
+        nv, emin, _, thresh, _ = s
+        return (_entry_floor(emin) < thresh) & (nv < cp)
+
+    def visit(emin, csel, occ):
+        # ref reads hoisted out of the cond (see _closest_kernel_sparse)
+        mrow = rc_scr[pl.ds(csel, 1), :] < jnp.inf       # [1, R]
+        cnt = jnp.sum(mrow.astype(jnp.int32))
+        r0 = rows_ref[0, pl.ds(csel, 1), :][0]           # [3K]
+        r1 = rows_ref[1, pl.ds(csel, 1), :][0]
+        r2 = rows_ref[2, pl.ds(csel, 1), :][0]
+        r3 = rows_ref[3, pl.ds(csel, 1), :][0]
+
+        def sparse(occ):
+            # rank-2 throughout — see _closest_kernel_sparse
+            Wt, g = _compact_rays(mrow, triu, capio, state8)
+            _, _, _, valid = _test_rows_cols(r0, r1, r2, r3, g[:, 0:3],
+                                             g[:, 3:6], g[:, 6:7], g[:, 7:8])
+            hit8 = jnp.any(valid, axis=1, keepdims=True) \
+                      .astype(jnp.float32)               # [cap, 1]
+            # one-dot scatter (see _closest_kernel_sparse)
+            S = lax.dot_general(Wt, hit8, (((0,), (0,)), ((), ())),
+                                precision=lax.Precision.HIGHEST)   # [R, 1]
+            return jnp.maximum(occ, (S[:, 0] > 0.0).astype(jnp.int32))
+
+        def dense(occ):
+            _, _, _, valid = _test_rows(r0, r1, r2, r3, o, d, tnear, tfar)
+            return jnp.maximum(occ, jnp.any(valid, axis=1).astype(jnp.int32))
+
+        occ = lax.cond(cnt <= cap, sparse, dense, occ)
+        emin, csel = _pop_min(ent_scr, False)
+        return emin, csel, occ
+
+    def body(s):
+        nv, emin, csel, _, occ = s
+        emin, csel, occ = visit(*visit(emin, csel, occ))
+        thresh = _sortable_max(jnp.where(occ > 0, 0.0, tfar))
+        return nv + 1, emin, csel, thresh, occ
+
+    occ0 = jnp.zeros(r, jnp.int32)
+    init = (jnp.int32(0), emin0, csel0, _sortable_max(tfar), occ0)
+    _, _, _, _, occ = lax.while_loop(cond, body, init)
+    occ_ref[:, 0] = occ
 
 
 def _closest_kernel_hbm(n_real, wide, lo_ref, hi_ref, rows_hbm,
@@ -1013,10 +1316,11 @@ def _anyhit_kernel_hbm_hier(n_real, n_sup, slo_ref, shi_ref,
 
 
 @partial(jax.jit, static_argnames=("any_hit", "interpret", "sort_rays",
-                                   "wide", "hier", "sub"))
+                                   "wide", "hier", "sub", "sparse"))
 def _walk_impl(wt: WalkTables, o, d, tnear, tfar, any_hit: bool,
                interpret: bool = False, sort_rays: bool = True,
-               wide: bool = None, hier: bool = None, sub: int = None):
+               wide: bool = None, hier: bool = None, sub: int = None,
+               sparse: bool = None):
     n = o.shape[0]
     cp = wt.n_clusters
     # packed entry+id pops cap at 2^14 clusters; larger scenes use the
@@ -1124,11 +1428,20 @@ def _walk_impl(wt: WalkTables, o, d, tnear, tfar, any_hit: bool,
             ray2, ray2, row, row,
         ]
         args = (wt.lo, wt.hi, *tables, o, d, tnear2, tfar2)
+        if sparse is None:
+            sparse = SPARSE_DEFAULT
+        sparse = bool(sparse) and wt.resident and not wide and sub == 1
         if sub > 1:
             scratch = [pltpu.VMEM((1, cp), jnp.float32)
                        for _ in range(sub)]
             k_closest = partial(_closest_kernel_sub, wt.n_real, sub)
             k_anyhit = partial(_anyhit_kernel_sub, wt.n_real, sub)
+        elif sparse:
+            scratch = [pltpu.VMEM((1, cp), jnp.float32),
+                       pltpu.VMEM((cp, RAY_TILE), jnp.float32)]
+            k_closest = partial(_closest_kernel_sparse, wt.n_real,
+                                SPARSE_CAP)
+            k_anyhit = partial(_anyhit_kernel_sparse, wt.n_real, SPARSE_CAP)
         else:
             scratch = [pltpu.VMEM((1, cp), jnp.float32)] + extra_scratch
             k_closest = partial(k_closest, wt.n_real, wide)
@@ -1187,23 +1500,23 @@ def walk_supported(wt) -> bool:
 
 def intersect_walk(wt: WalkTables, o, d, tnear=None, tfar=None,
                    interpret: bool = False, wide: bool = None,
-                   hier: bool = None, sub: int = None):
+                   hier: bool = None, sub: int = None, sparse: bool = None):
     n = o.shape[0]
     if tnear is None:
         tnear = jnp.full(n, EPSILON, jnp.float32)
     if tfar is None:
         tfar = jnp.full(n, jnp.inf, jnp.float32)
     return _walk_impl(wt, o, d, tnear, tfar, False, interpret, wide=wide,
-                      hier=hier, sub=sub)
+                      hier=hier, sub=sub, sparse=sparse)
 
 
 def occluded_walk(wt: WalkTables, o, d, tnear=None, tfar=None,
                   interpret: bool = False, wide: bool = None,
-                  hier: bool = None, sub: int = None):
+                  hier: bool = None, sub: int = None, sparse: bool = None):
     n = o.shape[0]
     if tnear is None:
         tnear = jnp.full(n, EPSILON, jnp.float32)
     if tfar is None:
         tfar = jnp.full(n, jnp.inf, jnp.float32)
     return _walk_impl(wt, o, d, tnear, tfar, True, interpret, wide=wide,
-                      hier=hier, sub=sub)
+                      hier=hier, sub=sub, sparse=sparse)

@@ -3,6 +3,53 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+# Named-IOR lookup (reference: src/bsdfs/glass.rs:6-34, the Mitsuba table).
+# Scene files may give dielectric IORs by material name
+# (<string name="intIOR" value="water"/>); resolve_ior maps either form.
+NAMED_IOR = {
+    "vacuum": 1.0,
+    "helium": 1.000036,
+    "hydrogen": 1.000132,
+    "air": 1.000277,
+    "carbon dioxide": 1.00045,
+    "water": 1.3330,
+    "acetone": 1.36,
+    "ethanol": 1.361,
+    "carbon tetrachloride": 1.461,
+    "glycerol": 1.4729,
+    "benzene": 1.501,
+    "silicone oil": 1.52045,
+    "bromine": 1.661,
+    "water ice": 1.31,
+    "fused quartz": 1.458,
+    "pyrex": 1.470,
+    "acrylic glass": 1.49,
+    "polypropylene": 1.49,
+    "bk7": 1.5046,
+    "sodium chloride": 1.544,
+    "amber": 1.55,
+    "pet": 1.5750,
+    "diamond": 2.419,
+}
+
+
+def resolve_ior(value, default: float) -> float:
+    """Numeric string/float -> float; material name -> NAMED_IOR entry
+    (case-insensitive, matching glass.rs:6-34); None -> default."""
+    if value is None:
+        return float(default)
+    if isinstance(value, (int, float)):
+        return float(value)
+    s = str(value).strip()
+    try:
+        return float(s)
+    except ValueError:
+        key = s.lower()
+        if key not in NAMED_IOR:
+            raise ValueError(f"unknown named IOR {s!r} (glass.rs:6-34 "
+                             f"table: {sorted(NAMED_IOR)})") from None
+        return NAMED_IOR[key]
+
 
 def fresnel_dielectric(cos_i, eta):
     """Unpolarized dielectric Fresnel.

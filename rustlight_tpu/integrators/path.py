@@ -504,7 +504,11 @@ class IntegratorPathTracing(Integrator):
                             else lane_hit)
             vertex = lane_surface | scattered
             if self.max_depth is None:
-                can_expand = vertex
+                # mirror compute_pixel's hard_cap (cond at :159): without a
+                # per-lane cap an rr_depth=None path could still be alive at
+                # it_cap and silently DROP its radiance (the film divides by
+                # full spp) — truncating at hard_cap banks the partial sum
+                can_expand = vertex & (depth + 1 < self.hard_cap)
             else:
                 can_expand = vertex & (depth + 1 < self.max_depth)
             p_v = jnp.where(scattered[:, None], p_scatter, hit.p)

@@ -148,8 +148,14 @@ def _bsdf_desc(node, ctx=None) -> bsdfs.MaterialDesc:
             return bsdfs.diffuse(kd, **tkw)
         return bsdfs.diffuse(_child_rgb(node, "reflectance", (0.5,) * 3))
     if kind in ("dielectric", "thindielectric", "roughdielectric"):
-        return bsdfs.glass(int_ior=_child_value(node, "intIOR", 1.5046) or 1.5046,
-                           ext_ior=_child_value(node, "extIOR", 1.000277) or 1.000277)
+        # IORs may be numeric or named ("water", "bk7", ... —
+        # glass.rs:6-34); read as raw strings and resolve through the table
+        from ...bsdfs.fresnel import resolve_ior
+        return bsdfs.glass(
+            int_ior=resolve_ior(_child_value(node, "intIOR", None, conv=str),
+                                1.5046),
+            ext_ior=resolve_ior(_child_value(node, "extIOR", None, conv=str),
+                                1.000277))
     if kind in ("conductor", "roughconductor"):
         alpha = _child_value(node, "alpha", 0.1 if kind == "roughconductor" else 0.0)
         dist = _child_value(node, "distribution", "beckmann", conv=str)

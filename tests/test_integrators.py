@@ -366,3 +366,24 @@ class TestAdaptiveBudgetExact:
         f = render_adaptive(sd, integ, 44, seed=0)
         assert int(np.asarray(f.buffers["spp"])[..., 0].sum()) == 44 * 100
         assert int(np.asarray(f.buffers["spp"]).min()) >= 11
+
+
+def test_block_unbounded_depth_truncates_like_hard_cap():
+    """max_depth=None in the persistent wavefront must cap each LANE at
+    hard_cap bounces (banking the partial path sum) — not rely on the
+    global it_cap, which silently drops in-flight radiance while the film
+    still divides by full spp (a darkening bias in the rr_depth=None +
+    unbounded-depth corner; reference paths always terminate by RR,
+    strategies/directional.rs:77-87). With the cap, an unbounded-depth
+    render is EXACTLY an explicit max_depth=hard_cap render."""
+    sd = cornell_box(24, 24).compile()
+    f_none = render(sd, IntegratorPathTracing(max_depth=None, rr_depth=None,
+                                              hard_cap=6), 4, seed=3,
+                    persistent=True)
+    f_expl = render(sd, IntegratorPathTracing(max_depth=6, rr_depth=None,
+                                              hard_cap=6), 4, seed=3,
+                    persistent=True)
+    a = np.asarray(f_none["primal"])
+    b = np.asarray(f_expl["primal"])
+    assert np.array_equal(a, b)
+    assert a.mean() > 0.0

@@ -361,3 +361,41 @@ def test_serialized_legacy_u32_footer(tmp_path):
     m1 = load_serialized(p, 1)
     assert m0.vertices.shape == (3, 3) and m0.indices.tolist() == [[0, 1, 2]]
     assert m1.indices.tolist() == [[0, 2, 4]]
+
+
+def test_mitsuba_named_ior(tmp_path):
+    """Dielectric IORs given by material name resolve through the
+    glass.rs:6-34 table (reference: mitsuba_rs handles the name lookup)."""
+    from rustlight_tpu.bsdfs.fresnel import NAMED_IOR, resolve_ior
+    from rustlight_tpu.bsdfs.table import KIND_GLASS
+    (tmp_path / "s.xml").write_text(textwrap.dedent("""\
+        <scene version="0.6.0">
+          <sensor type="perspective">
+            <float name="fov" value="45"/>
+            <film type="hdrfilm">
+              <integer name="width" value="8"/>
+              <integer name="height" value="8"/>
+            </film>
+          </sensor>
+          <bsdf type="dielectric" id="wat">
+            <string name="intIOR" value="water"/>
+            <string name="extIOR" value="air"/>
+          </bsdf>
+          <shape type="sphere">
+            <point name="center" x="0" y="0" z="2"/>
+            <float name="radius" value="0.5"/>
+            <ref id="wat"/>
+          </shape>
+        </scene>
+    """))
+    scene = load_scene(tmp_path / "s.xml")
+    mats = [m for m in scene.materials if m.kind == KIND_GLASS]
+    assert len(mats) == 1
+    assert mats[0].eta == pytest.approx(NAMED_IOR["water"]
+                                        / NAMED_IOR["air"], rel=1e-6)
+    # numeric strings and case-insensitive names both resolve
+    assert resolve_ior("1.25", 0.0) == pytest.approx(1.25)
+    assert resolve_ior("BK7", 0.0) == pytest.approx(1.5046)
+    assert resolve_ior(None, 1.5) == 1.5
+    with pytest.raises(ValueError):
+        resolve_ior("unobtainium", 1.0)

@@ -382,3 +382,33 @@ def test_degenerate_and_duplicate_triangles(monkeypatch):
     np.testing.assert_allclose(np.asarray(out.t)[both],
                                np.asarray(ref.t)[both], rtol=1e-5, atol=1e-6)
     assert np.isfinite(np.asarray(out.t)[both]).all()
+
+
+def test_sparse_visit_matches_dense(soup):
+    """RUSTLIGHT_TPU_SPARSE_VISIT / sparse=True keeps the production tile
+    schedule (one heap, one pop sequence) but narrows each visit's triangle
+    test to the rays whose slab entry overlaps the popped cluster, gathered
+    and scattered with exact one-hot matmuls (_closest_kernel_sparse).
+    Results must stay EXACTLY dense-oracle-equal; both the sparse branch
+    (divergent tiles) and the dense fallback (cnt > SPARSE_CAP) are live on
+    this soup because coherent 512-ray wavefronts mix both regimes."""
+    geom, wt, o, d = soup
+    nr = o.shape[0]
+    ref = _intersect_impl(geom.inter_rows, o, d, jnp.full(nr, 1e-4),
+                          jnp.full(nr, jnp.inf), False)
+    out = intersect_walk(wt, o, d, interpret=True, sparse=True)
+    # fetch everything eagerly: late fetches of interpret-mode outputs have
+    # deadlocked intermittently on the CPU backend with the axon plugin
+    oh, ot = np.asarray(out.hit), np.asarray(out.t)
+    otri, ou, ov = np.asarray(out.tri), np.asarray(out.u), np.asarray(out.v)
+    assert np.array_equal(np.asarray(ref.hit), oh)
+    both = np.asarray(ref.hit)
+    assert both.mean() > 0.5
+    np.testing.assert_allclose(ot[both], np.asarray(ref.t)[both],
+                               rtol=1e-5, atol=1e-6)
+    assert (np.asarray(ref.tri)[both] == otri[both]).all()
+    occ_ref = _intersect_impl(geom.inter_rows, o, d, jnp.full(nr, 1e-4),
+                              jnp.full(nr, 2.2), True)
+    occ = occluded_walk(wt, o, d, tfar=jnp.full(nr, 2.2),
+                        interpret=True, sparse=True)
+    assert np.array_equal(np.asarray(occ_ref), np.asarray(occ))
