@@ -1,9 +1,12 @@
-"""Headline benchmark: cbox path tracing throughput on the local chip.
+"""Headline benchmark: path tracing throughput on the local chip.
 
-Prints ONE JSON line: Mrays/s (primary + bounce + shadow rays / wall-clock)
-for the BASELINE config (cbox, path integrator, 128 spp), rendered with the
-persistent-wavefront loop (pixel-pinned lane respawn keeps the wavefront
-full through Russian roulette; see IntegratorPathTracing.compute_block).
+Prints one JSON line per config — Mrays/s (primary + bounce + shadow rays /
+wall-clock), rendered with the persistent-wavefront loop (pixel-pinned lane
+respawn keeps the wavefront full through Russian roulette; see
+IntegratorPathTracing.compute_block):
+  1. cbox 512^2 128 spp (the BASELINE config; dense MXU intersector),
+  2. 122k-tri sphere grid 256^2 8 spp depth 5 (the production Pallas
+     tile-walk intersector on divergent wavefronts).
 
 vs_baseline is measured against the BASELINE.json target of >= 100 Mrays/s
 aggregate on a v5e-8, i.e. 12.5 Mrays/s per chip. Ray count is the actual
@@ -55,15 +58,29 @@ def main():
         return
     import jax
     import jax.numpy as jnp
-    from rustlight_tpu.models import cornell_box
+    from rustlight_tpu.models import cornell_box, sphere_grid
     from rustlight_tpu.integrators import IntegratorPathTracing
     from rustlight_tpu.integrators.common import _pixel_grid
     from rustlight_tpu.utils.rng import make_stream, stream_fold
 
-    width = height = 512
-    spp = 128
-    max_depth = 6
-    scene = cornell_box(width, height).compile()
+    # Line 1 — headline: cbox path 512^2 128 spp (dense MXU intersector).
+    _bench_config("cbox_path_128spp_throughput",
+                  cornell_box(512, 512).compile(), 512, 512, 128, 6)
+    # Line 2 — production kernel: 122k-tri sphere grid, path 256^2 8 spp
+    # depth 5 (Pallas tile-walk intersector; divergent bounce/shadow
+    # wavefronts dominate) — VERDICT r2 asked the bench to track the large-
+    # scene kernel, not just dense-MXU cbox.
+    _bench_config("grid122k_path_8spp_throughput",
+                  sphere_grid(122_000, 256, 256).compile(), 256, 256, 8, 5)
+
+
+def _bench_config(metric, scene, width, height, spp, max_depth):
+    import jax
+    import jax.numpy as jnp
+    from rustlight_tpu.integrators import IntegratorPathTracing
+    from rustlight_tpu.integrators.common import _pixel_grid
+    from rustlight_tpu.utils.rng import make_stream, stream_fold
+
     integ = IntegratorPathTracing(max_depth=max_depth)
     pix = jnp.asarray(_pixel_grid(width, height))
 
@@ -160,7 +177,7 @@ def main():
     mrays = mrays_aggregate / max(n_dev, 1)   # per-chip (metric unit)
 
     print(json.dumps({
-        "metric": "cbox_path_128spp_throughput",
+        "metric": metric,
         "value": round(mrays, 3),
         "unit": "Mrays/s/chip",
         "vs_baseline": round(mrays / 12.5, 3),

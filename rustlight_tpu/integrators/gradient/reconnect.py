@@ -73,6 +73,20 @@ def _normalize(v):
     return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-20)
 
 
+def reconnection_jacobian(n2, wo_main, t_main, wo_shift, dist_sq_shift):
+    """Solid-angle measure ratio |dω'/dω| of moving the predecessor vertex
+    x1 -> x1' while pinning the reconnection vertex x2 (reference
+    gradient/path.rs:616-626): G(x1'↔x2) / G(x1↔x2) with the shared cos at
+    x1 cancelled, = |cos(n2, -wo')| t² / (|cos(n2, -wo)| d'²).
+
+    n2: [n, 3] geometric normal at x2; wo_main/wo_shift: unit directions
+    x1→x2 / x1'→x2; t_main: base distance |x2 - x1|; dist_sq_shift:
+    |x2 - x1'|²."""
+    return (jnp.abs(_dot(n2, -wo_shift)) * t_main ** 2
+            / jnp.maximum(jnp.abs(_dot(n2, -wo_main)) * dist_sq_shift,
+                          1e-20))
+
+
 class IntegratorGradientPathReconnect:
     """`gradient-path` — reconnection-shift GDPT (gradient/path.rs)."""
 
@@ -299,9 +313,7 @@ class IntegratorGradientPathReconnect:
                 wo_s = dir_sc / jnp.sqrt(dsq)[:, None]
                 vis_r = visible(
                     geom, offset_ray_origin(s.its.p, s.its.n_g, wo_s), nh.p)
-                jac = (jnp.abs(_dot(nh.n_g, -wo_s)) * rh2.t ** 2
-                       / jnp.maximum(jnp.abs(_dot(nh.n_g, -wo_w)) * dsq,
-                                     1e-20))
+                jac = reconnection_jacobian(nh.n_g, wo_w, rh2.t, wo_s, dsq)
                 wo_s_l = to_local(s.its.frame, wo_s)
                 f_re = bsdf_eval(mat, s.its.mat, s.its.uv, s.its.wi, wo_s_l,
                                  _TI)

@@ -66,3 +66,41 @@ def door_box(width=40, height=30) -> Scene:
                             to_world=look_at((2.0, 1.5, 3.6),
                                              (0.5, 1.5, 0.2), (0, 1, 0)))
     return sc
+
+
+def sphere_grid(n_tris=122_000, width=256, height=256) -> Scene:
+    """Large-scene benchmark: a cubic grid of UV spheres (~n_tris triangles
+    total) under one overhead area light, camera outside looking in. The
+    committed 122k-tri configuration exercises the production Pallas
+    tile-walk intersector (every e2e bounce/shadow wavefront is divergent)
+    — the scene behind BENCH's second metric and tools/perf/."""
+    from .. import bsdfs as _b
+    import numpy as np
+    from ..scene import make_quad
+    from ..scene.geometry import TriMesh, make_sphere
+
+    base = make_sphere((0, 0, 0), 1.0, n_theta=10, n_phi=10)
+    nt = base.indices.shape[0]
+    gs = int(np.ceil((n_tris / nt) ** (1 / 3)))
+    vs, idxs, off = [], [], 0
+    for i in range(gs):
+        for j in range(gs):
+            for k in range(gs):
+                vs.append(base.vertices + np.array([i, j, k],
+                                                   np.float32) * 3.0)
+                idxs.append(base.indices + off)
+                off += base.vertices.shape[0]
+    sc = Scene()
+    m = sc.add_material(_b.diffuse((0.6, 0.55, 0.5)))
+    sc.add_mesh(TriMesh(vertices=np.concatenate(vs),
+                        indices=np.concatenate(idxs), material=m))
+    lm = sc.add_material(_b.diffuse((0, 0, 0)))
+    ext = gs * 3.0
+    sc.add_mesh(make_quad((0, ext + 4, 0), (ext, ext + 4, 0),
+                          (ext, ext + 4, ext), (0, ext + 4, ext),
+                          material=lm, emission=(40, 40, 40)))
+    sc.camera = make_camera(width, height, fov=55.0,
+                            to_world=look_at((ext / 2, ext / 2, -0.35 * ext),
+                                             (ext / 2, ext / 2, ext / 2),
+                                             (0, 1, 0)))
+    return sc

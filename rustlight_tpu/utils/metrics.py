@@ -32,8 +32,21 @@ def metric_scalar(ref, test, metric: str, eps: float = 1e-2) -> float:
     if metric == "rmse":
         return float(np.sqrt(compute_metric(ref, test, "l2", eps).mean()))
     if metric == "dssim":
-        return float(1.0 - ssim(ref, test))
+        # the reference harness's dssim (tests/launch.py -> the
+        # interactive-viewer analyze script) operates on TONEMAPPED LDR
+        # with the (1 - SSIM) / 2 convention; SSIM on raw HDR with a
+        # max-min data range is noise-dominated (a firefly rescales the
+        # stabilizers and turns pure MC noise into dssim ~0.7)
+        return float((1.0 - ssim(tonemap_ldr(ref), tonemap_ldr(test),
+                                 data_range=1.0)) / 2.0)
     return float(compute_metric(ref, test, metric, eps).mean())
+
+
+def tonemap_ldr(img):
+    """Gamma-2.2 LDR transform (reference structure.rs:160-168), clipped to
+    [0, 1] — the domain the reference harness computes dssim on."""
+    x = np.clip(np.asarray(img, np.float64), 0.0, None)
+    return np.clip(x ** (1.0 / 2.2), 0.0, 1.0)
 
 
 def _gaussian_kernel(size=11, sigma=1.5):

@@ -1,10 +1,18 @@
 """Gradient-domain path tracing: both shift mappings.
 
-Oracles: (a) the raw primal of each GDPT variant is an unbiased pixel
-estimator — it must agree with the plain path tracer in expectation;
-(b) the gradient buffers must track finite differences of a converged image
-(validated via correlation away from the very-direct light edges);
-(c) Poisson reconstruction must not be worse than the raw primal.
+Oracles, from unit to end-to-end:
+  (a) the reconnection jacobian (gradient/path.rs:616-626) on constructed
+      geometry with hand-computed values, plus its measure-theory
+      properties (inverse-shift reciprocity, pure-distance scaling);
+  (b) the RECENTLY_CONNECTED re-evaluation identities on a diffuse vertex
+      (path.rs:553-604): f/pdf and the pdf ratio are closed-form;
+  (c) a uniform emissive box where the converged primal has an analytic
+      value and every gradient is exactly zero in expectation;
+  (d) reconnect-vs-replay equal-mean on the pure-diffuse cbox (both shift
+      mappings estimate the same primal integral);
+  (e) gradient buffers tracking finite differences of a converged render;
+  (f) the raw primal of each GDPT variant agreeing with the plain path
+      tracer, and Poisson reconstruction improving over the raw primal.
 """
 import numpy as np
 import pytest
@@ -14,12 +22,287 @@ from rustlight_tpu.integrators import IntegratorPathTracing, render
 from rustlight_tpu.integrators.gradient import (
     IntegratorGradientPath, IntegratorGradientPathReconnect,
 )
+from rustlight_tpu.integrators.gradient.reconnect import (
+    reconnection_jacobian,
+)
 
 SC = cornell_box(24, 24).compile()
 REF = np.asarray(render(SC, IntegratorPathTracing(max_depth=4, hard_cap=4),
                         spp=192, seed=0)["primal"])
 
 
+# --------------------------------------------------------------- (a) unit
+class TestReconnectionJacobian:
+    """jac = |cos(n2, -wo')| t² / (|cos(n2, -wo)| d'²) — the solid-angle
+    measure ratio of re-aiming the segment x1→x2 from a moved predecessor
+    x1' (reference gradient/path.rs:616-626)."""
+
+    def test_hand_computed_straight_vs_oblique(self):
+        import jax.numpy as jnp
+        # x2 = (0,0,1) with normal -z; base x1 = origin: wo = +z, t = 1,
+        # cos = 1. Offset x1' = (0.5, 0, 0): d'² = 1.25,
+        # cos' = 1/sqrt(1.25)  =>  jac = 1.25^(-3/2)
+        n2 = jnp.asarray([[0.0, 0.0, -1.0]])
+        wo = jnp.asarray([[0.0, 0.0, 1.0]])
+        wo_s = jnp.asarray([[-0.5, 0.0, 1.0]]) / np.sqrt(1.25)
+        jac = reconnection_jacobian(n2, wo, jnp.asarray([1.0]), wo_s,
+                                    jnp.asarray([1.25]))
+        assert float(jac[0]) == pytest.approx(1.25 ** -1.5, rel=1e-6)
+
+    def test_hand_computed_pure_distance(self):
+        import jax.numpy as jnp
+        # same direction, offset twice as far: jac = t²/d'² = 1/4 —
+        # the inverse-square law alone
+        n2 = jnp.asarray([[0.0, 0.0, -1.0]])
+        wo = jnp.asarray([[0.0, 0.0, 1.0]])
+        jac = reconnection_jacobian(n2, wo, jnp.asarray([1.0]), wo,
+                                    jnp.asarray([4.0]))
+        assert float(jac[0]) == pytest.approx(0.25, rel=1e-6)
+
+    def test_reciprocity(self):
+        """Shifting x1→x1' then treating x1' as the base and shifting back
+        multiplies to exactly 1 (the jacobian is a measure ratio)."""
+        import jax.numpy as jnp
+        rng = np.random.default_rng(5)
+        x2 = rng.normal(size=(64, 3)).astype(np.float32)
+        n2 = rng.normal(size=(64, 3)).astype(np.float32)
+        n2 /= np.linalg.norm(n2, axis=1, keepdims=True)
+        x1 = x2 + rng.normal(size=(64, 3)).astype(np.float32) * 2.0
+        x1p = x2 + rng.normal(size=(64, 3)).astype(np.float32) * 2.0
+        d = x2 - x1
+        t = np.linalg.norm(d, axis=1)
+        wo = d / t[:, None]
+        dp = x2 - x1p
+        tp = np.linalg.norm(dp, axis=1)
+        wop = dp / tp[:, None]
+        j_fwd = reconnection_jacobian(jnp.asarray(n2), jnp.asarray(wo),
+                                      jnp.asarray(t), jnp.asarray(wop),
+                                      jnp.asarray(tp ** 2))
+        j_bwd = reconnection_jacobian(jnp.asarray(n2), jnp.asarray(wop),
+                                      jnp.asarray(tp), jnp.asarray(wo),
+                                      jnp.asarray(t ** 2))
+        np.testing.assert_allclose(np.asarray(j_fwd) * np.asarray(j_bwd),
+                                   1.0, rtol=1e-4)
+
+    def test_equals_geometry_term_ratio(self):
+        """jac == G(x1'↔x2)/G(x1↔x2) with the cosine at x1/x1' excluded
+        (the BSDF re-evaluation carries that factor separately)."""
+        import jax.numpy as jnp
+        rng = np.random.default_rng(6)
+        x2 = np.zeros((32, 3), np.float32)
+        n2 = rng.normal(size=(32, 3)).astype(np.float32)
+        n2 /= np.linalg.norm(n2, axis=1, keepdims=True)
+        x1 = rng.normal(size=(32, 3)).astype(np.float32) * 3.0
+        x1p = rng.normal(size=(32, 3)).astype(np.float32) * 3.0
+        t = np.linalg.norm(x2 - x1, axis=1)
+        tp = np.linalg.norm(x2 - x1p, axis=1)
+        wo = (x2 - x1) / t[:, None]
+        wop = (x2 - x1p) / tp[:, None]
+        g = np.abs(np.sum(n2 * -wo, 1)) / t ** 2
+        gp = np.abs(np.sum(n2 * -wop, 1)) / tp ** 2
+        jac = reconnection_jacobian(jnp.asarray(n2), jnp.asarray(wo),
+                                    jnp.asarray(t), jnp.asarray(wop),
+                                    jnp.asarray(tp ** 2))
+        np.testing.assert_allclose(np.asarray(jac), gp / g, rtol=1e-4)
+
+
+# --------------------------------------------------------------- (b) unit
+class TestRecentlyConnectedDiffuse:
+    """RECENTLY_CONNECTED re-evaluates the base vertex's BSDF with the
+    shifted incoming direction (path.rs:553-604): thr' = thr·f(wi', wo)/
+    pdf(wi, wo) and pdf' = pdf·p(wi', wo). For a diffuse vertex f and p do
+    not depend on wi, so both ratios are closed-form."""
+
+    def _mat(self):
+        from rustlight_tpu import bsdfs
+        from rustlight_tpu.bsdfs.table import build_material_table
+        return build_material_table([bsdfs.diffuse((0.6, 0.4, 0.2))])
+
+    def test_f_over_pdf_invariant_to_wi(self):
+        import jax.numpy as jnp
+        from rustlight_tpu.bsdfs import bsdf_eval, bsdf_pdf
+        from rustlight_tpu.bsdfs.table import TRANSPORT_IMPORTANCE as TI
+        mat = self._mat()
+        mid = jnp.zeros(8, jnp.int32)
+        uv = jnp.zeros((8, 2), jnp.float32)
+        rng = np.random.default_rng(2)
+        wi = rng.normal(size=(8, 3)).astype(np.float32)
+        wi[:, 2] = np.abs(wi[:, 2]) + 0.1
+        wi /= np.linalg.norm(wi, axis=1, keepdims=True)
+        wi2 = rng.normal(size=(8, 3)).astype(np.float32)
+        wi2[:, 2] = np.abs(wi2[:, 2]) + 0.1
+        wi2 /= np.linalg.norm(wi2, axis=1, keepdims=True)
+        wo = rng.normal(size=(8, 3)).astype(np.float32)
+        wo[:, 2] = np.abs(wo[:, 2]) + 0.1
+        wo /= np.linalg.norm(wo, axis=1, keepdims=True)
+        f1 = np.asarray(bsdf_eval(mat, mid, uv, jnp.asarray(wi),
+                                  jnp.asarray(wo), TI))
+        f2 = np.asarray(bsdf_eval(mat, mid, uv, jnp.asarray(wi2),
+                                  jnp.asarray(wo), TI))
+        p1 = np.asarray(bsdf_pdf(mat, mid, uv, jnp.asarray(wi),
+                                 jnp.asarray(wo), TI))
+        p2 = np.asarray(bsdf_pdf(mat, mid, uv, jnp.asarray(wi2),
+                                 jnp.asarray(wo), TI))
+        # diffuse: pdf ratio == 1 exactly, f ratio == 1 exactly
+        np.testing.assert_allclose(p1, p2, rtol=1e-6)
+        np.testing.assert_allclose(f1, f2, rtol=1e-6)
+        # and both match the closed forms kd/pi·cosθo, cosθo/pi
+        np.testing.assert_allclose(
+            f1, np.array([0.6, 0.4, 0.2]) / np.pi * wo[:, 2:3], rtol=1e-5)
+        np.testing.assert_allclose(p1, wo[:, 2] / np.pi, rtol=1e-5)
+
+    def test_rc_weight_update_closed_form(self):
+        """One RC step by hand: thr' = thr·f(wi',wo)/p_base where p_base is
+        the pdf the BASE path sampled wo with. For diffuse both equal
+        cos/π-shaped terms, so thr' = thr·kd exactly (the same multiplier
+        the base path applied) — the RC shift preserves throughput on
+        diffuse chains."""
+        import jax.numpy as jnp
+        from rustlight_tpu.bsdfs import bsdf_eval, bsdf_sample
+        from rustlight_tpu.bsdfs.table import TRANSPORT_IMPORTANCE as TI
+        mat = self._mat()
+        mid = jnp.zeros(8, jnp.int32)
+        uv = jnp.zeros((8, 2), jnp.float32)
+        rng = np.random.default_rng(3)
+        wi = np.tile(np.array([0.0, 0.0, 1.0], np.float32), (8, 1))
+        u = rng.random((8, 2)).astype(np.float32)
+        bs = bsdf_sample(mat, mid, uv, jnp.asarray(wi), jnp.asarray(u), TI)
+        wi_shift = rng.normal(size=(8, 3)).astype(np.float32)
+        wi_shift[:, 2] = np.abs(wi_shift[:, 2]) + 0.2
+        wi_shift /= np.linalg.norm(wi_shift, axis=1, keepdims=True)
+        f_rc = np.asarray(bsdf_eval(mat, mid, uv, jnp.asarray(wi_shift),
+                                    bs.wo, TI))
+        thr_ratio = f_rc / np.maximum(np.asarray(bs.pdf)[:, None], 1e-30)
+        np.testing.assert_allclose(thr_ratio,
+                                   np.tile([0.6, 0.4, 0.2], (8, 1)),
+                                   rtol=1e-5)
+
+
+# ---------------------------------------------------------------- (c) e2e
+def _uniform_emissive_box(n=16, albedo=0.4, emit=1.0):
+    """Closed cube, every inner face diffuse(albedo) AND emitting `emit`:
+    the radiance field is the constant emit/(1-albedo), so with max_depth=D
+    every pixel converges to emit·(1 + a + ... + a^(D-1)) and all image
+    gradients are exactly zero in expectation."""
+    from rustlight_tpu import bsdfs
+    from rustlight_tpu.scene import Scene, make_camera, look_at, make_quad
+    sc = Scene()
+    m = sc.add_material(bsdfs.diffuse((albedo,) * 3))
+    e = (emit,) * 3
+    s = 2.0
+    q = lambda *pts: sc.add_mesh(make_quad(*pts, material=m, emission=e))
+    # windings chosen so every normal points INTO the box (emission and
+    # shading are front-face)
+    q((0, 0, s), (s, 0, s), (s, 0, 0), (0, 0, 0))            # floor (+y)
+    q((s, s, 0), (s, s, s), (0, s, s), (0, s, 0))            # ceiling (-y)
+    q((0, s, 0), (0, s, s), (0, 0, s), (0, 0, 0))            # x=0 (+x)
+    q((s, 0, s), (s, s, s), (s, s, 0), (s, 0, 0))            # x=s (-x)
+    q((s, 0, 0), (s, s, 0), (0, s, 0), (0, 0, 0))            # z=0 (+z)
+    q((0, s, s), (s, s, s), (s, 0, s), (0, 0, s))            # z=s (-z)
+    sc.camera = make_camera(n, n, fov=60.0,
+                            to_world=look_at((1.0, 1.0, 0.2),
+                                             (1.0, 1.0, 2.0), (0, 1, 0)))
+    return sc
+
+
+class TestUniformEmissiveBox:
+    """The 1-px image border is excluded: pixels outside the film read as
+    zero, so border gradients equal -primal BY CONSTRUCTION (the same
+    zero-padded finite-difference convention as the reference's
+    compute_gradients block apron, gradient/mod.rs:58-135). Interior
+    gradients are zero in expectation — measured to shrink ~1/sqrt(spp)
+    with signed mean ~0 (no bias)."""
+
+    def _run(self, integ_cls, seed):
+        a, E, D = 0.4, 1.0, 3
+        sd = _uniform_emissive_box(16, a, E).compile()
+        expect = E * sum(a ** k for k in range(D))
+        g = integ_cls(max_depth=D, hard_cap=D, recons="uniform")
+        film = g.render(sd, spp=96, seed=seed)
+        # interior only: the random-replay variant drops the whole
+        # base/offset pair when the offset pixel is outside the film
+        # (reference explicit.rs:266-275 "Do nothing"), so border primal is
+        # 0.75 L at edges / 0.5 L at corners BY REFERENCE PARITY
+        pr = film.buffers["primal_raw"][1:-1, 1:-1]
+        assert abs(pr.mean() - expect) / expect < 0.02, (pr.mean(), expect)
+        for name in ("gradient_x", "gradient_y"):
+            gi = film.buffers[name][1:-1, 1:-1]
+            assert np.abs(gi).mean() < 0.012 * expect, (name,
+                                                        np.abs(gi).mean())
+            assert abs(gi.mean()) < 0.003 * expect, (name, gi.mean())
+
+    def test_primal_analytic_and_zero_gradients(self):
+        self._run(IntegratorGradientPathReconnect, 4)
+
+    def test_replay_variant_same_oracle(self):
+        self._run(IntegratorGradientPath, 5)
+
+
+# ---------------------------------------------------------------- (d) e2e
+def test_reconnect_vs_replay_equal_mean_pure_diffuse():
+    """Both shift mappings are unbiased for the SAME primal integral; on
+    the pure-diffuse cbox (where both shifts are everywhere valid) their
+    image means must agree to 1% at matched budgets (VERDICT r2 item 2)."""
+    sd = cornell_box(16, 16).compile()
+    f_rec = IntegratorGradientPathReconnect(
+        max_depth=4, hard_cap=4, recons="uniform").render(sd, spp=192, seed=6)
+    f_rep = IntegratorGradientPath(
+        max_depth=4, hard_cap=4, recons="uniform").render(sd, spp=192, seed=7)
+    # compare away from (a) the 1-px border — the two variants have
+    # different reference-matching border conventions (replay drops outside
+    # pairs, explicit.rs:266-275; reconnect keeps the main with a dead-shift
+    # MIS weight, path.rs:316) — and (b) the emitter pixels, whose
+    # camera->light variance dominates the image mean and would demand
+    # thousands of spp to reach the 1% bar (seeds fixed: deterministic,
+    # measured 0.12% at this budget)
+    vd = f_rec.buffers["very_direct"]
+    m = vd.max(-1) < 1e-6
+    m[0, :] = m[-1, :] = False
+    m[:, 0] = m[:, -1] = False
+    m_rec = f_rec.buffers["primal_raw"][m].mean()
+    m_rep = f_rep.buffers["primal_raw"][m].mean()
+    assert abs(m_rec - m_rep) / m_rep < 0.01, (m_rec, m_rep)
+
+
+# ---------------------------------------------------------------- (e) e2e
+class TestGradientsTrackFiniteDifferences:
+    REF_HI = None
+
+    @classmethod
+    def _converged(cls):
+        if cls.REF_HI is None:
+            cls.REF_HI = np.asarray(render(
+                SC, IntegratorPathTracing(max_depth=4, hard_cap=4),
+                spp=4096, seed=11)["primal"])
+        return cls.REF_HI
+
+    @pytest.mark.parametrize("cls_,spp,bar", [
+        (IntegratorGradientPathReconnect, 256, 0.9),
+        (IntegratorGradientPath, 256, 0.9),
+    ])
+    def test_corr_against_converged_fd(self, cls_, spp, bar):
+        """gradient_x must correlate >= 0.9 with finite differences of a
+        4096-spp converged render away from very-direct edges (VERDICT r2
+        item 2 quantitative bar)."""
+        ref = self._converged()
+        g = cls_(max_depth=4, hard_cap=4, recons="uniform")
+        film = g.render(SC, spp=spp, seed=12)
+        gx = film.buffers["gradient_x"]
+        vd = film.buffers["very_direct"]
+        ind = ref - vd
+        fdx = np.zeros_like(ref)
+        fdx[:, :-1] = ind[:, 1:] - ind[:, :-1]
+        fdvd = np.zeros_like(ref)
+        fdvd[:, :-1] = vd[:, 1:] - vd[:, :-1]
+        m = np.ones(ref.shape[:2], bool)
+        m[:, -1] = False
+        m[-1, :] = False
+        m &= np.abs(fdvd).max(-1) < 1e-6
+        corr = np.corrcoef(gx[m].ravel(), fdx[m].ravel())[0, 1]
+        assert corr > bar, corr
+
+
+# ------------------------------------------------------- (f) e2e (legacy)
 class TestGradientPath:
     @pytest.mark.parametrize("cls", [IntegratorGradientPath,
                                      IntegratorGradientPathReconnect])

@@ -13,6 +13,13 @@ at K=128) — and therefore the resident-vs-HBM-DMA choice — stays constant
 across the sweep; otherwise K=64 would silently flip the 122k scene to the
 DMA variant and confound the A/B.
 
+Alignment caveat (advisor): K=64 gives triangle-test rows of lane width
+3K=192, not a multiple of the 128-lane tile — Mosaic pads the [R, 3K]
+vectors and the :K/:2K column slices land at offsets 64/128, which may be
+relayout-padded. The sweep therefore runs K=128 FIRST as the parity
+reference (the shipped configuration) and flags any K whose hits/checksum
+drift; a drifting or non-compiling K=64 leg is reported, not trusted.
+
 Run on a real chip:  python tools/perf/k_sweep.py
 """
 import sys
@@ -60,30 +67,40 @@ d_d /= np.linalg.norm(d_d, axis=1, keepdims=True)
 
 K0, MV0 = pw.K, pw.MAX_VMEM_CLUSTERS
 ref_hits = {}
-for Ksw in (64, 128, 256):
-    pw.K = Ksw
-    pw.MAX_VMEM_CLUSTERS = MV0 * K0 // Ksw
-    wt = jax.device_put(pw.build_walk_tables(geom))
-    print(f"K={Ksw}: C={wt.n_clusters} resident={wt.ids is not None}",
-          flush=True)
-    for name, o, d in [("coherent", o_c, d_c), ("divergent", o_d, d_d)]:
-        o_j, d_j = jnp.asarray(o), jnp.asarray(d)
-        f = lambda: pw.intersect_walk(wt, o_j, d_j)
-        r = f()
-        chk = float(jnp.sum(jnp.where(jnp.isfinite(r.t), r.t, 0.0)))
-        hits = int(jnp.sum(r.hit))
-        if name not in ref_hits:
-            ref_hits[name] = (hits, chk)
-        elif (hits, round(chk, 1)) != (ref_hits[name][0],
-                                       round(ref_hits[name][1], 1)):
-            print(f"  PARITY DRIFT {name}: hits={hits} chk={chk:.1f} vs "
-                  f"{ref_hits[name]}", flush=True)
-        ts = []
-        for _ in range(3):
-            t0 = time.time()
-            r = f()
-            float(jnp.sum(jnp.where(jnp.isfinite(r.t), r.t, 0.0)))
-            ts.append(time.time() - t0)
-        print(f"  {name}: {min(ts)*1e3:7.1f} ms hits={hits} chk={chk:.1f}",
+try:
+    # K=128 first: parity is keyed to the SHIPPED configuration, so a
+    # miscompiled K=64 leg reports ITS drift instead of poisoning the ref
+    for Ksw in (128, 64, 256):
+        pw.K = Ksw
+        pw.MAX_VMEM_CLUSTERS = MV0 * K0 // Ksw
+        wt = jax.device_put(pw.build_walk_tables(geom))
+        print(f"K={Ksw}: C={wt.n_clusters} resident={wt.ids is not None}",
               flush=True)
-pw.K, pw.MAX_VMEM_CLUSTERS = K0, MV0
+        for name, o, d in [("coherent", o_c, d_c), ("divergent", o_d, d_d)]:
+            o_j, d_j = jnp.asarray(o), jnp.asarray(d)
+            f = lambda: pw.intersect_walk(wt, o_j, d_j)
+            try:
+                r = f()
+                chk = float(jnp.sum(jnp.where(jnp.isfinite(r.t), r.t, 0.0)))
+                hits = int(jnp.sum(r.hit))
+            except Exception as e:
+                print(f"  {name}: K={Ksw} FAILED TO RUN: "
+                      f"{str(e).splitlines()[0][:120]}", flush=True)
+                continue
+            if name not in ref_hits:
+                ref_hits[name] = (hits, chk)
+            elif (hits, round(chk, 1)) != (ref_hits[name][0],
+                                           round(ref_hits[name][1], 1)):
+                print(f"  PARITY DRIFT {name}: hits={hits} chk={chk:.1f} vs "
+                      f"{ref_hits[name]} — DO NOT TRUST THIS TIMING",
+                      flush=True)
+            ts = []
+            for _ in range(3):
+                t0 = time.time()
+                r = f()
+                float(jnp.sum(jnp.where(jnp.isfinite(r.t), r.t, 0.0)))
+                ts.append(time.time() - t0)
+            print(f"  {name}: {min(ts)*1e3:7.1f} ms hits={hits} "
+                  f"chk={chk:.1f}", flush=True)
+finally:
+    pw.K, pw.MAX_VMEM_CLUSTERS = K0, MV0

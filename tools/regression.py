@@ -8,7 +8,16 @@ HTML comparison table.
   python tools/regression.py --out regress/ --spp 32          # run + compare
   python tools/regression.py --out regress/ --make-refs       # (re)build refs
   python tools/regression.py --scenes cbox_path -t path pssmlt
-"""
+  python tools/regression.py --make-floors   # ref-vs-ref noise floors
+  python tools/regression.py --check         # GATE: exit 1 on metric drift
+
+The gate: --check re-renders each row and fails if any metric exceeds
+  limit = stored * 1.3 + 1.5 * floor
+where `floor` is the scene's ref-vs-ref noise floor (two independent
+256-spp references, regress/floors.json; 0 if not measured). Renders are
+seed-fixed and cross-backend deterministic, so within one code state the
+fresh metrics equal the stored ones exactly — a breach means the renderer's
+output drifted beyond noise, not that the dice rolled badly."""
 import argparse
 import json
 import sys
@@ -112,6 +121,12 @@ def main():
     ap.add_argument("--spp", type=int, default=32)
     ap.add_argument("--ref-spp", type=int, default=256)
     ap.add_argument("--make-refs", action="store_true")
+    ap.add_argument("--make-floors", action="store_true",
+                    help="render a second independent reference per scene "
+                         "and store ref-vs-ref metrics as noise floors")
+    ap.add_argument("--check", action="store_true",
+                    help="gate: exit 1 if any recomputed metric exceeds "
+                         "stored * 1.3 + 1.5 * floor")
     ap.add_argument("-t", "--techniques", nargs="+")
     ap.add_argument("-s", "--scenes", nargs="+")
     args = ap.parse_args()
@@ -126,18 +141,35 @@ def main():
 
     tests = build_tests()
     results = {}
+    floors_path = out / "floors.json"
+    floors = {}
+    if floors_path.exists():
+        try:
+            floors = json.loads(floors_path.read_text())
+        except Exception:
+            floors = {}
     for tname, spec in tests.items():
         if args.scenes and tname not in args.scenes:
             continue
         scene_data = spec["scene"]().compile()
         ref_path = refs / f"{tname}.exr"
+        ref_tech = spec.get("ref_tech",
+                            "ao" if spec["techniques"] == ["ao"] else "path")
         if args.make_refs or not ref_path.exists():
             print(f"[{tname}] rendering reference ({args.ref_spp} spp path)...")
-            ref_tech = spec.get("ref_tech",
-                                "ao" if spec["techniques"] == ["ao"] else "path")
             film = render_one(scene_data, ref_tech, args.ref_spp, seed=777)
             rimage.save(str(ref_path), film["primal"])
         ref = rimage.load(str(ref_path))
+        if args.make_floors:
+            # an INDEPENDENT equal-spp reference: its metrics against the
+            # stored one are the pure-MC noise floor for this scene/ref_spp
+            print(f"[{tname}] rendering second reference (noise floor)...")
+            film2 = render_one(scene_data, ref_tech, args.ref_spp, seed=778)
+            floors[tname] = {m: metric_scalar(ref, film2["primal"], m)
+                             for m in METRICS}
+            print(f"[{tname}] floor: {floors[tname]}")
+            floors_path.write_text(json.dumps(floors, indent=2))
+            continue
 
         for tech in spec["techniques"]:
             if args.techniques and tech not in args.techniques:
@@ -154,9 +186,38 @@ def main():
             results[f"{tname}/{tech}"] = row
             print(f"[{tname}/{tech}] {row}")
 
+    res_path = out / "results.json"
+    if args.check:
+        # GATE mode: compare fresh rows against the committed matrix; do
+        # NOT update it. limit = stored * 1.3 + 1.5 * scene noise floor.
+        stored = json.loads(res_path.read_text()) if res_path.exists() else {}
+        breaches = []
+        for key, row in results.items():
+            srow = stored.get(key)
+            if srow is None:
+                print(f"[check] {key}: no stored row (skipped)")
+                continue
+            scene_name = key.split("/")[0]
+            fl = floors.get(scene_name, {})
+            for m in METRICS:
+                limit = srow[m] * 1.3 + 1.5 * fl.get(m, 0.0)
+                if row[m] > limit:
+                    breaches.append(
+                        f"{key} {m}: {row[m]:.6g} > limit {limit:.6g} "
+                        f"(stored {srow[m]:.6g}, floor {fl.get(m, 0.0):.6g})")
+        if breaches:
+            print("REGRESSION GATE FAILED:")
+            for b in breaches:
+                print("  " + b)
+            sys.exit(1)
+        print(f"regression gate OK ({len(results)} rows checked)")
+        return
+    if args.make_floors:
+        print(f"floors written: {floors_path}")
+        return
+
     # merge-update: a partial run (one scene/technique) must not clobber the
     # other rows of the committed matrix
-    res_path = out / "results.json"
     merged = {}
     if res_path.exists():
         try:
