@@ -55,8 +55,9 @@ def _exr_attr(name: bytes, typ: bytes, value: bytes) -> bytes:
 
 
 # compression enum (OpenEXR): 0=NONE, 1=RLE, 2=ZIPS (1 line), 3=ZIP (16 lines),
-# 4=PIZ (32 lines)
-_EXR_LINES_PER_BLOCK = {0: 1, 1: 1, 2: 1, 3: 16, 4: 32}
+# 4=PIZ (32 lines), 5=PXR24 (16, decode only), 6=B44 / 7=B44A (32, decode
+# only)
+_EXR_LINES_PER_BLOCK = {0: 1, 1: 1, 2: 1, 3: 16, 4: 32, 5: 16, 6: 32, 7: 32}
 
 
 def _rle_decode(src: bytes) -> bytes:
@@ -167,6 +168,106 @@ def _piz_do(raw: bytes, channels, w: int, ny: int) -> bytes:
     return _piz.piz_compress(planar, chans)
 
 
+def _pxr24_undo(payload: bytes, channels, w: int, ny: int) -> bytes:
+    """PXR24 decode (ImfPxr24Compressor.cpp::uncompress): inflate, then per
+    scanline x channel the values ride as difference-coded MSB-first byte
+    planes — 3 planes for FLOAT (the mantissa's low 8 bits were dropped on
+    write: lossy), 2 for HALF, 4 for UINT. Returns the scanline-interleaved
+    raw block."""
+    data = np.frombuffer(_zlib.decompress(payload), np.uint8)
+    pos = 0
+    rows = []
+    for _y in range(ny):
+        row = []
+        for _name, pt in channels:
+            nb = {0: 4, 1: 2, 2: 3}[pt]        # UINT, HALF, FLOAT
+            planes = [data[pos + k * w: pos + (k + 1) * w].astype(np.int64)
+                      for k in range(nb)]
+            pos += nb * w
+            diff = np.zeros(w, np.int64)
+            for p in planes:
+                diff = (diff << 8) | p
+            mask = (1 << (8 * nb)) - 1
+            pix = np.cumsum(diff) & mask
+            if pt == 1:
+                row.append(pix.astype("<u2").view(np.uint8))
+            elif pt == 2:
+                row.append((pix << 8).astype("<u4").view(np.uint8))
+            else:
+                row.append(pix.astype("<u4").view(np.uint8))
+        rows.append(np.concatenate(row))
+    return np.concatenate(rows).tobytes()
+
+
+def _b44_unpack14(b) -> np.ndarray:
+    """One 14-byte 4x4 HALF tile -> 16 u16 (ImfB44Compressor::unpack14):
+    s[0] absolute, the rest 6-bit biased deltas at a shared shift, chained
+    along x then y."""
+    s = np.zeros(16, np.int64)
+    s[0] = (int(b[0]) << 8) | int(b[1])
+    shift = int(b[2]) >> 2
+    bias = 0x20 << shift
+    b = [int(x) for x in b]
+    s[4] = s[0] + ((((b[2] << 4) | (b[3] >> 4)) & 0x3f) << shift) - bias
+    s[8] = s[4] + ((((b[3] << 2) | (b[4] >> 6)) & 0x3f) << shift) - bias
+    s[12] = s[8] + ((b[4] & 0x3f) << shift) - bias
+    s[1] = s[0] + ((b[5] >> 2) << shift) - bias
+    s[5] = s[4] + ((((b[5] << 4) | (b[6] >> 4)) & 0x3f) << shift) - bias
+    s[9] = s[8] + ((((b[6] << 2) | (b[7] >> 6)) & 0x3f) << shift) - bias
+    s[13] = s[12] + ((b[7] & 0x3f) << shift) - bias
+    s[2] = s[1] + ((b[8] >> 2) << shift) - bias
+    s[6] = s[5] + ((((b[8] << 4) | (b[9] >> 4)) & 0x3f) << shift) - bias
+    s[10] = s[9] + ((((b[9] << 2) | (b[10] >> 6)) & 0x3f) << shift) - bias
+    s[14] = s[13] + ((b[10] & 0x3f) << shift) - bias
+    s[3] = s[2] + ((b[11] >> 2) << shift) - bias
+    s[7] = s[6] + ((((b[11] << 4) | (b[12] >> 4)) & 0x3f) << shift) - bias
+    s[11] = s[10] + ((((b[12] << 2) | (b[13] >> 6)) & 0x3f) << shift) - bias
+    s[15] = s[14] + ((b[13] & 0x3f) << shift) - bias
+    return (s & 0xFFFF).astype(np.uint16)
+
+
+def _b44_from_monotonic(s: np.ndarray) -> np.ndarray:
+    """Invert the compressor's bit-pattern-monotonic half transform
+    (positive: flag bit set; negative: all bits inverted)."""
+    s = s.astype(np.uint16)
+    return np.where(s & 0x8000, s & 0x7FFF, ~s).astype(np.uint16)
+
+
+def _b44_undo(payload: bytes, channels, w: int, ny: int) -> bytes:
+    """B44 / B44A decode (ImfB44Compressor.cpp::uncompress): channel-planar;
+    HALF channels as 4x4 tiles of 14 bytes (or 3 bytes for B44A's constant
+    tiles, marker b[2] == 0xfc), FLOAT/UINT channels stored raw. Returns
+    the scanline-interleaved raw block."""
+    data = np.frombuffer(payload, np.uint8)
+    pos = 0
+    chan_rows = []
+    for _name, pt in channels:
+        if pt != 1:                       # FLOAT / UINT ride uncompressed
+            nb = w * ny * 4
+            chan_rows.append(data[pos:pos + nb].reshape(ny, w * 4))
+            pos += nb
+            continue
+        img = np.zeros((ny, w), np.uint16)
+        for y0 in range(0, ny, 4):
+            for x0 in range(0, w, 4):
+                if data[pos + 2] == 0xFC:          # constant tile (B44A)
+                    v = np.uint16((int(data[pos]) << 8) | int(data[pos + 1]))
+                    s = np.full(16, v, np.uint16)
+                    pos += 3
+                else:
+                    s = _b44_unpack14(data[pos:pos + 14])
+                    pos += 14
+                s = _b44_from_monotonic(s).reshape(4, 4)
+                nr = min(4, ny - y0)
+                nc = min(4, w - x0)
+                img[y0:y0 + nr, x0:x0 + nc] = s[:nr, :nc]
+        chan_rows.append(
+            np.ascontiguousarray(img).view(np.uint8).reshape(ny, w * 2))
+    return np.concatenate(
+        [np.concatenate([cr[y] for cr in chan_rows]) for y in range(ny)]
+    ).tobytes()
+
+
 def _piz_undo(payload: bytes, channels, w: int, ny: int) -> bytes:
     from . import piz as _piz
     chans = _piz_chans(channels, w, ny)
@@ -265,7 +366,8 @@ def read_exr(path) -> np.ndarray:
     pos += 1  # header terminator
     if comp not in _EXR_LINES_PER_BLOCK:
         raise NotImplementedError(
-            f"EXR compression {comp} unsupported (NONE/RLE/ZIPS/ZIP/PIZ only)")
+            f"EXR compression {comp} unsupported (read: NONE/RLE/ZIPS/ZIP/"
+            f"PIZ/PXR24/B44/B44A; DWAA/DWAB not implemented)")
     lpb = _EXR_LINES_PER_BLOCK[comp]
     x0, y0, x1, y1 = dw
     w, h = x1 - x0 + 1, y1 - y0 + 1
@@ -283,6 +385,10 @@ def read_exr(path) -> np.ndarray:
                 blk = _piz_undo(payload, channels, w, ny)
             elif comp == 1:
                 blk = _rle_undo(payload)
+            elif comp == 5:
+                blk = _pxr24_undo(payload, channels, w, ny)
+            elif comp in (6, 7):
+                blk = _b44_undo(payload, channels, w, ny)
             else:
                 blk = _zip_undo(payload)
         else:
