@@ -49,7 +49,14 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import EPSILON
 from .dense import RayHit
 
-K = 128               # triangles per cluster (3K = 384 lanes, MXU/VPU tiles)
+# Triangles per cluster. Swept on-chip at 122k tris / 262k rays (v5e,
+# tools/perf/k_sweep.py, parity-identical checksums): K=384 is the optimum —
+# 66.9/160.2 ms coherent/divergent vs 84.5/237.1 at the old K=128
+# (1.26x/1.48x; K=64: 122/374, K=256: 74/204, K=512: 75/193). Fewer, wider
+# clusters shrink the per-tile visit count faster than the [R, 3K] test
+# widens, until K=512 where the extra test volume wins back. 3K must stay a
+# multiple of 128 lanes (K % 128 == 0).
+K = 384
 # Rays per program. Visits per tile scale with the tile's cluster UNION, so
 # smaller tiles trade more (cheap, O(C) vector) pop_min/entry steps for far
 # fewer wasted [R, 3K] triangle tests on divergent wavefronts. Measured v5e,
@@ -58,9 +65,9 @@ K = 128               # triangles per cluster (3K = 384 lanes, MXU/VPU tiles)
 # but no better end-to-end.
 RAY_TILE = 64
 # VMEM budget for the resident tables: rows [4, C, 3K] f32 dominates at
-# 6 KB/cluster; leave room for ray tiles + scratch on a 16 MB core
-# (the entry pass is chunked, so C=2048 = 12.6 MB of rows fits).
-MAX_VMEM_CLUSTERS = 2048          # ~262k triangles
+# 18 KB/cluster (K=384); leave room for ray tiles + scratch on a 16 MB core
+# (the entry pass is chunked, so C=640 = 11.8 MB of rows fits).
+MAX_VMEM_CLUSTERS = 640           # ~245k triangles
 # hierarchical (two-level) walk: SUP consecutive clusters per super-cluster.
 # One lane vector of child entries per opened super; 7 id bits pack the
 # local child index into the entry mantissa.

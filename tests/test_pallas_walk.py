@@ -267,6 +267,7 @@ def test_hier_multi_super_traversal(soup, monkeypatch):
     monkeypatch.setattr(W, "MAX_VMEM_CLUSTERS", 1)
     monkeypatch.setattr(W, "SUP", 4)
     monkeypatch.setattr(W, "_CHILD_BITS", 2)
+    monkeypatch.setattr(W, "K", 128)   # small clusters: force >= 3 supers
     wt = W.build_walk_tables(geom)
     assert wt.n_sup >= 3, wt.n_sup
     nr = o.shape[0]

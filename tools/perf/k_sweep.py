@@ -68,9 +68,9 @@ d_d /= np.linalg.norm(d_d, axis=1, keepdims=True)
 K0, MV0 = pw.K, pw.MAX_VMEM_CLUSTERS
 ref_hits = {}
 try:
-    # K=128 first: parity is keyed to the SHIPPED configuration, so a
+    # Shipped K first: parity is keyed to the SHIPPED configuration, so a
     # miscompiled K=64 leg reports ITS drift instead of poisoning the ref
-    for Ksw in (128, 64, 256):
+    for Ksw in (K0, 128, 256, 512, 64):
         pw.K = Ksw
         pw.MAX_VMEM_CLUSTERS = MV0 * K0 // Ksw
         wt = jax.device_put(pw.build_walk_tables(geom))
