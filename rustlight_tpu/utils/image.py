@@ -56,8 +56,9 @@ def _exr_attr(name: bytes, typ: bytes, value: bytes) -> bytes:
 
 # compression enum (OpenEXR): 0=NONE, 1=RLE, 2=ZIPS (1 line), 3=ZIP (16 lines),
 # 4=PIZ (32 lines), 5=PXR24 (16, decode only), 6=B44 / 7=B44A (32, decode
-# only)
-_EXR_LINES_PER_BLOCK = {0: 1, 1: 1, 2: 1, 3: 16, 4: 32, 5: 16, 6: 32, 7: 32}
+# only), 8=DWAA (32, decode only) / 9=DWAB (256, decode only)
+_EXR_LINES_PER_BLOCK = {0: 1, 1: 1, 2: 1, 3: 16, 4: 32, 5: 16, 6: 32, 7: 32,
+                        8: 32, 9: 256}
 
 
 def _rle_decode(src: bytes) -> bytes:
@@ -268,6 +269,309 @@ def _b44_undo(payload: bytes, channels, w: int, ny: int) -> bytes:
     ).tobytes()
 
 
+# --------------------------------------------------------------------- DWA
+# DWAA/DWAB decode (ImfDwaCompressor.cpp semantics, written from the format
+# spec — no OpenEXR implementation exists in this offline environment, so
+# the conformance anchors are the independent in-test spec encoders in
+# tests/test_foundations.py::TestExrDwa, same methodology as PIZ/B44).
+#
+# Stream layout (version 2): 11 little-endian u64 header words
+# (version, unknownUncompressedSize, unknownCompressedSize,
+#  acCompressedSize, dcCompressedSize, rleCompressedSize,
+#  rleUncompressedSize, rleRawSize, totalAcUncompressedCount,
+#  totalDcUncompressedCount, acCompression), then the serialized channel
+# classification rules (u16 total size including itself; each rule is a
+# NUL-terminated suffix + a flags byte [cscIdx+1 in bits 4-7, scheme in
+# bits 2-3, case-insensitive in bit 0] + a pixel-type byte), then the four
+# data segments in order: UNKNOWN (deflate), AC (ImfHuf container or
+# deflate per acCompression), DC (EXR-Zip: deflate + delta predictor +
+# byte interleave), RLE (deflate + EXR-RLE; per channel the sample bytes
+# are split into byte planes).
+#
+# LOSSY_DCT channels: per 8x8 block, the DC half rides in the DC segment
+# (component-planar within a channel set) and the AC halfs ride zigzagged
+# + zero-run-coded in the shared AC segment (0xff00 = end of block,
+# 0xffXX = run of XX zeros, else literal half bits). Decode per block:
+# un-zigzag -> inverse orthonormal 8x8 DCT -> (BT.709 inverse CSC for
+# R/G/B sets) -> float-to-half -> toLinear LUT (the sign-preserving 2.2
+# power curve of dwaLookups). UNKNOWN channels are stored raw planar; RLE
+# channels byte-planar.
+
+_DWA_ZIGZAG = np.array([
+    0,  1,  8,  16, 9,  2,  3,  10,
+    17, 24, 32, 25, 18, 11, 4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6,  7,  14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63], np.int64)
+
+_DWA_UNKNOWN, _DWA_LOSSY_DCT, _DWA_RLE = 0, 1, 2
+
+# BT.709 RGB<->YCbCr (ImfDwaCompressorSimd.h csc709Forward64/Inverse64)
+_DWA_CSC_INV = np.array([[1.0, 0.0, 1.5747],
+                         [1.0, -0.1873, -0.4682],
+                         [1.0, 1.8556, 0.0]], np.float32)
+
+_dwa_lut_cache = {}
+
+
+def _dwa_to_linear_lut() -> np.ndarray:
+    """65536-entry half-bits -> half-bits LUT: sign * |x|^2.2 (the inverse
+    of the encoder's perceptual 1/2.2 curve, dwaLookups toLinear)."""
+    lut = _dwa_lut_cache.get("lin")
+    if lut is None:
+        v = np.arange(65536, dtype=np.uint16).view(np.float16) \
+            .astype(np.float32)
+        with np.errstate(invalid="ignore", over="ignore"):
+            lin = np.sign(v) * np.abs(v) ** np.float32(2.2)
+            lin = np.where(np.isnan(v), v, lin)      # NaN bits pass through
+            lut = lin.astype(np.float16).view(np.uint16)
+        _dwa_lut_cache["lin"] = lut
+    return lut
+
+
+def _dwa_to_nonlinear_lut() -> np.ndarray:
+    """Encoder-side curve (sign * |x|^(1/2.2)); used only by tests."""
+    lut = _dwa_lut_cache.get("nonlin")
+    if lut is None:
+        v = np.arange(65536, dtype=np.uint16).view(np.float16) \
+            .astype(np.float32)
+        with np.errstate(invalid="ignore", over="ignore"):
+            nl = np.sign(v) * np.abs(v) ** np.float32(1.0 / 2.2)
+        nl = np.where(np.isnan(v), v, nl)
+        lut = nl.astype(np.float16).view(np.uint16)
+        _dwa_lut_cache["nonlin"] = lut
+    return lut
+
+
+def _dwa_dct_mat() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix T (rows = frequencies); forward
+    2D transform is T @ X @ T.T, inverse is T.T @ C @ T."""
+    x = np.arange(8, dtype=np.float64)
+    u = x[:, None]
+    t = np.cos((2 * x[None, :] + 1) * u * np.pi / 16.0)
+    t[0] *= np.sqrt(1.0 / 8.0)
+    t[1:] *= 0.5
+    return t.astype(np.float32)
+
+
+def _dwa_parse_rules(buf: bytes):
+    """Deserialize v2 channel classification rules."""
+    rules = []
+    i = 0
+    while i < len(buf):
+        j = buf.index(b"\0", i)
+        suffix = buf[i:j].decode("latin-1")
+        i = j + 1
+        if i + 2 > len(buf):
+            raise ValueError("DWA: truncated channel rule")
+        flags, ptype = buf[i], buf[i + 1]
+        i += 2
+        rules.append((suffix, (flags >> 2) & 3, ptype, (flags >> 4) - 1,
+                      bool(flags & 1)))
+    return rules
+
+
+_DWA_DEFAULT_RULES = (
+    [("R", _DWA_LOSSY_DCT, pt, 0, False) for pt in (1, 2)]
+    + [("G", _DWA_LOSSY_DCT, pt, 1, False) for pt in (1, 2)]
+    + [("B", _DWA_LOSSY_DCT, pt, 2, False) for pt in (1, 2)]
+    + [(sfx, _DWA_LOSSY_DCT, pt, -1, False)
+       for sfx in ("Y", "BY", "RY") for pt in (1, 2)]
+    + [("A", _DWA_RLE, pt, -1, False) for pt in (0, 1, 2)]
+)
+
+
+def _dwa_classify(name: str, ptype: int, rules):
+    """(scheme, cscIdx) for one channel: first rule whose suffix and pixel
+    type match (suffix = name after the last '.')."""
+    suffix = name.rsplit(".", 1)[-1]
+    for r_sfx, r_scheme, r_type, r_csc, r_ci in rules:
+        s = suffix.lower() if r_ci else suffix
+        t = r_sfx.lower() if r_ci else r_sfx
+        if s == t and ptype == r_type:
+            return r_scheme, r_csc
+    return _DWA_UNKNOWN, -1
+
+
+def _dwa_unrle_ac(ac: np.ndarray, cur: int, zig: np.ndarray) -> int:
+    """Fill one 64-entry zigzag half-bits block (DC already set at [0])
+    from the shared AC token stream; returns the new cursor."""
+    dct = 1
+    n = ac.shape[0]
+    while dct < 64:
+        if cur >= n:
+            raise ValueError("DWA: AC stream underrun")
+        val = int(ac[cur])
+        cur += 1
+        if val == 0xFF00:
+            break
+        if (val >> 8) == 0xFF:
+            dct += val & 0xFF
+        else:
+            if dct < 64:
+                zig[dct] = val
+            dct += 1
+    return cur
+
+
+def _dwa_undo(payload: bytes, channels, w: int, ny: int) -> bytes:
+    if len(payload) < 88:
+        raise ValueError("DWA: truncated header")
+    hdr = np.frombuffer(payload[:88], "<u8")
+    (version, unk_unc, unk_cmp, ac_cmp, dc_cmp, rle_cmp, rle_unc,
+     rle_raw, ac_count, dc_count, ac_scheme) = (int(x) for x in hdr)
+    pos = 88
+    if version >= 2:
+        rule_size = int.from_bytes(payload[pos:pos + 2], "little")
+        rules = _dwa_parse_rules(payload[pos + 2:pos + rule_size])
+        pos += rule_size
+    else:
+        rules = _DWA_DEFAULT_RULES
+
+    unk = _zlib.decompress(payload[pos:pos + unk_cmp]) if unk_cmp else b""
+    pos += unk_cmp
+    if len(unk) != unk_unc:
+        raise ValueError("DWA: unknown-segment size mismatch")
+    if ac_cmp:
+        buf = payload[pos:pos + ac_cmp]
+        pos += ac_cmp
+        if ac_scheme == 0:                       # STATIC_HUFFMAN
+            from .piz import huf_uncompress
+            ac = huf_uncompress(buf, ac_count)
+        elif ac_scheme == 1:                     # DEFLATE
+            ac = np.frombuffer(_zlib.decompress(buf), "<u2")
+            if ac.shape[0] != ac_count:
+                raise ValueError("DWA: AC count mismatch")
+        else:
+            raise ValueError(f"DWA: unknown AC compression {ac_scheme}")
+    else:
+        ac = np.empty(0, np.uint16)
+    if dc_cmp:
+        dc = np.frombuffer(_zip_undo(payload[pos:pos + dc_cmp]), "<u2")
+        pos += dc_cmp
+        if dc.shape[0] != dc_count:
+            raise ValueError("DWA: DC count mismatch")
+    else:
+        dc = np.empty(0, np.uint16)
+    if rle_cmp:
+        rle = _rle_decode(_zlib.decompress(payload[pos:pos + rle_cmp]))
+        pos += rle_cmp
+        if len(rle) != rle_raw:
+            raise ValueError("DWA: RLE size mismatch")
+    else:
+        rle = b""
+
+    schemes = [_dwa_classify(nm, pt, rules) for nm, pt in channels]
+    # CSC sets: channels sharing a prefix whose classifiers carry cscIdx
+    # 0, 1 and 2 — all three present, decoded as one YCbCr group
+    by_prefix = {}
+    for ci, ((nm, pt), (scheme, csc)) in enumerate(zip(channels, schemes)):
+        if scheme == _DWA_LOSSY_DCT and csc >= 0:
+            pre = nm.rsplit(".", 1)[0] if "." in nm else ""
+            by_prefix.setdefault(pre, {})[csc] = ci
+    csc_sets = {}          # first-channel index -> [idx R, idx G, idx B]
+    in_set = {}
+    for pre, m in by_prefix.items():
+        if len(m) == 3:
+            members = [m[0], m[1], m[2]]
+            first = min(members)
+            csc_sets[first] = members
+            for ci in members:
+                in_set[ci] = first
+
+    nbx, nby = -(-w // 8), -(-ny // 8)
+    nblocks = nbx * nby
+    tmat = _dwa_dct_mat()
+    lut = _dwa_to_linear_lut()
+    ac_cur, dc_cur, rle_cur, unk_cur = 0, 0, 0, 0
+    planes = [None] * len(channels)     # uint8 [ny, w*pixsize] per channel
+
+    def decode_dct_set(members):
+        """One LossyDctDecoder(CSC) pass: consumes component-planar DC,
+        shared AC; returns per-member half-bit planes [ny, w]."""
+        nonlocal ac_cur, dc_cur
+        ncomp = len(members)
+        zig = np.zeros((nblocks, ncomp, 64), np.uint16)
+        for b in range(nblocks):
+            for c in range(ncomp):
+                zig[b, c, 0] = dc[dc_cur + c * nblocks + b]
+                ac_cur = _dwa_unrle_ac(ac, ac_cur, zig[b, c])
+        dc_cur += ncomp * nblocks
+        # un-zigzag to raster, batch inverse DCT
+        raster = np.zeros((nblocks, ncomp, 64), np.uint16)
+        raster[:, :, _DWA_ZIGZAG] = zig
+        vals = np.ascontiguousarray(raster).view(np.float16) \
+            .astype(np.float32).reshape(nblocks, ncomp, 8, 8)
+        idct = np.einsum("ux,bcuv,vy->bcxy", tmat, vals, tmat,
+                         optimize=True)
+        if ncomp == 3:
+            idct = np.einsum("rc,bcxy->brxy", _DWA_CSC_INV, idct)
+        half_bits = lut[idct.astype(np.float16).view(np.uint16)]
+        # scatter blocks into [ny, w] planes (crop edge blocks)
+        out = []
+        for c in range(ncomp):
+            plane = half_bits[:, c].reshape(nby, nbx, 8, 8) \
+                .transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+            out.append(np.ascontiguousarray(plane[:ny, :w]))
+        return out
+
+    order = []
+    done = set()
+    for ci in range(len(channels)):
+        if ci in done:
+            continue
+        if ci in in_set:
+            members = csc_sets[in_set[ci]]
+            order.append(members)
+            done.update(members)
+        else:
+            order.append([ci])
+            done.add(ci)
+
+    for group in order:
+        scheme, _csc = schemes[group[0]]
+        if scheme == _DWA_LOSSY_DCT:
+            half_planes = decode_dct_set(group)
+            for ci, hp in zip(group, half_planes):
+                nm, pt = channels[ci]
+                if pt == 1:      # HALF
+                    planes[ci] = hp.astype("<u2").view(np.uint8) \
+                        .reshape(ny, w * 2)
+                elif pt == 2:    # FLOAT: encoder went through half
+                    planes[ci] = hp.view(np.float16).astype("<f4") \
+                        .view(np.uint8).reshape(ny, w * 4)
+                else:
+                    raise ValueError("DWA: UINT channel cannot be LOSSY_DCT")
+            continue
+        ci = group[0]
+        nm, pt = channels[ci]
+        nb = {0: 4, 1: 2, 2: 4}[pt]
+        if scheme == _DWA_RLE:
+            # per channel: nb byte planes of w*ny bytes each (the sample
+            # bytes split by position, little-endian)
+            need = nb * w * ny
+            seg = np.frombuffer(rle[rle_cur:rle_cur + need], np.uint8)
+            rle_cur += need
+            if seg.size != need:
+                raise ValueError("DWA: RLE channel underrun")
+            sam = seg.reshape(nb, ny * w).T.copy()     # [n, nb] LE bytes
+            planes[ci] = sam.reshape(ny, w * nb)
+        else:                                          # UNKNOWN: raw planar
+            need = nb * w * ny
+            seg = unk[unk_cur:unk_cur + need]
+            unk_cur += need
+            if len(seg) != need:
+                raise ValueError("DWA: unknown-channel underrun")
+            planes[ci] = np.frombuffer(seg, np.uint8).reshape(ny, w * nb)
+
+    return np.concatenate(
+        [np.concatenate([p[y] for p in planes]) for y in range(ny)]
+    ).tobytes()
+
+
 def _piz_undo(payload: bytes, channels, w: int, ny: int) -> bytes:
     from . import piz as _piz
     chans = _piz_chans(channels, w, ny)
@@ -367,7 +671,7 @@ def read_exr(path) -> np.ndarray:
     if comp not in _EXR_LINES_PER_BLOCK:
         raise NotImplementedError(
             f"EXR compression {comp} unsupported (read: NONE/RLE/ZIPS/ZIP/"
-            f"PIZ/PXR24/B44/B44A; DWAA/DWAB not implemented)")
+            f"PIZ/PXR24/B44/B44A/DWAA/DWAB)")
     lpb = _EXR_LINES_PER_BLOCK[comp]
     x0, y0, x1, y1 = dw
     w, h = x1 - x0 + 1, y1 - y0 + 1
@@ -389,6 +693,8 @@ def read_exr(path) -> np.ndarray:
                 blk = _pxr24_undo(payload, channels, w, ny)
             elif comp in (6, 7):
                 blk = _b44_undo(payload, channels, w, ny)
+            elif comp in (8, 9):
+                blk = _dwa_undo(payload, channels, w, ny)
             else:
                 blk = _zip_undo(payload)
         else:

@@ -498,6 +498,36 @@ def _huf_decode(packed: np.ndarray, data: bytes, nbits: int, rlc: int,
 
 # --------------------------------------------------------------- block codec (python)
 
+def huf_compress(raw: np.ndarray) -> bytes:
+    """Standalone ImfHuf container: [im u32][iM u32][tableLength u32]
+    [nBits u32][room u32=0][packed code table][bitstream]. This is the
+    coder PIZ embeds after its wavelet pass; DWA's AC coefficient stream
+    uses the same container when acCompression == STATIC_HUFFMAN
+    (ImfDwaCompressor.cpp::uncompress -> hufUncompress)."""
+    raw = np.ascontiguousarray(raw, np.uint16)
+    packed, im, iM = _build_enc_table(
+        np.bincount(raw, minlength=HUF_ENCSIZE).astype(np.int64))
+    table = _pack_enc_table(packed, im, iM)
+    data, nbits = _huf_encode(packed, raw, iM)
+    return (int(im).to_bytes(4, "little") + int(iM).to_bytes(4, "little")
+            + len(table).to_bytes(4, "little")
+            + int(nbits).to_bytes(4, "little")
+            + (0).to_bytes(4, "little") + table + data)
+
+
+def huf_uncompress(buf: bytes, n_out: int) -> np.ndarray:
+    """Decode a standalone ImfHuf container (see huf_compress) to `n_out`
+    u16 symbols."""
+    if n_out == 0:
+        return np.empty(0, np.uint16)
+    im = int.from_bytes(buf[0:4], "little")
+    iM = int.from_bytes(buf[4:8], "little")
+    nbits = int.from_bytes(buf[12:16], "little")
+    r = _BitReader(buf, 20)
+    packed = _unpack_enc_table(r, im, iM)
+    return _huf_decode(packed, buf[r.pos:], nbits, iM, n_out)
+
+
 def _piz_compress_py(planar: np.ndarray, chans: Sequence[ChannelDesc]) -> bytes:
     tmp = planar.copy()
     # bitmap of used values (zero implicit)
@@ -521,13 +551,7 @@ def _piz_compress_py(planar: np.ndarray, chans: Sequence[ChannelDesc]) -> bytes:
     for view in _channel_views(tmp, chans):
         _wav2_encode(view, max_value)
 
-    packed, im, iM = _build_enc_table(
-        np.bincount(tmp, minlength=HUF_ENCSIZE).astype(np.int64))
-    table = _pack_enc_table(packed, im, iM)
-    data, nbits = _huf_encode(packed, tmp, iM)
-    huf = (int(im).to_bytes(4, "little") + int(iM).to_bytes(4, "little")
-           + len(table).to_bytes(4, "little") + int(nbits).to_bytes(4, "little")
-           + (0).to_bytes(4, "little") + table + data)
+    huf = huf_compress(tmp)
 
     out = bytearray()
     out += int(min_nz).to_bytes(2, "little")

@@ -655,8 +655,321 @@ class TestExrPxr24B44:
         np.testing.assert_array_equal(img[..., 1],
                                       half_img.astype(np.float32))
 
-    def test_dwa_raises_not_implemented(self, tmp_path):
+class TestExrDwa:
+    """DWAA/DWAB decode, anchored like PIZ/B44: an independent in-test spec
+    ENCODER (written from the ImfDwaCompressor format spec, not from the
+    decoder) produces complete DWA chunks — 11-u64 header, serialized v2
+    channel rules, huf/deflate AC, EXR-Zip DC, byte-planar RLE, raw UNKNOWN
+    — and the expected pixels are computed by the test's own half/DCT/CSC/
+    LUT pipeline. No OpenEXR exists offline; these spec vectors are the
+    conformance anchor."""
+
+    # ---- independent spec pipeline (test-side, no image.py internals) ----
+    _ZIG = np.array([
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63])
+
+    @staticmethod
+    def _dct_mat():
+        x = np.arange(8, dtype=np.float64)
+        t = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16.0)
+        t[0] *= np.sqrt(1 / 8)
+        t[1:] *= 0.5
+        return t.astype(np.float32)
+
+    @staticmethod
+    def _nonlinear(h16):
+        v = h16.astype(np.float32)
+        return (np.sign(v) * np.abs(v) ** np.float32(1 / 2.2)) \
+            .astype(np.float16)
+
+    @staticmethod
+    def _linear(h16):
+        v = h16.astype(np.float32)
+        return (np.sign(v) * np.abs(v) ** np.float32(2.2)).astype(np.float16)
+
+    # BT.709 inverse (the decode-side matrix per the spec); forward is its
+    # numeric inverse
+    _CSC_INV = np.array([[1.0, 0.0, 1.5747],
+                         [1.0, -0.1873, -0.4682],
+                         [1.0, 1.8556, 0.0]], np.float32)
+
+    @staticmethod
+    def _quantize(coef):
+        """The encoder's lossy step: AC coefficients below a dead zone are
+        zeroed (keeps the AC token stream sparse, like real DWA at its
+        default quality). DC ([..., 0, 0]) is never quantized."""
+        q = np.abs(coef) < 2e-3
+        q[..., 0, 0] = False
+        return np.where(q, 0.0, coef)
+
+    _RULES = ([("R", 1, pt, 0) for pt in (1, 2)]
+              + [("G", 1, pt, 1) for pt in (1, 2)]
+              + [("B", 1, pt, 2) for pt in (1, 2)]
+              + [(s, 1, pt, -1) for s in ("Y", "BY", "RY") for pt in (1, 2)]
+              + [("A", 2, pt, -1) for pt in (0, 1, 2)])
+
+    @classmethod
+    def _classify(cls, name, pt):
+        sfx = name.rsplit(".", 1)[-1]
+        for r_sfx, scheme, r_pt, csc in cls._RULES:
+            if sfx == r_sfx and pt == r_pt:
+                return scheme, csc
+        return 0, -1
+
+    @classmethod
+    def _encode_dwa(cls, channels, data, w, h, ac_scheme=0):
+        """channels: [(name, pixel_type)]; data: name -> [h, w] array
+        (float16 for HALF, float32 for FLOAT, uint32 for UINT). Returns one
+        DWA chunk payload. Blocks pad by edge replication."""
+        import struct
+        import zlib
+        from rustlight_tpu.utils.piz import huf_compress
+        from rustlight_tpu.utils.image import _zip_do, _rle_encode
+
+        # serialize the default rules (v2 stream form)
+        rules_b = b""
+        for sfx, scheme, r_pt, csc in cls._RULES:
+            flags = ((csc + 1) << 4) | (scheme << 2)
+            rules_b += sfx.encode() + b"\0" + bytes([flags, r_pt])
+        rule_size = 2 + len(rules_b)
+
+        schemes = {nm: cls._classify(nm, pt) for nm, pt in channels}
+        # csc grouping (complete 0/1/2 prefix sets), file order by first
+        by_pre = {}
+        for ci, (nm, pt) in enumerate(channels):
+            s, csc = schemes[nm]
+            if s == 1 and csc >= 0:
+                by_pre.setdefault(nm.rsplit(".", 1)[0] if "." in nm else "",
+                                  {})[csc] = ci
+        in_set, sets = {}, {}
+        for pre, m in by_pre.items():
+            if len(m) == 3:
+                first = min(m.values())
+                sets[first] = [m[0], m[1], m[2]]
+                for ci in m.values():
+                    in_set[ci] = first
+        order, done = [], set()
+        for ci in range(len(channels)):
+            if ci in done:
+                continue
+            g = sets[in_set[ci]] if ci in in_set else [ci]
+            order.append(g)
+            done.update(g)
+
+        nbx, nby = -(-w // 8), -(-h // 8)
+        tmat = cls._dct_mat()
+        csc_fwd = np.linalg.inv(cls._CSC_INV)
+        ac_tokens, dc_vals = [], []
+        rle_bytes, unk_bytes = b"", b""
+        for g in order:
+            scheme, _ = schemes[channels[g[0]][0]]
+            if scheme == 1:                                  # LOSSY_DCT
+                comps = []
+                for ci in g:
+                    nm, pt = channels[ci]
+                    halfs = data[nm].astype(np.float16)
+                    nl = cls._nonlinear(halfs).astype(np.float32)
+                    pad = np.empty((nby * 8, nbx * 8), np.float32)
+                    pad[:h, :w] = nl
+                    pad[h:, :w] = nl[-1:, :]
+                    pad[:, w:] = pad[:, w - 1:w]
+                    comps.append(pad)
+                comps = np.stack(comps)                      # [c, H, W]
+                if len(g) == 3:
+                    comps = np.einsum("rc,cij->rij", csc_fwd, comps)
+                blocks = comps.reshape(len(g), nby, 8, nbx, 8) \
+                    .transpose(1, 3, 0, 2, 4)                # [by,bx,c,8,8]
+                coef = np.einsum("ux,...xy,vy->...uv", tmat, blocks, tmat)
+                coef = cls._quantize(coef)
+                ch16 = coef.astype(np.float16).view(np.uint16)
+                # zig[i] = raster[ZIG[i]]
+                zig = ch16.reshape(nby * nbx, len(g), 64)[:, :, cls._ZIG]
+                dc_comp = [zig[:, c, 0] for c in range(len(g))]
+                dc_vals.extend(dc_comp)
+                for b in range(nby * nbx):
+                    for c in range(len(g)):
+                        row = zig[b, c]
+                        dct = 1
+                        while dct < 64:
+                            if row[dct] != 0:
+                                ac_tokens.append(int(row[dct]))
+                                dct += 1
+                                continue
+                            run = 1
+                            while dct + run < 64 and row[dct + run] == 0:
+                                run += 1
+                            if dct + run >= 64:
+                                ac_tokens.append(0xFF00)     # EOB
+                                break
+                            ac_tokens.append(0xFF00 | run)
+                            dct += run
+            elif scheme == 2:                                # RLE
+                nm, pt = channels[g[0]]
+                nb = {0: 4, 1: 2, 2: 4}[pt]
+                raw = np.ascontiguousarray(data[nm]).view(np.uint8) \
+                    .reshape(h * w, nb)
+                rle_bytes += raw.T.copy().tobytes()          # byte planes
+            else:                                            # UNKNOWN
+                nm, pt = channels[g[0]]
+                unk_bytes += np.ascontiguousarray(data[nm]).tobytes()
+
+        ac = np.asarray(ac_tokens, np.uint16)
+        dc = np.concatenate(dc_vals).astype(np.uint16) if dc_vals \
+            else np.empty(0, np.uint16)
+        ac_seg = (huf_compress(ac) if ac_scheme == 0
+                  else zlib.compress(ac.astype("<u2").tobytes())) \
+            if ac.size else b""
+        dc_seg = _zip_do(dc.astype("<u2").tobytes()) if dc.size else b""
+        rle_rle = _rle_encode(rle_bytes) if rle_bytes else b""
+        rle_seg = zlib.compress(rle_rle) if rle_bytes else b""
+        unk_seg = zlib.compress(unk_bytes) if unk_bytes else b""
+        hdr = struct.pack(
+            "<11Q", 2, len(unk_bytes), len(unk_seg), len(ac_seg),
+            len(dc_seg), len(rle_seg), len(rle_rle), len(rle_bytes),
+            ac.size, dc.size, ac_scheme)
+        return (hdr + struct.pack("<H", rule_size) + rules_b
+                + unk_seg + ac_seg + dc_seg + rle_seg)
+
+    @classmethod
+    def _expected_dct(cls, channels_in_set, data, w, h):
+        """Expected decode of one DCT set via the test pipeline: half-
+        rounded coefficients -> idct -> (csc inverse) -> half -> toLinear."""
+        tmat = cls._dct_mat()
+        csc_fwd = np.linalg.inv(cls._CSC_INV)
+        nbx, nby = -(-w // 8), -(-h // 8)
+        comps = []
+        for nm in channels_in_set:
+            nl = cls._nonlinear(data[nm].astype(np.float16)) \
+                .astype(np.float32)
+            pad = np.empty((nby * 8, nbx * 8), np.float32)
+            pad[:h, :w] = nl
+            pad[h:, :w] = nl[-1:, :]
+            pad[:, w:] = pad[:, w - 1:w]
+            comps.append(pad)
+        comps = np.stack(comps)
+        if len(channels_in_set) == 3:
+            comps = np.einsum("rc,cij->rij", csc_fwd, comps)
+        blocks = comps.reshape(len(comps), nby, 8, nbx, 8) \
+            .transpose(1, 3, 0, 2, 4)
+        coef = cls._quantize(
+            np.einsum("ux,...xy,vy->...uv", tmat, blocks, tmat)) \
+            .astype(np.float16).astype(np.float32)           # half-rounded
+        idct = np.einsum("ux,...uv,vy->...xy", tmat, coef, tmat)
+        if len(channels_in_set) == 3:
+            idct = np.einsum("rc,pqcij->pqrij", cls._CSC_INV, idct)
+        out = []
+        for c in range(len(channels_in_set)):
+            plane = idct[:, :, c].transpose(0, 2, 1, 3) \
+                .reshape(nby * 8, nbx * 8)[:h, :w]
+            out.append(cls._linear(plane.astype(np.float16)))
+        return out
+
+    def test_dwa_constant_block_exact(self, tmp_path):
+        """DC-only path: constant 0.25 HALF 'Y' channel. Expected value
+        computed independently: toLinear(half(idct(half(8*nonlinear(0.25)))))
+        — and the subnormal-AC rounding crumbs the spec encoder emits for a
+        constant block exercise the literal-token path too. 24x24 so the
+        chunk genuinely compresses (writers store raw otherwise)."""
         from rustlight_tpu.utils.image import read_exr
-        p = self._mk_exr([("G", 1)], 8, 4, 4, [b"\0"], tmp_path, "dwa.exr")
+        w = h = 24
+        vals = np.full((h, w), 0.25, np.float16)
+        payload = self._encode_dwa([("Y", 1)], {"Y": vals}, w, h)
+        assert len(payload) < w * h * 2, "test chunk must compress"
+        p = TestExrPxr24B44._mk_exr([("Y", 1)], 8, w, h, [payload],
+                                    tmp_path, "dwa_const.exr")
+        img = read_exr(p)
+        nl = self._nonlinear(vals[:1, :1])
+        dcv = np.float16(8.0 * nl.astype(np.float32))
+        rec = np.float16(dcv.astype(np.float32) / 8.0)
+        expect = self._linear(rec).astype(np.float32)
+        np.testing.assert_allclose(
+            img[..., 0], np.full((h, w), expect.reshape(()), np.float32),
+            rtol=2e-3, atol=1e-6)
+
+    def test_dwa_rgb_csc_set(self, tmp_path):
+        """R/G/B HALF channels form a CSC set: YCbCr forward on encode,
+        inverse on decode, shared AC stream, component-planar DC."""
+        from rustlight_tpu.utils.image import read_exr
+        w, h = 32, 16
+        yy, xx = np.mgrid[:h, :w].astype(np.float32)
+        # smooth content: high-frequency DCT coefficients round to zero in
+        # half, so the chunk genuinely compresses below the raw size
+        data = {"R": (0.4 + 0.3 * np.sin(xx / 7.0)).astype(np.float16),
+                "G": (0.5 + 0.2 * np.cos(yy / 5.0)).astype(np.float16),
+                "B": (0.3 + 0.1 * np.sin((xx + yy) / 9.0)).astype(np.float16)}
+        chans = [("B", 1), ("G", 1), ("R", 1)]   # alphabetical file order
+        payload = self._encode_dwa(chans, data, w, h)
+        assert len(payload) < w * h * 2 * 3, "test chunk must compress"
+        p = TestExrPxr24B44._mk_exr(chans, 8, w, h, [payload], tmp_path,
+                                    "dwa_rgb.exr")
+        img = read_exr(p)
+        exp = self._expected_dct(["R", "G", "B"], data, w, h)
+        # read_exr reorders B,G,R files to R,G,B planes
+        for k in range(3):
+            np.testing.assert_allclose(img[..., k],
+                                       exp[k].astype(np.float32),
+                                       rtol=4e-3, atol=1e-4)
+
+    def test_dwa_rle_and_unknown_channels(self, tmp_path):
+        """A (HALF) classifies to RLE byte-planes; Z (FLOAT) matches no rule
+        -> UNKNOWN raw deflate. Both must decode bit-exactly."""
+        from rustlight_tpu.utils.image import read_exr
+        rng = np.random.default_rng(7)
+        w, h = 32, 9
+        # quantized/ramp content so RLE+deflate genuinely shrink the chunk
+        a = (rng.integers(0, 8, (h, w)) * 0.125).astype(np.float16)
+        z = (np.arange(h * w, dtype=np.float32).reshape(h, w) * 0.25) \
+            .astype("<f4")
+        chans = [("A", 1), ("Z", 2)]
+        payload = self._encode_dwa(chans, {"A": a, "Z": z}, w, h)
+        assert len(payload) < w * h * (2 + 4), "test chunk must compress"
+        p = TestExrPxr24B44._mk_exr(chans, 8, w, h, [payload], tmp_path,
+                                    "dwa_rle_unk.exr")
+        img = read_exr(p)
+        np.testing.assert_array_equal(img[..., 0], a.astype(np.float32))
+        np.testing.assert_array_equal(img[..., 1], z)
+
+    def test_dwa_deflate_ac_and_edge_blocks(self, tmp_path):
+        """acCompression=DEFLATE variant + a ragged 11x6 image (edge blocks
+        crop on decode) on a standalone FLOAT DCT channel ('Y' FLOAT rides
+        the half pipeline, lossy)."""
+        from rustlight_tpu.utils.image import read_exr
+        w, h = 33, 10
+        xx = np.arange(w, dtype=np.float32)[None, :]
+        yy = np.arange(h, dtype=np.float32)[:, None]
+        y = 0.8 + 0.5 * np.sin(xx / 6.0) * np.cos(yy / 4.0)
+        payload = self._encode_dwa([("Y", 2)], {"Y": y}, w, h, ac_scheme=1)
+        assert len(payload) < w * h * 4, "test chunk must compress"
+        p = TestExrPxr24B44._mk_exr([("Y", 2)], 9, w, h, [payload],
+                                    tmp_path, "dwa_deflate.exr")
+        img = read_exr(p)
+        exp = self._expected_dct(["Y"], {"Y": y}, w, h)[0].astype(np.float32)
+        np.testing.assert_allclose(img[..., 0], exp, rtol=4e-3, atol=1e-4)
+
+    def test_unknown_compression_raises(self, tmp_path):
+        from rustlight_tpu.utils.image import read_exr
+        p = TestExrPxr24B44._mk_exr([("G", 1)], 10, 4, 4, [b"\0"],
+                                    tmp_path, "unknown_comp.exr")
         with pytest.raises(NotImplementedError):
             read_exr(p)
+
+    def test_dwa_multi_chunk_dwaa(self, tmp_path):
+        """DWAA = 32-scanline chunks: a 32x64 image needs two chunks, each
+        an independent DWA block."""
+        from rustlight_tpu.utils.image import read_exr
+        w, h = 32, 64
+        yy, xx = np.mgrid[:h, :w].astype(np.float32)
+        g = (0.5 + 0.4 * np.sin(xx / 8.0 + yy / 11.0)).astype(np.float16)
+        p0 = self._encode_dwa([("G", 1)], {"G": g[:32]}, w, 32)
+        p1 = self._encode_dwa([("G", 1)], {"G": g[32:]}, w, 32)
+        assert max(len(p0), len(p1)) < w * 32 * 2, "chunks must compress"
+        p = TestExrPxr24B44._mk_exr([("G", 1)], 8, w, h, [p0, p1],
+                                    tmp_path, "dwa_two_chunks.exr")
+        img = read_exr(p)
+        e0 = self._expected_dct(["G"], {"G": g[:32]}, w, 32)[0]
+        e1 = self._expected_dct(["G"], {"G": g[32:]}, w, 32)[0]
+        exp = np.concatenate([e0, e1]).astype(np.float32)
+        np.testing.assert_allclose(img[..., 0], exp, rtol=4e-3, atol=1e-4)
