@@ -265,7 +265,7 @@ def build_walk_tables(geom, bvh=None) -> WalkTables:
     )
 
 
-def _sort_key(wt: WalkTables, o, d):
+def _sort_key(wt: WalkTables, o, d, tfar=None):
     """Wavefront coherence key: direction octant (major), then a 5-bit/axis
     morton code of the origin, then a 3-bit/axis morton of |direction| —
     rays landing in the same RAY_TILE then share a spatial cell, an octant,
@@ -274,10 +274,21 @@ def _sort_key(wt: WalkTables, o, d):
     sub-bits matter most for point-origin wavefronts (camera/point-light
     rays: every origin identical, so the origin morton is one cell and only
     the direction spreads the tile — measured 4.9M-tri coherent set:
-    tile-union visits drop ~3x)."""
+    tile-union visits drop ~3x).
+
+    When `tfar` is given, inert rays (tfar <= 0: dead wavefront lanes,
+    masked shadow rays) take the TOP key bit, compacting them into
+    all-inert tail tiles that exit after the entry pass — the live rays
+    they previously diluted re-pack into full tiles, and a merged tile's
+    cluster union is at most the sum of the two half-tiles' unions, so the
+    total visit count can only drop. This is the wavefront-compaction
+    analog for a static-shape machine: lanes are never dropped, they are
+    herded where they cost nothing."""
     octant = ((d[:, 0] > 0).astype(jnp.int32) * 4
               + (d[:, 1] > 0).astype(jnp.int32) * 2
               + (d[:, 2] > 0).astype(jnp.int32))
+    if tfar is not None:
+        octant = octant | (tfar <= 0.0).astype(jnp.int32) << 3
     ext = jnp.maximum(wt.world_hi - wt.world_lo, 1e-9)
     q = jnp.clip(((o - wt.world_lo[None, :]) / ext[None, :] * 32.0)
                  .astype(jnp.int32), 0, 31)
@@ -1356,7 +1367,7 @@ def _walk_impl(wt: WalkTables, o, d, tnear, tfar, any_hit: bool,
     sort_rays = sort_rays and n >= 2 * RAY_TILE and wt.world_lo is not None
     if sort_rays:
         key = _sort_key(wt, jnp.where(jnp.isfinite(o), o, 0.0),
-                        jnp.where(jnp.isfinite(d), d, 0.0))
+                        jnp.where(jnp.isfinite(d), d, 0.0), tfar)
         lane = lax.iota(jnp.int32, n)
         (_, o0, o1, o2, d0, d1, d2, tnear, tfar, lane) = lax.sort(
             (key, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],

@@ -413,3 +413,35 @@ def test_sparse_visit_matches_dense(soup):
     occ = occluded_walk(wt, o, d, tfar=jnp.full(nr, 2.2),
                         interpret=True, sparse=True)
     assert np.array_equal(np.asarray(occ_ref), np.asarray(occ))
+
+
+def test_inert_ray_compaction_parity(soup):
+    """The sort key's inert bit (tfar <= 0 rays herd into all-dead tail
+    tiles) must not change any result: a wavefront with 50% interleaved
+    inert lanes — the shape visible(mask=...) and dead persistent lanes
+    produce every bounce — matches the dense oracle per lane, and the
+    inert lanes report miss."""
+    import rustlight_tpu.accel.pallas_walk as W
+    geom, wt, o, d = soup
+    nr = o.shape[0]
+    inert = (np.arange(nr) % 2) == 0
+    tfar = jnp.where(jnp.asarray(inert), 0.0, jnp.inf)
+    ref = _intersect_impl(geom.inter_rows, o, d, jnp.full(nr, 1e-4),
+                          jnp.full(nr, jnp.inf), False)
+    out = intersect_walk(wt, o, d, tfar=tfar, interpret=True)
+    live = ~inert
+    assert not np.asarray(out.hit)[inert].any()
+    assert np.array_equal(np.asarray(ref.hit)[live], np.asarray(out.hit)[live])
+    both = live & np.asarray(ref.hit)
+    np.testing.assert_allclose(np.asarray(out.t)[both],
+                               np.asarray(ref.t)[both], rtol=1e-5, atol=1e-6)
+    assert (np.asarray(ref.tri)[both] == np.asarray(out.tri)[both]).all()
+    # the key actually segregates: every inert lane sorts after every live
+    key = np.asarray(W._sort_key(wt, o, d, tfar))
+    assert key[inert].min() > key[live].max()
+    # any-hit variant too
+    occ = occluded_walk(wt, o, d, tfar=tfar, interpret=True)
+    assert not np.asarray(occ)[inert].any()
+    ref_occ = _intersect_impl(geom.inter_rows, o, d, jnp.full(nr, 1e-4),
+                              jnp.where(jnp.asarray(inert), 0.0, 1e8), True)
+    assert np.array_equal(np.asarray(ref_occ)[live], np.asarray(occ)[live])
