@@ -278,12 +278,17 @@ def _sort_key(wt: WalkTables, o, d, tfar=None):
 
     When `tfar` is given, inert rays (tfar <= 0: dead wavefront lanes,
     masked shadow rays) take the TOP key bit, compacting them into
-    all-inert tail tiles that exit after the entry pass — the live rays
-    they previously diluted re-pack into full tiles, and a merged tile's
-    cluster union is at most the sum of the two half-tiles' unions, so the
-    total visit count can only drop. This is the wavefront-compaction
-    analog for a static-shape machine: lanes are never dropped, they are
-    herded where they cost nothing."""
+    all-inert tail tiles — the wavefront-compaction analog for a
+    static-shape machine (VERDICT r2's last untried scheduling lever).
+    Measured on-chip (v5e, 122k tris): LOSES 0.74x on the e2e path render
+    and is neutral (0.98x) even at 50% artificially interleaved inert
+    lanes, bit-identical both ways. Inert rays never expanded their tile's
+    cluster union to begin with (tfar=0 fails every slab test), so mixed
+    tiles paid nothing for them — while re-packing live lanes stretches
+    each tile across a wider key range and grows its union. Kept opt-in
+    (RUSTLIGHT_TPU_COMPACT_INERT=1); with the pair/sub-tile/sparse-visit
+    negatives this closes the compaction lever too: the sorted tile walk's
+    inert-lane dilution is already free."""
     octant = ((d[:, 0] > 0).astype(jnp.int32) * 4
               + (d[:, 1] > 0).astype(jnp.int32) * 2
               + (d[:, 2] > 0).astype(jnp.int32))
@@ -1366,8 +1371,11 @@ def _walk_impl(wt: WalkTables, o, d, tnear, tfar, any_hit: bool,
     # coherence sort (payload sort, no gathers); un-sorted by lane id below
     sort_rays = sort_rays and n >= 2 * RAY_TILE and wt.world_lo is not None
     if sort_rays:
-        key = _sort_key(wt, jnp.where(jnp.isfinite(o), o, 0.0),
-                        jnp.where(jnp.isfinite(d), d, 0.0), tfar)
+        key = _sort_key(
+            wt, jnp.where(jnp.isfinite(o), o, 0.0),
+            jnp.where(jnp.isfinite(d), d, 0.0),
+            tfar if _os.environ.get("RUSTLIGHT_TPU_COMPACT_INERT") == "1"
+            else None)
         lane = lax.iota(jnp.int32, n)
         (_, o0, o1, o2, d0, d1, d2, tnear, tfar, lane) = lax.sort(
             (key, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],

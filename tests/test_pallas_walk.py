@@ -415,13 +415,15 @@ def test_sparse_visit_matches_dense(soup):
     assert np.array_equal(np.asarray(occ_ref), np.asarray(occ))
 
 
-def test_inert_ray_compaction_parity(soup):
-    """The sort key's inert bit (tfar <= 0 rays herd into all-dead tail
-    tiles) must not change any result: a wavefront with 50% interleaved
-    inert lanes — the shape visible(mask=...) and dead persistent lanes
-    produce every bounce — matches the dense oracle per lane, and the
-    inert lanes report miss."""
+def test_inert_ray_compaction_parity(soup, monkeypatch):
+    """The opt-in inert-compaction key (RUSTLIGHT_TPU_COMPACT_INERT=1:
+    tfar <= 0 rays herd into all-dead tail tiles; measured on-chip it is
+    neutral-to-negative, see _sort_key docstring) must not change any
+    result: a wavefront with 50% interleaved inert lanes — the shape
+    visible(mask=...) and dead persistent lanes produce every bounce —
+    matches the dense oracle per lane, and the inert lanes report miss."""
     import rustlight_tpu.accel.pallas_walk as W
+    monkeypatch.setenv("RUSTLIGHT_TPU_COMPACT_INERT", "1")
     geom, wt, o, d = soup
     nr = o.shape[0]
     inert = (np.arange(nr) % 2) == 0
