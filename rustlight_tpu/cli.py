@@ -43,6 +43,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("-n", "--nbsamples", type=int, default=1)
     ap.add_argument("-a", "--average", default=None,
                     help="averaging passes or time budget ('inf' / '10s')")
+    ap.add_argument("--progress", action="store_true",
+                    help="in-place per-pass progress bar on stderr under "
+                         "-a/-e (reference `progress-bar` feature)")
     ap.add_argument("--resume", action="store_true",
                     help="continue -a averaging from the newest "
                          "<output>_<k>.pfm dump (bit-exact vs an "
@@ -481,13 +484,14 @@ def main(argv=None):
     if args.equal_time is not None:
         # -e is MILLISECONDS like the reference (equal_time.rs:5)
         meta = IntegratorEqualTime(integrator, target_s=args.equal_time / 1e3,
-                                   spp_per_pass=args.nbsamples, mesh=mesh)
+                                   spp_per_pass=args.nbsamples, mesh=mesh,
+                                   progress=args.progress)
         film = meta.render(sd, seed=seed, verbose=True)
         log.info("Achieved spp: %d", meta.achieved_spp)
     elif args.average is not None:
         dump_base = args.output.rsplit(".", 1)[0]
         kw = dict(spp_per_pass=args.nbsamples, dump_base=dump_base,
-                  mesh=mesh, resume=args.resume)
+                  mesh=mesh, resume=args.resume, progress=args.progress)
         if args.average == "inf":
             # run forever, dumping each pass (avg.rs:21); the dumps are the
             # de-facto checkpoints — stop with Ctrl-C and keep the last one

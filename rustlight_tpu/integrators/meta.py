@@ -43,6 +43,28 @@ def _render_once(scene, integrator, spp, seed, sampler="independent",
     return render(scene, integrator, spp, seed=seed, sampler=sampler)
 
 
+def _print_progress(it: int, nb_passes, timeout_s, elapsed: float,
+                    spp_per_pass: int) -> None:
+    """One in-place progress line on stderr (the reference's optional
+    terminal progress bar, `progress-bar` feature, integrators/mod.rs:17-43
+    — a capability toggle, not a format contract)."""
+    import sys
+    if nb_passes:
+        frac = it / nb_passes
+        eta = elapsed / max(it, 1) * (nb_passes - it)
+        tail = f"pass {it}/{nb_passes}  eta {eta:6.1f}s"
+    elif timeout_s:
+        frac = min(elapsed / timeout_s, 1.0)
+        tail = f"{elapsed:6.1f}/{timeout_s:.0f}s  pass {it}"
+    else:
+        frac = 0.0
+        tail = f"pass {it} (unbounded)"
+    n = int(frac * 30)
+    bar = "#" * n + "-" * (30 - n)
+    sys.stderr.write(f"\r[{bar}] {tail}  {it * spp_per_pass} spp")
+    sys.stderr.flush()
+
+
 class IntegratorAverage:
     """Average repeated passes; `timeout_s=None` runs `nb_passes` passes,
     otherwise loops until the wall-clock budget (reference `-a`)."""
@@ -52,7 +74,7 @@ class IntegratorAverage:
                  timeout_s: Optional[float] = None,
                  dump_base: Optional[str] = None,
                  mesh=None, max_passes: Optional[int] = None,
-                 resume: bool = False):
+                 resume: bool = False, progress: bool = False):
         # nb_passes=None and timeout_s=None = run forever with per-pass
         # dumps (the reference's `-a inf`, avg.rs:21 + cli.rs:31-39);
         # max_passes is a safety bound for tests of the infinite mode.
@@ -70,6 +92,10 @@ class IntegratorAverage:
         # continue them. Pass seeds are `seed + pass_index`, so a resumed
         # run reproduces the uninterrupted run bit-exactly.
         self.resume = resume
+        # progress=True prints an in-place per-pass progress line (the
+        # reference's optional terminal progress bar, `progress-bar`
+        # feature / integrators/mod.rs:17-43).
+        self.progress = progress
 
     def _load_dump(self, k: int):
         """Load dump pass k as a Film, or None."""
@@ -196,6 +222,9 @@ class IntegratorAverage:
                 avg.average_with(film, it)
             it += 1
             timeline.append((time.time() - t0, it))
+            if self.progress:
+                _print_progress(it, self.nb_passes, self.timeout_s,
+                                time.time() - t0, self.spp_per_pass)
             if self.dump_base:
                 avg.save(f"{self.dump_base}_{it}.pfm")
                 if hasattr(self.integrator, "state_dict"):
@@ -217,6 +246,9 @@ class IntegratorAverage:
                     break
             elif it >= self.nb_passes:
                 break
+        if self.progress:
+            import sys
+            sys.stderr.write("\n")
         if self.dump_base:
             # per-pass cumulative time CSV (avg.rs:97-106)
             with open(f"{self.dump_base}_time.csv", "w") as f:
@@ -232,12 +264,13 @@ class IntegratorEqualTime:
     (reference `-e`)."""
 
     def __init__(self, integrator, target_s: float, spp_per_pass: int = 1,
-                 mesh=None):
+                 mesh=None, progress: bool = False):
         self.integrator = integrator
         self.target_s = target_s
         self.spp_per_pass = spp_per_pass
         self.achieved_spp = 0
         self.mesh = mesh
+        self.progress = progress
 
     def render(self, scene, seed: int = 0, verbose: bool = False) -> Film:
         # warm the compile cache outside the clock: the budget is render
@@ -255,7 +288,13 @@ class IntegratorEqualTime:
             else:
                 acc.average_with(film, passes)
             passes += 1
+            if self.progress:
+                _print_progress(passes, None, self.target_s,
+                                time.time() - t0, self.spp_per_pass)
         self.achieved_spp = passes * self.spp_per_pass
+        if self.progress:
+            import sys
+            sys.stderr.write("\n")
         if verbose:
             print(f"equal_time: achieved {self.achieved_spp} spp "
                   f"in {time.time()-t0:.2f}s")
