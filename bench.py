@@ -1,12 +1,16 @@
 """Headline benchmark: path tracing throughput on the local chip.
 
-Prints one JSON line per config — Mrays/s (primary + bounce + shadow rays /
-wall-clock), rendered with the persistent-wavefront loop (pixel-pinned lane
-respawn keeps the wavefront full through Russian roulette; see
-IntegratorPathTracing.compute_block):
-  1. cbox 512^2 128 spp (the BASELINE config; dense MXU intersector),
+Prints ONE JSON line (the driver contract) — Mrays/s (primary + bounce +
+shadow rays / wall-clock), rendered with the persistent-wavefront loop
+(pixel-pinned lane respawn keeps the wavefront full through Russian
+roulette; see IntegratorPathTracing.compute_block). Two configs ride in
+it:
+  1. cbox 512^2 128 spp (the BASELINE config; dense MXU intersector) —
+     the top-level metric,
   2. 122k-tri sphere grid 256^2 8 spp depth 5 (the production Pallas
-     tile-walk intersector on divergent wavefronts).
+     tile-walk intersector on divergent wavefronts; the large-scene
+     metric the round-2 verdict asked the bench to track) — nested at
+     detail.grid122k.
 
 vs_baseline is measured against the BASELINE.json target of >= 100 Mrays/s
 aggregate on a v5e-8, i.e. 12.5 Mrays/s per chip. Ray count is the actual
@@ -43,6 +47,29 @@ def _probe_devices(timeout_s: float = 240.0) -> str:
 
 
 def main():
+    import threading
+
+    # deadline watchdog: the device probe can pass while a later dispatch
+    # wedges (observed axon failure mode) — the bench must still emit its
+    # one JSON line rather than hang the driver forever. A daemon timer
+    # prints an error row and hard-exits if the measurements overrun.
+    deadline = float(os.environ.get("RUSTLIGHT_TPU_BENCH_DEADLINE", 3300))
+
+    def _overrun():
+        print(json.dumps({
+            "metric": "cbox_path_128spp_throughput",
+            "value": 0.0,
+            "unit": "Mrays/s/chip",
+            "vs_baseline": 0.0,
+            "error": f"bench overran its {deadline:.0f}s deadline "
+                     "(wedged device tunnel mid-run)",
+        }), flush=True)
+        os._exit(1)
+
+    watchdog = threading.Timer(deadline, _overrun)
+    watchdog.daemon = True
+    watchdog.start()
+
     from rustlight_tpu.cli import _respect_platform_env, _enable_compile_cache
     _respect_platform_env()   # honor JAX_PLATFORMS=cpu despite the plugin
     _enable_compile_cache()   # relay compiles run 20-270 s; cache repeats
@@ -63,18 +90,22 @@ def main():
     from rustlight_tpu.integrators.common import _pixel_grid
     from rustlight_tpu.utils.rng import make_stream, stream_fold
 
-    # Line 1 — headline: cbox path 512^2 128 spp (dense MXU intersector).
+    # The driver contract is ONE JSON line; the large-scene metric the
+    # round-2 verdict asked the bench to track (the production Pallas
+    # tile-walk kernel, not just dense-MXU cbox) rides inside it as
+    # detail.grid122k.
+    # Measure the large scene first (quiet), then print the headline line
+    # with the grid numbers embedded.
+    grid = _bench_config("grid122k_path_8spp_throughput",
+                         sphere_grid(122_000, 256, 256).compile(),
+                         256, 256, 8, 5, emit=False)
     _bench_config("cbox_path_128spp_throughput",
-                  cornell_box(512, 512).compile(), 512, 512, 128, 6)
-    # Line 2 — production kernel: 122k-tri sphere grid, path 256^2 8 spp
-    # depth 5 (Pallas tile-walk intersector; divergent bounce/shadow
-    # wavefronts dominate) — VERDICT r2 asked the bench to track the large-
-    # scene kernel, not just dense-MXU cbox.
-    _bench_config("grid122k_path_8spp_throughput",
-                  sphere_grid(122_000, 256, 256).compile(), 256, 256, 8, 5)
+                  cornell_box(512, 512).compile(), 512, 512, 128, 6,
+                  extra={"grid122k": grid})
 
 
-def _bench_config(metric, scene, width, height, spp, max_depth):
+def _bench_config(metric, scene, width, height, spp, max_depth,
+                  emit=True, extra=None):
     import jax
     import jax.numpy as jnp
     from rustlight_tpu.integrators import IntegratorPathTracing
@@ -176,21 +207,28 @@ def _bench_config(metric, scene, width, height, spp, max_depth):
     mrays_aggregate = total_rays / dt / 1e6
     mrays = mrays_aggregate / max(n_dev, 1)   # per-chip (metric unit)
 
-    print(json.dumps({
+    detail = {
+        "resolution": f"{width}x{height}",
+        "spp": spp,
+        "wall_s": round(dt, 3),
+        "rays_per_pass": int(rays_per_pass),
+        "n_devices": n_dev,
+        "aggregate_mrays_s": round(mrays_aggregate, 3),
+        "mean_radiance": float(np.asarray(acc).mean() / spp),
+    }
+    if extra:
+        detail.update(extra)
+    row = {
         "metric": metric,
         "value": round(mrays, 3),
         "unit": "Mrays/s/chip",
         "vs_baseline": round(mrays / 12.5, 3),
-        "detail": {
-            "resolution": f"{width}x{height}",
-            "spp": spp,
-            "wall_s": round(dt, 3),
-            "rays_per_pass": int(rays_per_pass),
-            "n_devices": n_dev,
-            "aggregate_mrays_s": round(mrays_aggregate, 3),
-            "mean_radiance": float(np.asarray(acc).mean() / spp),
-        },
-    }))
+        "detail": detail,
+    }
+    if emit:
+        print(json.dumps(row))
+    return {"metric": metric, "value": round(mrays, 3),
+            "unit": "Mrays/s/chip", **detail}
 
 
 if __name__ == "__main__":
