@@ -91,6 +91,11 @@ SUBTILES_DEFAULT = int(os.environ.get("RUSTLIGHT_TPU_SUBTILES", "1"))
 # back to the dense test when more than SPARSE_CAP rays overlap. Resolved
 # at import for jit-cache hygiene, like SUBTILES_DEFAULT.
 SPARSE_DEFAULT = os.environ.get("RUSTLIGHT_TPU_SPARSE_VISIT", "0") == "1"
+# opt-in inert-ray compaction (measured negative, see _sort_key): resolved
+# at import for jit-cache hygiene, like SUBTILES_DEFAULT/SPARSE_DEFAULT —
+# a trace-time env read would silently reuse the stale cached trace.
+COMPACT_INERT_DEFAULT = os.environ.get(
+    "RUSTLIGHT_TPU_COMPACT_INERT", "0") == "1"
 SPARSE_CAP = int(os.environ.get("RUSTLIGHT_TPU_SPARSE_CAP", "16"))
 
 
@@ -1339,11 +1344,12 @@ def _anyhit_kernel_hbm_hier(n_real, n_sup, slo_ref, shi_ref,
 
 
 @partial(jax.jit, static_argnames=("any_hit", "interpret", "sort_rays",
-                                   "wide", "hier", "sub", "sparse"))
+                                   "wide", "hier", "sub", "sparse",
+                                   "compact_inert"))
 def _walk_impl(wt: WalkTables, o, d, tnear, tfar, any_hit: bool,
                interpret: bool = False, sort_rays: bool = True,
                wide: bool = None, hier: bool = None, sub: int = None,
-               sparse: bool = None):
+               sparse: bool = None, compact_inert: bool = None):
     n = o.shape[0]
     cp = wt.n_clusters
     # packed entry+id pops cap at 2^14 clusters; larger scenes use the
@@ -1370,12 +1376,13 @@ def _walk_impl(wt: WalkTables, o, d, tnear, tfar, any_hit: bool,
 
     # coherence sort (payload sort, no gathers); un-sorted by lane id below
     sort_rays = sort_rays and n >= 2 * RAY_TILE and wt.world_lo is not None
+    if compact_inert is None:
+        compact_inert = COMPACT_INERT_DEFAULT
     if sort_rays:
         key = _sort_key(
             wt, jnp.where(jnp.isfinite(o), o, 0.0),
             jnp.where(jnp.isfinite(d), d, 0.0),
-            tfar if _os.environ.get("RUSTLIGHT_TPU_COMPACT_INERT") == "1"
-            else None)
+            tfar if compact_inert else None)
         lane = lax.iota(jnp.int32, n)
         (_, o0, o1, o2, d0, d1, d2, tnear, tfar, lane) = lax.sort(
             (key, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
@@ -1457,6 +1464,15 @@ def _walk_impl(wt: WalkTables, o, d, tnear, tfar, any_hit: bool,
         if sparse is None:
             sparse = SPARSE_DEFAULT
         sparse = bool(sparse) and wt.resident and not wide and sub == 1
+        if sparse and MXU_TRITEST:
+            # the sparse compact path tests via _test_rows_cols (VPU fma
+            # only) while the dense fallback inside the same kernel honors
+            # MXU_TRITEST — mixing accumulation orders breaks the
+            # bit-identical-to-dense contract, so refuse the combo loudly
+            raise ValueError(
+                "RUSTLIGHT_TPU_SPARSE_VISIT and RUSTLIGHT_TPU_MXU_TRITEST "
+                "are mutually exclusive (the sparse path has no MXU "
+                "triangle test; mixing them breaks bit parity)")
         if sub > 1:
             scratch = [pltpu.VMEM((1, cp), jnp.float32)
                        for _ in range(sub)]

@@ -35,14 +35,19 @@ NAMED_IOR = {
 
 def resolve_ior(value, default: float) -> float:
     """Numeric string/float -> float; material name -> NAMED_IOR entry
-    (case-insensitive, matching glass.rs:6-34); None -> default."""
+    (case-insensitive, matching glass.rs:6-34); None -> default.
+
+    A non-positive numeric value also falls back to the default: eta <= 0
+    divides by zero in fresnel_dielectric and the pre-named-IOR loader
+    tolerated `value="0"` via its falsy-or fallback — keep that graceful."""
     if value is None:
         return float(default)
     if isinstance(value, (int, float)):
-        return float(value)
+        return float(value) if value > 0 else float(default)
     s = str(value).strip()
     try:
-        return float(s)
+        v = float(s)
+        return v if v > 0 else float(default)
     except ValueError:
         key = s.lower()
         if key not in NAMED_IOR:

@@ -64,6 +64,12 @@ class IntegratorSMCMC:
         self.keep_chains = keep_chains
         self.averaging = not keep_chains
         self._chain_state = None          # (scene id, carry pytree)
+        # capture_hlo=True stashes the compiled HLO text of the PRODUCTION
+        # sharded evolve step in self.last_hlo on the next render() — the
+        # dryrun and P4 tests assert `collective-permute` on the real
+        # lowering, not on a synthetic stand-in roll.
+        self.capture_hlo = False
+        self.last_hlo = None
         cap = getattr(integrator, "hard_cap", 16)
         self.pss_dims = pss_dims or (2 + 6 * cap)
 
@@ -438,6 +444,11 @@ class IntegratorSMCMC:
             stream0 = stream_fold(base, 31337)
         else:
             carry0, stream0 = make_init(stream_fold(base, 31337))
+        if self.capture_hlo:
+            # lower the REAL sharded step (the one about to run) and stash
+            # its compiled HLO so callers can assert on the production
+            # collective, not a stand-in
+            self.last_hlo = evolve.lower(carry0, stream0).compile().as_text()
         carry = evolve(carry0, stream0)
         if self.keep_chains:
             self._chain_state = (scene, carry)

@@ -68,6 +68,35 @@ def door_box(width=40, height=30) -> Scene:
     return sc
 
 
+def sphere_grid_mesh(n_tris: int, n_theta: int = 10, spacing: float = 3.0,
+                     material: int = 0):
+    """Raw cubic-grid-of-UV-spheres geometry: one TriMesh of ~n_tris
+    triangles plus the grid side count. The ONE generator behind the
+    sphere_grid benchmark scene AND the perf tools (tools/perf/k_sweep.py,
+    tools/perf/roofline.py use n_theta=18 / 110k so their recorded numbers
+    stay comparable across rounds); a single source keeps the scenes the
+    docs treat as identical actually identical.
+    Returns (mesh, gs) with the grid spanning [0, gs*spacing]^3."""
+    import numpy as np
+    from ..scene.geometry import TriMesh, make_sphere
+
+    base = make_sphere((0, 0, 0), 1.0, n_theta=n_theta, n_phi=n_theta)
+    nt = base.indices.shape[0]
+    gs = int(np.ceil((n_tris / nt) ** (1 / 3)))
+    vs, idxs, off = [], [], 0
+    for i in range(gs):
+        for j in range(gs):
+            for k in range(gs):
+                vs.append(base.vertices + np.array([i, j, k],
+                                                   np.float32) * spacing)
+                idxs.append(base.indices + off)
+                off += base.vertices.shape[0]
+    mesh = TriMesh(vertices=np.concatenate(vs).astype(np.float32),
+                   indices=np.concatenate(idxs).astype(np.int32),
+                   material=material)
+    return mesh, gs
+
+
 def sphere_grid(n_tris=122_000, width=256, height=256) -> Scene:
     """Large-scene benchmark: a cubic grid of UV spheres (~n_tris triangles
     total) under one overhead area light, camera outside looking in. The
@@ -77,23 +106,11 @@ def sphere_grid(n_tris=122_000, width=256, height=256) -> Scene:
     from .. import bsdfs as _b
     import numpy as np
     from ..scene import make_quad
-    from ..scene.geometry import TriMesh, make_sphere
 
-    base = make_sphere((0, 0, 0), 1.0, n_theta=10, n_phi=10)
-    nt = base.indices.shape[0]
-    gs = int(np.ceil((n_tris / nt) ** (1 / 3)))
-    vs, idxs, off = [], [], 0
-    for i in range(gs):
-        for j in range(gs):
-            for k in range(gs):
-                vs.append(base.vertices + np.array([i, j, k],
-                                                   np.float32) * 3.0)
-                idxs.append(base.indices + off)
-                off += base.vertices.shape[0]
     sc = Scene()
     m = sc.add_material(_b.diffuse((0.6, 0.55, 0.5)))
-    sc.add_mesh(TriMesh(vertices=np.concatenate(vs),
-                        indices=np.concatenate(idxs), material=m))
+    mesh, gs = sphere_grid_mesh(n_tris, n_theta=10, material=m)
+    sc.add_mesh(mesh)
     lm = sc.add_material(_b.diffuse((0, 0, 0)))
     ext = gs * 3.0
     sc.add_mesh(make_quad((0, ext + 4, 0), (ext, ext + 4, 0),

@@ -415,22 +415,24 @@ def test_sparse_visit_matches_dense(soup):
     assert np.array_equal(np.asarray(occ_ref), np.asarray(occ))
 
 
-def test_inert_ray_compaction_parity(soup, monkeypatch):
-    """The opt-in inert-compaction key (RUSTLIGHT_TPU_COMPACT_INERT=1:
-    tfar <= 0 rays herd into all-dead tail tiles; measured on-chip it is
-    neutral-to-negative, see _sort_key docstring) must not change any
-    result: a wavefront with 50% interleaved inert lanes — the shape
-    visible(mask=...) and dead persistent lanes produce every bounce —
-    matches the dense oracle per lane, and the inert lanes report miss."""
+def test_inert_ray_compaction_parity(soup):
+    """The opt-in inert-compaction key (RUSTLIGHT_TPU_COMPACT_INERT=1,
+    resolved at import; the kernel takes it as the compact_inert STATIC
+    arg so this test cannot be poisoned by earlier cached traces; measured
+    on-chip it is neutral-to-negative, see _sort_key docstring) must not
+    change any result: a wavefront with 50% interleaved inert lanes — the
+    shape visible(mask=...) and dead persistent lanes produce every bounce
+    — matches the dense oracle per lane, and the inert lanes report
+    miss."""
     import rustlight_tpu.accel.pallas_walk as W
-    monkeypatch.setenv("RUSTLIGHT_TPU_COMPACT_INERT", "1")
     geom, wt, o, d = soup
     nr = o.shape[0]
     inert = (np.arange(nr) % 2) == 0
     tfar = jnp.where(jnp.asarray(inert), 0.0, jnp.inf)
     ref = _intersect_impl(geom.inter_rows, o, d, jnp.full(nr, 1e-4),
                           jnp.full(nr, jnp.inf), False)
-    out = intersect_walk(wt, o, d, tfar=tfar, interpret=True)
+    out = W._walk_impl(wt, o, d, jnp.full(nr, 1e-4), tfar, False,
+                       interpret=True, compact_inert=True)
     live = ~inert
     assert not np.asarray(out.hit)[inert].any()
     assert np.array_equal(np.asarray(ref.hit)[live], np.asarray(out.hit)[live])
@@ -442,7 +444,8 @@ def test_inert_ray_compaction_parity(soup, monkeypatch):
     key = np.asarray(W._sort_key(wt, o, d, tfar))
     assert key[inert].min() > key[live].max()
     # any-hit variant too
-    occ = occluded_walk(wt, o, d, tfar=tfar, interpret=True)
+    occ = W._walk_impl(wt, o, d, jnp.full(nr, 1e-4), tfar, True,
+                       interpret=True, compact_inert=True)
     assert not np.asarray(occ)[inert].any()
     ref_occ = _intersect_impl(geom.inter_rows, o, d, jnp.full(nr, 1e-4),
                               jnp.where(jnp.asarray(inert), 0.0, 1e8), True)

@@ -107,6 +107,19 @@ class TestSMCMCSharded:
         np.testing.assert_allclose(np.asarray(f8), np.asarray(f1),
                                    rtol=2e-4, atol=1e-5)
 
+    def test_production_evolve_lowers_to_collective_permute(self):
+        """The PRODUCTION sharded SMCMC step (the evolve loop the renderer
+        actually runs, captured via capture_hlo) must contain a
+        collective-permute — if a sharding change made GSPMD replicate or
+        all-gather the tile grid instead, this fails."""
+        from rustlight_tpu.integrators.mcmc import IntegratorSMCMC
+        inner = IntegratorPathTracing(max_depth=2, hard_cap=2)
+        g = IntegratorSMCMC(inner, recons="naive")
+        g.capture_hlo = True
+        g.render(CBOX, spp=2, seed=0, mesh=MESH)
+        assert g.last_hlo and "collective-permute" in g.last_hlo, \
+            "SMCMC halo exchange did not lower to a collective-permute"
+
     def test_exchange_compiles_to_collective_permute(self):
         """The halo exchange must actually ride the mesh: the lowered HLO of
         a sharded exchange step contains a collective-permute."""

@@ -32,30 +32,19 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from rustlight_tpu.scene.geometry import TriMesh, make_sphere, \
+from rustlight_tpu.scene.geometry import \
     build_geometry_tables
 import rustlight_tpu.accel.pallas_walk as pw
 from rustlight_tpu.cli import _enable_compile_cache
 
 _enable_compile_cache()
 
-base = make_sphere((0, 0, 0), 1.0, n_theta=18, n_phi=18)
-nt_per = base.indices.shape[0]
+from rustlight_tpu.models.presets import sphere_grid_mesh
+
 rng = np.random.default_rng(3)
 n = 262144
-gs = int(np.ceil((110_000 / nt_per) ** (1 / 3)))
-vs, idxs, off = [], [], 0
-for i in range(gs):
-    for j in range(gs):
-        for k in range(gs):
-            c = np.array([i, j, k], np.float32) * 3.0
-            vs.append(base.vertices + c)
-            idxs.append(base.indices + off)
-            off += base.vertices.shape[0]
-verts = np.concatenate(vs).astype(np.float32)
-idx = np.concatenate(idxs).astype(np.int32)
-geom = build_geometry_tables([TriMesh(vertices=verts, indices=idx,
-                                      material=0)], [-1])
+mesh, gs = sphere_grid_mesh(110_000, n_theta=18)
+geom = build_geometry_tables([mesh], [-1])
 ext = gs * 3.0
 o_c = np.tile(np.array([ext / 2, ext / 2, -0.35 * ext], np.float32), (n, 1))
 tgt = rng.uniform(0, ext, (n, 3)).astype(np.float32)

@@ -43,7 +43,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from rustlight_tpu.scene.geometry import TriMesh, make_sphere, \
+from rustlight_tpu.scene.geometry import \
     build_geometry_tables
 import rustlight_tpu.accel.pallas_walk as pw
 from rustlight_tpu.cli import _enable_compile_cache
@@ -175,21 +175,12 @@ def _fma_kernel(iters, x_ref, y_ref):
 
 
 def _mk_scene():
-    base = make_sphere((0, 0, 0), 1.0, n_theta=18, n_phi=18)
-    nt_per = base.indices.shape[0]
-    gs = int(np.ceil((110_000 / nt_per) ** (1 / 3)))
-    vs, idxs, off = [], [], 0
-    for i in range(gs):
-        for j in range(gs):
-            for k in range(gs):
-                c = np.array([i, j, k], np.float32) * 3.0
-                vs.append(base.vertices + c)
-                idxs.append(base.indices + off)
-                off += base.vertices.shape[0]
-    verts = np.concatenate(vs).astype(np.float32)
-    idx = np.concatenate(idxs).astype(np.int32)
-    geom = build_geometry_tables(
-        [TriMesh(vertices=verts, indices=idx, material=0)], [-1])
+    # the SAME generator + parameters as tools/perf/k_sweep.py (shared
+    # helper; n_theta=18 / 110k target, distinct from the bench preset's
+    # n_theta=10) so the two tools measure the identical table set
+    from rustlight_tpu.models.presets import sphere_grid_mesh
+    mesh, gs = sphere_grid_mesh(110_000, n_theta=18)
+    geom = build_geometry_tables([mesh], [-1])
     return geom, gs * 3.0
 
 
