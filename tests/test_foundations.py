@@ -973,3 +973,111 @@ class TestExrDwa:
         e1 = self._expected_dct(["G"], {"G": g[32:]}, w, 32)[0]
         exp = np.concatenate([e0, e1]).astype(np.float32)
         np.testing.assert_allclose(img[..., 0], exp, rtol=4e-3, atol=1e-4)
+
+
+class TestExrDecodeFuzz:
+    """Randomized cross-format decode fuzz: random sizes and contents
+    through the independent spec encoders (PXR24 / B44 / B44A / DWA) and
+    through write_exr for the read+write formats — every OpenEXR scanline
+    compression exercised on shapes the hand-picked vectors don't cover."""
+
+    def test_write_formats_random_shapes(self, tmp_path):
+        from rustlight_tpu.utils import image as rimage
+        rng = np.random.default_rng(123)
+        for i, comp in enumerate(["none", "rle", "zips", "zip", "piz"]):
+            h, w = int(rng.integers(1, 70)), int(rng.integers(1, 70))
+            img = rng.normal(size=(h, w, 3)).astype(np.float32)
+            p = tmp_path / f"f_{comp}_{i}.exr"
+            rimage.write_exr(p, img, compression=comp)
+            np.testing.assert_array_equal(rimage.read_exr(p), img)
+
+    def test_pxr24_random_half_shapes(self, tmp_path):
+        import zlib
+        from rustlight_tpu.utils.image import read_exr, _EXR_LINES_PER_BLOCK
+        rng = np.random.default_rng(7)
+        for trial in range(6):
+            h, w = int(rng.integers(1, 40)), int(rng.integers(2, 80))
+            if trial < 3:     # smooth-ish halfs: small diffs, compressible
+                base = rng.integers(0, 1 << 12)
+                vals = ((base + np.cumsum(
+                    rng.integers(-3, 4, h * w)).reshape(h, w)) & 0x7FFF) \
+                    .astype(np.uint16).view(np.float16)
+            else:             # full-entropy halfs: forces raw fallback
+                vals = (rng.integers(0, 1 << 15, (h, w)).astype(np.uint16)) \
+                    .view(np.float16)
+            lpb = _EXR_LINES_PER_BLOCK[5]
+            payloads, n_compressed = [], 0
+            for y0 in range(0, h, lpb):
+                ny = min(lpb, h - y0)
+                parts, raw_parts = [], []
+                for y in range(y0, y0 + ny):
+                    u = vals[y].view(np.uint16).astype(np.int64)
+                    raw_parts.append(vals[y].tobytes())
+                    diff = np.diff(np.concatenate([[0], u])) & 0xFFFF
+                    parts.append(np.concatenate(
+                        [(diff >> 8) & 0xFF, diff & 0xFF]).astype(np.uint8))
+                z = zlib.compress(np.concatenate(parts).tobytes())
+                raw = b"".join(raw_parts)
+                # real writers fall back to raw when zlib doesn't win
+                if len(z) < len(raw):
+                    payloads.append(z)
+                    n_compressed += 1
+                else:
+                    payloads.append(raw)
+            if trial < 3:
+                assert n_compressed > 0   # smooth trials must hit PXR24
+            p = TestExrPxr24B44._mk_exr([("G", 1)], 5, w, h, payloads,
+                                        tmp_path, f"fz_pxr24_{trial}.exr")
+            img = read_exr(p)
+            np.testing.assert_array_equal(img[..., 0],
+                                          vals.astype(np.float32))
+
+    def test_dwa_random_smooth_images(self, tmp_path):
+        from rustlight_tpu.utils.image import read_exr
+        rng = np.random.default_rng(17)
+        for trial in range(3):
+            h = int(rng.integers(4, 40))
+            w = int(rng.integers(4, 60))
+            yy, xx = np.mgrid[:h, :w].astype(np.float32)
+            f = float(rng.uniform(3, 12))
+            g = (0.4 + 0.35 * np.sin(xx / f + yy / (f + 2))) \
+                .astype(np.float16)
+            payload = TestExrDwa._encode_dwa([("G", 1)], {"G": g}, w, h)
+            if len(payload) >= w * h * 2:
+                continue        # writers would store this chunk raw
+            p = TestExrPxr24B44._mk_exr([("G", 1)], 8, w, h, [payload],
+                                        tmp_path, f"fz_dwa_{trial}.exr")
+            img = read_exr(p)
+            exp = TestExrDwa._expected_dct(["G"], {"G": g}, w, h)[0]
+            np.testing.assert_allclose(img[..., 0],
+                                       exp.astype(np.float32),
+                                       rtol=4e-3, atol=1e-4)
+
+    def test_b44a_mixed_constant_and_packed_tiles(self, tmp_path):
+        """B44A with interleaved 3-byte constant and 14-byte packed tiles —
+        the variable-stride offset scan's hard case."""
+        from rustlight_tpu.utils.image import read_exr
+        rng = np.random.default_rng(31)
+        w, h = 32, 16
+        base = np.float16(0.5).view(np.uint16)
+        img = np.zeros((h, w), np.uint16)
+        payload = b""
+        for ti, y0 in enumerate(range(0, h, 4)):
+            for x0 in range(0, w, 4):
+                if (ti + x0 // 4) % 2 == 0:
+                    v = np.uint16(base + 2 * ((ti + x0) % 5))
+                    img[y0:y0 + 4, x0:x0 + 4] = v
+                    mono = TestExrPxr24B44._monotonic(v)
+                    payload += bytes([mono >> 8, mono & 0xFF, 0xFC])
+                else:
+                    tile = (base + (rng.integers(0, 16, (4, 4)) * 2)
+                            .astype(np.uint16))
+                    img[y0:y0 + 4, x0:x0 + 4] = tile
+                    payload += TestExrPxr24B44._pack14(tile)
+        assert len(payload) < w * h * 2
+        p = TestExrPxr24B44._mk_exr([("G", 1)], 7, w, h, [payload],
+                                    tmp_path, "fz_b44a.exr")
+        out = read_exr(p)
+        np.testing.assert_array_equal(out[..., 0],
+                                      img.view(np.float16)
+                                      .astype(np.float32))
