@@ -1,4 +1,5 @@
-from .camera import Camera, make_camera, look_at, generate_rays, sample_direct
+from .camera import (Camera, make_camera, resize_camera, look_at,
+                     generate_rays, sample_direct)
 from .geometry import (
     TriMesh, GeometryTables, build_geometry_tables, make_quad, make_box,
     make_sphere, scene_bounds,

@@ -68,6 +68,12 @@ class Camera:
     to_local: Any          # [4,4]
     image_rect_min: Any    # [2]
     image_rect_max: Any    # [2]
+    # construction parameters retained so the projection can be re-derived
+    # for a new film size (see resize_camera); defaults keep older pickles /
+    # direct constructions working
+    fov: float = struct.field(pytree_node=False, default=45.0)
+    fov_axis: str = struct.field(pytree_node=False, default="x")
+    flip: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def position(self):
@@ -113,7 +119,21 @@ def make_camera(width: int, height: int, fov: float, to_world: np.ndarray,
         to_local=np.linalg.inv(to_world).astype(np.float32),
         image_rect_min=rect_min,
         image_rect_max=rect_max,
+        fov=float(fov), fov_axis=fov_axis, flip=flip,
     )
+
+
+def resize_camera(cam: Camera, width: int, height: int) -> Camera:
+    """Re-derive the full projection for a new film size.
+
+    `cam.replace(width=..., height=...)` only changes the static dims —
+    `sample_to_camera`/`camera_to_sample` keep the ORIGINAL aspect ratio
+    baked in, so renders of non-square scenes come out anamorphically
+    distorted. This rebuilds the camera from its retained construction
+    parameters (reference analog: Camera::scale_image re-derives matrices,
+    camera.rs:73)."""
+    return make_camera(width, height, cam.fov, np.asarray(cam.to_world),
+                       fov_axis=cam.fov_axis, flip=cam.flip)
 
 
 def _transform_point(m, p):

@@ -279,7 +279,9 @@ def _b44_undo(payload: bytes, channels, w: int, ny: int) -> bytes:
                 t += run
                 p += 14 * run
             if t < ntiles and (hit.size or cand.shape[0] < rem):
-                if data[p + 2] != 0xFC:
+                # bound-check before the marker read: a payload truncated
+                # mid-grid must raise the codec error, not IndexError
+                if p + 2 >= data.size or data[p + 2] != 0xFC:
                     raise ValueError("B44: truncated tile data")
                 offs[t] = p
                 const[t] = True
@@ -420,7 +422,8 @@ def _dwa_classify(name: str, ptype: int, rules):
 
 def _dwa_unrle_ac(ac: np.ndarray, cur: int, zig: np.ndarray) -> int:
     """Fill one 64-entry zigzag half-bits block (DC already set at [0])
-    from the shared AC token stream; returns the new cursor."""
+    from the shared AC token stream; returns the new cursor. (Scalar
+    reference semantics; production decode uses _dwa_unrle_ac_batch.)"""
     dct = 1
     n = ac.shape[0]
     while dct < 64:
@@ -437,6 +440,57 @@ def _dwa_unrle_ac(ac: np.ndarray, cur: int, zig: np.ndarray) -> int:
                 zig[dct] = val
             dct += 1
     return cur
+
+
+def _dwa_unrle_ac_batch(ac: np.ndarray, cur: int, nb: int):
+    """Expand `nb` blocks' AC tokens from the shared stream starting at
+    `cur` in one vectorized pass. Returns ([nb, 64] uint16 zigzag planes
+    with position 0 left zero for the caller's DC, new cursor).
+
+    Token semantics (mirrors _dwa_unrle_ac): 0xFF00 = end-of-block,
+    0xFFnn = skip nn zigzag slots, else a literal half written at the
+    current slot. A block also ends once its slot counter (starting at 1)
+    reaches 64. Vectorization: each token advances the slot counter by a
+    data-independent amount, so a single cumsum S gives every token's slot;
+    block ends are searchsorted thresholds on S plus the next-EOB index,
+    leaving only an O(nb) scalar walk for the start offsets (the interpreter
+    bottleneck was the per-token inner loop, ~200k calls for a 2048² DWAB)."""
+    toks = ac[cur:]
+    ntoks = toks.shape[0]
+    is_eob = toks == 0xFF00
+    is_run = (toks >> 8 == 0xFF) & ~is_eob
+    adv = np.where(is_run, toks & 0xFF,
+                   np.where(is_eob, 0, 1)).astype(np.int64)
+    s_cum = np.concatenate(([0], np.cumsum(adv)))      # S[i] = sum adv[:i]
+    # first j >= i with slot 1 + (S[j+1]-S[i]) >= 64, for every i at once
+    full_end = np.searchsorted(s_cum[1:], s_cum[:-1] + 63, side="left")
+    eob_pos = np.nonzero(is_eob)[0]
+    starts = np.empty(nb, np.int64)
+    s = 0
+    ep = 0
+    n_eob = eob_pos.shape[0]
+    for b in range(nb):
+        if s >= ntoks:
+            # a block must consume at least one token (EOB or content)
+            raise ValueError("DWA: AC stream underrun")
+        starts[b] = s
+        while ep < n_eob and eob_pos[ep] < s:
+            ep += 1
+        e_eob = eob_pos[ep] if ep < n_eob else ntoks
+        e = min(e_eob, int(full_end[s]))
+        if e >= ntoks:
+            raise ValueError("DWA: AC stream underrun")
+        s = e + 1
+    consumed = s
+    out = np.zeros((nb, 64), np.uint16)
+    lit = np.nonzero(~is_eob[:consumed] & ~is_run[:consumed])[0]
+    if lit.size:
+        blk = np.searchsorted(starts, lit, side="right") - 1
+        pos = 1 + s_cum[lit] - s_cum[starts[blk]]
+        # consumed literals always land in 1..63: the scalar loop only reads
+        # a token while the slot counter is < 64
+        out[blk, pos] = toks[lit]
+    return out, cur + consumed
 
 
 def _dwa_undo(payload: bytes, channels, w: int, ny: int) -> bytes:
@@ -516,11 +570,11 @@ def _dwa_undo(payload: bytes, channels, w: int, ny: int) -> bytes:
         shared AC; returns per-member half-bit planes [ny, w]."""
         nonlocal ac_cur, dc_cur
         ncomp = len(members)
-        zig = np.zeros((nblocks, ncomp, 64), np.uint16)
-        for b in range(nblocks):
-            for c in range(ncomp):
-                zig[b, c, 0] = dc[dc_cur + c * nblocks + b]
-                ac_cur = _dwa_unrle_ac(ac, ac_cur, zig[b, c])
+        # stream order is block-major, component-minor: (b0,c0), (b0,c1), …
+        zig, ac_cur = _dwa_unrle_ac_batch(ac, ac_cur, nblocks * ncomp)
+        zig = zig.reshape(nblocks, ncomp, 64)
+        zig[:, :, 0] = dc[dc_cur:dc_cur + ncomp * nblocks] \
+            .reshape(ncomp, nblocks).T
         dc_cur += ncomp * nblocks
         # un-zigzag to raster, batch inverse DCT
         raster = np.zeros((nblocks, ncomp, 64), np.uint16)
@@ -665,7 +719,17 @@ def write_exr(path, img: np.ndarray, half: bool = False,
 
 
 def read_exr(path) -> np.ndarray:
-    """Read a scanline EXR (NONE/RLE/ZIPS/ZIP/PIZ compression)."""
+    """Read a scanline EXR — every compression enum 0–9 (NONE/RLE/ZIPS/ZIP/
+    PIZ/PXR24/B44/B44A/DWAA/DWAB).
+
+    Caveat (DWAA/DWAB only): the DWA decoder is spec-derived and has never
+    been validated against a canonical OpenEXR-written DWA file — no OpenEXR
+    implementation exists in this offline environment. Its conformance
+    anchors are independent in-test spec encoders (same methodology as PIZ/
+    B44); the toLinear curve in particular uses the analytic sign·|x|^2.2
+    form rather than OpenEXR's generated dwaLookups table, so real DWA files
+    could decode with small value deviations. Cross-validate against an
+    OpenEXR-produced file as soon as a toolchain is available."""
     data = Path(path).read_bytes()
     if data[:4] != b"\x76\x2f\x31\x01":
         raise ValueError("not an EXR file")

@@ -1081,3 +1081,80 @@ class TestExrDecodeFuzz:
         np.testing.assert_array_equal(out[..., 0],
                                       img.view(np.float16)
                                       .astype(np.float32))
+
+    def test_b44_truncated_payload_raises_codec_error(self, tmp_path):
+        """A B44 payload cut mid-tile-grid must raise the codec ValueError,
+        not an IndexError from the marker read running off the array."""
+        import pytest
+        from rustlight_tpu.utils.image import read_exr
+        base = np.float16(0.5).view(np.uint16)
+        tile = (base + np.arange(16, dtype=np.uint16)
+                .reshape(4, 4) * 2)
+        # 8x4 image = 2 tiles; ship one full tile + a single stray byte
+        payload = TestExrPxr24B44._pack14(tile) + b"\x00"
+        p = TestExrPxr24B44._mk_exr([("G", 1)], 6, 8, 4, [payload],
+                                    tmp_path, "b44_trunc.exr")
+        with pytest.raises(ValueError, match="truncated"):
+            read_exr(p)
+
+    def test_dwa_ac_batch_matches_scalar(self):
+        """The vectorized AC token expansion is bit-identical to the scalar
+        reference loop on randomized streams (runs, literals, EOBs, slot-64
+        exits, trailing unconsumed tokens)."""
+        from rustlight_tpu.utils.image import (_dwa_unrle_ac,
+                                               _dwa_unrle_ac_batch)
+        rng = np.random.default_rng(23)
+        for trial in range(60):
+            nb = int(rng.integers(1, 10))
+            toks = []
+            for _ in range(nb):
+                dct = 1
+                while dct < 64:
+                    kind = rng.integers(0, 3)
+                    if kind == 0:
+                        toks.append(0xFF00)
+                        break
+                    if kind == 1:
+                        r = int(rng.integers(1, 70))
+                        toks.append(0xFF00 + min(r, 255))
+                        dct += min(r, 255)
+                    else:
+                        toks.append(int(rng.integers(0, 0xFF00)))
+                        dct += 1
+            toks += list(rng.integers(0, 0xFF00,
+                                      size=int(rng.integers(0, 5))))
+            ac = np.array(toks, np.uint16)
+            ref = np.zeros((nb, 64), np.uint16)
+            cur = 0
+            for b in range(nb):
+                cur = _dwa_unrle_ac(ac, cur, ref[b])
+            out, cur2 = _dwa_unrle_ac_batch(ac, 0, nb)
+            assert cur2 == cur
+            np.testing.assert_array_equal(out, ref)
+
+    def test_dwa_ac_batch_underrun(self):
+        import pytest
+        from rustlight_tpu.utils.image import _dwa_unrle_ac_batch
+        with pytest.raises(ValueError, match="underrun"):
+            _dwa_unrle_ac_batch(np.array([1, 2, 3], np.uint16), 0, 1)
+        with pytest.raises(ValueError, match="underrun"):
+            _dwa_unrle_ac_batch(np.array([0xFF00], np.uint16), 0, 2)
+
+
+def test_resize_camera_rederives_projection():
+    """resize_camera must rebuild the projection for the new aspect; a bare
+    dataclass replace keeps the old aspect baked into sample_to_camera
+    (anamorphic renders of non-square scenes)."""
+    from rustlight_tpu.scene import make_camera, resize_camera, look_at
+    to_world = look_at((0.0, 1.0, 4.0), (0.0, 1.0, 0.0), (0.0, 1.0, 0.0))
+    wide = make_camera(448, 336, fov=40.0, to_world=to_world, fov_axis="x")
+    resized = resize_camera(wide, 128, 128)
+    fresh = make_camera(128, 128, fov=40.0, to_world=to_world, fov_axis="x")
+    np.testing.assert_array_equal(resized.sample_to_camera,
+                                  fresh.sample_to_camera)
+    np.testing.assert_array_equal(resized.camera_to_sample,
+                                  fresh.camera_to_sample)
+    assert (resized.width, resized.height) == (128, 128)
+    # the bug being guarded against: replace() keeps the 448x336 aspect
+    bare = wide.replace(width=128, height=128)
+    assert not np.array_equal(bare.sample_to_camera, fresh.sample_to_camera)

@@ -32,6 +32,7 @@ def main():
     _respect_platform_env()
     _enable_compile_cache()
     from rustlight_tpu.scene.loaders import load_scene
+    from rustlight_tpu.scene import resize_camera
     from rustlight_tpu.integrators import IntegratorPathTracing, render
     from rustlight_tpu.utils.image import write_pfm
 
@@ -46,8 +47,10 @@ def main():
         t0 = time.time()
         try:
             host = load_scene(str(sp))
-            host.camera = host.camera.replace(width=args.size,
-                                              height=args.size)
+            # resize_camera re-derives the projection; a bare dataclass
+            # replace would keep the scene's original aspect baked into
+            # sample_to_camera (anamorphic smoke renders)
+            host.camera = resize_camera(host.camera, args.size, args.size)
             sd = host.compile()
             film = render(sd, IntegratorPathTracing(max_depth=6),
                           spp=args.spp, seed=0)
