@@ -47,10 +47,12 @@ def _load_native():
                 ["g++", "-O2", "-shared", "-fPIC", "-o", str(so), str(src)],
                 check=True, capture_output=True)
         lib = ctypes.CDLL(str(so))
+        sig = [ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+               ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32)]
         lib.rl_build_bvh.restype = ctypes.c_int
-        lib.rl_build_bvh.argtypes = [
-            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32)]
+        lib.rl_build_bvh.argtypes = sig
+        lib.rl_build_bvh_sweep.restype = ctypes.c_int
+        lib.rl_build_bvh_sweep.argtypes = sig
         _LIB = lib
     except Exception:
         _LIB_FAILED = True
@@ -122,8 +124,12 @@ class BvhTables:
     prim_index: Any   # [t] original triangle ids
 
 
-def build_bvh(geom, max_leaf: int = 8) -> BvhTables:
+def build_bvh(geom, max_leaf: int = 8, builder: str = "binned") -> BvhTables:
     """Build from GeometryTables (uses only the real, unpadded triangles).
+
+    builder: "binned" (16-bin SAH, the default) or "sweep" (full SAH sweep,
+    the reference's exact algorithm src/accel.rs:115-199 — higher build
+    cost, occasionally tighter trees; A/B'd in tools/perf/cluster_lab.py).
 
     Pass numpy-leaved tables (e.g. scene.host.data.geom): reading device
     arrays back poisons launch latency on the axon relay."""
@@ -143,7 +149,9 @@ def build_bvh(geom, max_leaf: int = 8) -> BvhTables:
     if lib is not None:
         nodes_buf = np.zeros((2 * n, 9), np.float32)
         order = np.zeros(n, np.int32)
-        cnt = lib.rl_build_bvh(
+        entry = (lib.rl_build_bvh_sweep if builder == "sweep"
+                 else lib.rl_build_bvh)
+        cnt = entry(
             aabbs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n, max_leaf,
             nodes_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             order.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))

@@ -40,6 +40,31 @@ def _uniform(stream, shape):
     return u, stream.replace(counter=stream.counter + 1)
 
 
+def _lane_constraint(mesh):
+    """Row-band sharding annotation for lane/film arrays. GDPT's mesh mode
+    is pure GSPMD (the reference parallelizes GDPT over rayon blocks with a
+    1-px apron, gradient/mod.rs:58-135): lanes and (h, w, 3) films carry a
+    `with_sharding_constraint` on the leading axis, XLA partitions the
+    per-lane transport and lowers the 1-pixel film shifts (`_shift2d`) to
+    collective-permute halo exchanges over ICI — the same roll-based
+    pattern SMCMC's replica exchange uses."""
+    if mesh is None:
+        return lambda x: x
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def constrain(x):
+        spec = P("d", *([None] * (x.ndim - 1)))
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+    return constrain
+
+
+def _shift2d(img, dy, dx):
+    """Scatter lane (y, x)'s value to (y+dy, x+dx): out[q] = img[q - o].
+    Callers zero the lanes whose target falls outside the film, so the
+    wrap-around rows/columns carry zeros and a plain roll is exact."""
+    return jnp.roll(img, (dy, dx), axis=(0, 1))
+
+
 class IntegratorGradientPath:
     averaging = True
 
@@ -59,13 +84,19 @@ class IntegratorGradientPath:
         if nb_buffers is None:
             nb_buffers = {"uniform": 1, "weighted": 2, "bagging": 4}[recons]
         self.nb_buffers = nb_buffers
+        # capture_hlo=True stashes the compiled HLO of the production pass
+        # in self.last_hlo on the next render() (same hook as SMCMC's) —
+        # used to assert the sharded y-halo lowers to a collective-permute
+        self.capture_hlo = False
+        self.last_hlo = None
 
     def _eval(self, scene, pix, u):
         stream = ArrayStream(values=u, counter=jnp.int32(0))
         li = self.inner.compute_pixel(scene, pix, stream)
         return jnp.where(jnp.all(jnp.isfinite(li), -1, keepdims=True), li, 0.0)
 
-    def render(self, scene, spp: int, seed: int = 0, verbose: bool = False) -> Film:
+    def render(self, scene, spp: int, seed: int = 0, verbose: bool = False,
+               mesh=None) -> Film:
         cam = scene.camera
         w, h = cam.width, cam.height
         n = w * h
@@ -79,57 +110,72 @@ class IntegratorGradientPath:
         # scene closed over: compile-time constants (2.25x on v5e);
         # the RNG base is an argument so avg-mode passes reuse the executable
         from ..common import _BLOCK_CACHE, _cache_put
-        ck = (id(scene), id(self), w, h, "gdpt-replay")
+        ck = (id(scene), id(self), w, h, "gdpt-replay",
+              id(mesh) if mesh is not None else None)
         one_pass_c = _BLOCK_CACHE.get(ck)
         if one_pass_c is None:
-            one_pass_c = self._make_pass(scene, pix, px, py, pid, w, h, n, d)
+            one_pass_c = self._make_pass(scene, pix, px, py, pid, w, h, n, d,
+                                         mesh)
             _cache_put(ck, one_pass_c)
+        if self.capture_hlo:
+            self.last_hlo = one_pass_c.lower(
+                base, jnp.int32(0)).compile().as_text()
         one_pass = lambda s: one_pass_c(base, s)
 
         return _render_gradient_film(scene, spp, one_pass, self.nb_buffers,
                                      self.recons, self.iterations, w, h)
 
-    def _make_pass(self, scene, pix, px, py, pid, w, h, n, d):
+    def _make_pass(self, scene, pix, px, py, pid, w, h, n, d, mesh=None):
+        constrain = _lane_constraint(mesh)
+
         @jax.jit
         def one_pass(base, s):
             stream = stream_fold(base, s)
             u, stream = _uniform(stream, (n, d))
-            lb = self._eval(scene, pix, u)
+            u = constrain(u)
+            lb = self._eval(scene, constrain(pix), u)
 
             if self.min_survival is not None:
                 u_s, stream = _uniform(stream, (n,))
                 prob = jnp.clip(luminance(lb) / 0.1, self.min_survival, 1.0)
-                keep = (prob >= 1.0) | (u_s < prob)
+                keep = (prob >= 1.0) | (constrain(u_s) < prob)
                 w_surv = jnp.where(keep, 1.0 / prob, 0.0)
             else:
                 w_surv = jnp.ones(n, jnp.float32)
 
-            primal = jnp.zeros((n, 3), jnp.float32)
-            gxb = jnp.zeros((n, 3), jnp.float32)
-            gyb = jnp.zeros((n, 3), jnp.float32)
+            # film assembly by 2D shifts: the scatter targets are fixed
+            # ±1-pixel displacements, so scatter-at-(p+o) == roll-by-o of
+            # the source grid (zero at the film edge via the inside mask) —
+            # elementwise + roll shards cleanly over a row-banded mesh
+            primal = constrain(jnp.zeros((h, w, 3), jnp.float32))
+            gxb = jnp.zeros_like(primal)
+            gyb = jnp.zeros_like(primal)
             for (dy, dx, axis, sign) in _OFFSETS:
                 ox = px + dx
                 oy = py + dy
-                inside = (ox >= 0) & (ox < w) & (oy >= 0) & (oy < h)
+                inside = ((ox >= 0) & (ox < w) & (oy >= 0) & (oy < h)
+                          ).reshape(h, w, 1)
                 opix = jnp.stack([jnp.clip(ox, 0, w - 1),
                                   jnp.clip(oy, 0, h - 1)], -1)
-                lo = self._eval(scene, opix, u)
-                main = 0.5 * lb * w_surv[:, None]
-                offv = 0.5 * lo * w_surv[:, None]
-                grad = 0.5 * (lo - lb) * w_surv[:, None]
-                opid = jnp.clip(oy, 0, h - 1) * w + jnp.clip(ox, 0, w - 1)
-                primal = primal.at[pid].add(jnp.where(inside[:, None], main, 0.0))
-                primal = primal.at[opid].add(jnp.where(inside[:, None], offv, 0.0))
+                lo = self._eval(scene, constrain(opix), u)
+                main = (0.5 * lb * w_surv[:, None]).reshape(h, w, 3)
+                offv = (0.5 * lo * w_surv[:, None]).reshape(h, w, 3)
+                grad = (0.5 * (lo - lb) * w_surv[:, None]).reshape(h, w, 3)
+                primal = primal + jnp.where(inside, main, 0.0)
+                primal = primal + _shift2d(jnp.where(inside, offv, 0.0),
+                                           dy, dx)
+                g = jnp.where(inside, grad, 0.0)
                 gbuf = gxb if axis == "x" else gyb
                 if sign > 0:
-                    gbuf = gbuf.at[pid].add(jnp.where(inside[:, None], grad, 0.0))
+                    gbuf = gbuf + g
                 else:
-                    gbuf = gbuf.at[opid].add(jnp.where(inside[:, None], -grad, 0.0))
+                    gbuf = gbuf - _shift2d(g, dy, dx)
                 if axis == "x":
                     gxb = gbuf
                 else:
                     gyb = gbuf
-            return primal * 0.25, gxb, gyb
+            return (primal.reshape(n, 3) * 0.25, gxb.reshape(n, 3),
+                    gyb.reshape(n, 3))
 
         return one_pass
 

@@ -43,7 +43,7 @@ from ...utils.frame import to_world, to_local
 from ...utils.rng import make_stream, stream_fold, stream_next, stream_next2d
 from ...utils.vec import channel_max
 from ..common import _pixel_grid
-from .path import _OFFSETS, _render_gradient_film
+from .path import _OFFSETS, _lane_constraint, _render_gradient_film, _shift2d
 
 _DEAD, _NC, _RC, _CN = 0, 1, 2, 3
 _TI = TRANSPORT_IMPORTANCE
@@ -105,6 +105,9 @@ class IntegratorGradientPathReconnect:
         if nb_buffers is None:
             nb_buffers = {"uniform": 1, "weighted": 2, "bagging": 4}[recons]
         self.nb_buffers = nb_buffers
+        # capture_hlo hook: see gradient/path.py (SMCMC-style HLO assert)
+        self.capture_hlo = False
+        self.last_hlo = None
 
     # ------------------------------------------------------------- core
     def _trace_state(self, scene, pixf, dx, dy, w, h):
@@ -434,7 +437,8 @@ class IntegratorGradientPathReconnect:
         return out["l_main"], out["l_off"], out["l_grad"], out["vdirect"]
 
     # ------------------------------------------------------------ driver
-    def render(self, scene, spp: int, seed: int = 0, verbose: bool = False):
+    def render(self, scene, spp: int, seed: int = 0, verbose: bool = False,
+               mesh=None):
         cam = scene.camera
         w, h = cam.width, cam.height
         n = w * h
@@ -452,47 +456,58 @@ class IntegratorGradientPathReconnect:
         # scene closed over: compile-time constants; RNG base as argument so
         # avg-mode passes reuse the executable
         from ..common import _BLOCK_CACHE, _cache_put
-        ck = (id(scene), id(self), w, h, "gdpt-reconnect")
+        ck = (id(scene), id(self), w, h, "gdpt-reconnect",
+              id(mesh) if mesh is not None else None)
         one_pass_c = _BLOCK_CACHE.get(ck)
         if one_pass_c is None:
             one_pass_c = self._make_pass(scene, pix, px, py, pid, w, h, n,
-                                         has_delta)
+                                         has_delta, mesh)
             _cache_put(ck, one_pass_c)
+        if self.capture_hlo:
+            self.last_hlo = one_pass_c.lower(
+                base, jnp.int32(0)).compile().as_text()
         one_pass = lambda s: one_pass_c(base, s)
 
         return _render_gradient_film(scene, spp, one_pass, self.nb_buffers,
                                      self.recons, self.iterations, w, h)
 
-    def _make_pass(self, scene, pix, px, py, pid, w, h, n, has_delta):
+    def _make_pass(self, scene, pix, px, py, pid, w, h, n, has_delta,
+                   mesh=None):
+        constrain = _lane_constraint(mesh)
+
         @jax.jit
         def one_pass(base, s):
             stream = stream_fold(base, s)
             l_main, l_off, l_grad, vdir = self.compute_pixel_gradient(
-                scene, pix, stream, has_delta)
-            primal = jnp.zeros((n, 3), jnp.float32)
-            gxb = jnp.zeros((n, 3), jnp.float32)
-            gyb = jnp.zeros((n, 3), jnp.float32)
+                scene, constrain(pix), stream, has_delta)
+            # film assembly by 2D shifts (see gradient/path.py): scatter at
+            # the fixed ±1-pixel offset == roll of the (h, w, 3) source grid
+            # with edge lanes zeroed; shards over a row-banded mesh with the
+            # y-halo lowered to collective-permute
             # main contributes at the pixel for each of the 4 strategies,
             # offsets land at their displaced pixel (compute_gradients,
             # path.rs:131-206); 0.25 primal scale applied below
-            primal = primal.at[pid].add(l_main)
+            primal = constrain(l_main.reshape(h, w, 3))
+            gxb = jnp.zeros((h, w, 3), jnp.float32)
+            gyb = jnp.zeros((h, w, 3), jnp.float32)
             for i, (dy, dx, axis, sign) in enumerate(_OFFSETS):
                 ox, oy = px + dx, py + dy
-                inside = (ox >= 0) & (ox < w) & (oy >= 0) & (oy < h)
-                opid = jnp.clip(oy, 0, h - 1) * w + jnp.clip(ox, 0, w - 1)
-                primal = primal.at[opid].add(
-                    jnp.where(inside[:, None], l_off[i], 0.0))
+                inside = ((ox >= 0) & (ox < w) & (oy >= 0) & (oy < h)
+                          ).reshape(h, w, 1)
+                offv = jnp.where(inside, l_off[i].reshape(h, w, 3), 0.0)
+                primal = primal + _shift2d(offv, dy, dx)
                 gbuf = gxb if axis == "x" else gyb
                 if sign > 0:
-                    gbuf = gbuf.at[pid].add(l_grad[i])
+                    gbuf = gbuf + l_grad[i].reshape(h, w, 3)
                 else:
-                    gbuf = gbuf.at[opid].add(
-                        jnp.where(inside[:, None], -l_grad[i], 0.0))
+                    gbuf = gbuf - _shift2d(
+                        jnp.where(inside, l_grad[i].reshape(h, w, 3), 0.0),
+                        dy, dx)
                 if axis == "x":
                     gxb = gbuf
                 else:
                     gyb = gbuf
-            vdirect = jnp.zeros((n, 3), jnp.float32).at[pid].add(vdir)
-            return primal * 0.25, gxb, gyb, vdirect
+            return (primal.reshape(n, 3) * 0.25, gxb.reshape(n, 3),
+                    gyb.reshape(n, 3), vdir)
 
         return one_pass

@@ -29,12 +29,21 @@ def _render_once(scene, integrator, spp, seed, sampler="independent",
                 scene, integrator, n_paths=spp * cam.width * cam.height,
                 mesh=mesh, seed=seed)
         return render_splat(scene, integrator, spp, seed=seed)
-    if hasattr(integrator, "render"):           # self-driving (MCMC)
+    if hasattr(integrator, "render"):           # self-driving (MCMC, GDPT)
         import inspect
         kw = {}
-        if (mesh is not None and
-                "mesh" in inspect.signature(integrator.render).parameters):
-            kw["mesh"] = mesh
+        if mesh is not None:
+            if "mesh" in inspect.signature(integrator.render).parameters:
+                kw["mesh"] = mesh
+            else:
+                # never drop a requested mesh silently: the user asked for
+                # -t N and would otherwise get a single-device render with
+                # no hint (the round-3 gradient-domain gap)
+                import logging
+                logging.getLogger(__name__).warning(
+                    "%s.render() does not support a device mesh; the -t "
+                    "request is ignored and this pass runs single-device",
+                    type(integrator).__name__)
         return integrator.render(scene, spp, seed=seed, **kw)
     if mesh is not None:
         from ..parallel import render_sharded

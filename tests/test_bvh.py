@@ -40,6 +40,31 @@ class TestBVH:
         tri_match = (np.asarray(got.tri)[m] == np.asarray(ref.tri)[m])
         assert tri_match.mean() > 0.98
 
+    def test_sweep_builder_matches_dense(self):
+        """Full sweep-SAH build (the reference's exact algorithm,
+        src/accel.rs:115-199) must traverse to the same hits as the dense
+        oracle and the binned build."""
+        rng = np.random.RandomState(7)
+        from rustlight_tpu.scene.geometry import (TriMesh,
+                                                  build_geometry_tables)
+        nt = 600
+        c = rng.uniform(-5, 5, (nt, 3)).astype(np.float32)
+        v = (c[:, None, :]
+             + rng.uniform(-0.4, 0.4, (nt, 3, 3))).astype(np.float32)
+        idx = np.arange(3 * nt, dtype=np.int32).reshape(nt, 3)
+        geom = build_geometry_tables(
+            [TriMesh(vertices=v.reshape(-1, 3), indices=idx, material=0)],
+            [-1])
+        o, d = _random_rays(256, jnp.zeros(3), 6.0, seed=3)
+        ref = intersect_rays(geom, o, d)
+        got = intersect_bvh(build_bvh(geom, builder="sweep"), o, d)
+        np.testing.assert_array_equal(np.asarray(got.hit),
+                                      np.asarray(ref.hit))
+        m = np.asarray(ref.hit)
+        np.testing.assert_allclose(np.asarray(got.t)[m],
+                                   np.asarray(ref.t)[m], rtol=1e-4,
+                                   atol=1e-3)
+
     def test_skip_links_terminate(self):
         sd = cornell_box(8, 8).compile()
         bvh = build_bvh(sd.geom, max_leaf=2)
