@@ -659,10 +659,321 @@ def _piz_undo(payload: bytes, channels, w: int, ny: int) -> bytes:
     return np.concatenate(parts, axis=1).astype("<u2").tobytes()
 
 
+# ------------------------------------------------------------ write encoders
+# Write-side counterparts of the PXR24/B44/B44A/DWA decoders above (VERDICT
+# r3 item 9: the reference writes EXR through full OpenEXR,
+# src/structure.rs:490-642 — every compression enum 0-9 must round-trip).
+# Each encoder is validated by encode->decode round-trips (bit-exact where
+# the format is lossless: PXR24 on HALF/UINT, B44A constant tiles) plus the
+# randomized fuzz suite in tests/test_foundations.py.
+
+def _pxr24_do(raw: bytes, channels, w: int, ny: int) -> bytes:
+    """Inverse of _pxr24_undo: per scanline x channel, difference-code the
+    pixel words (FLOAT truncated to its top 24 bits — lossy by design) and
+    split into MSB-first byte planes, then deflate."""
+    data = np.frombuffer(raw, np.uint8)
+    pos = 0
+    planes = []
+    for _y in range(ny):
+        for _name, pt in channels:
+            bpp = 2 if pt == 1 else 4
+            row = data[pos:pos + w * bpp]
+            pos += w * bpp
+            if pt == 1:                       # HALF: 2 planes
+                pix = row.view("<u2").astype(np.int64)
+                nb = 2
+            elif pt == 2:                     # FLOAT: drop low mantissa byte
+                pix = (row.view("<u4") >> 8).astype(np.int64)
+                nb = 3
+            else:                             # UINT
+                pix = row.view("<u4").astype(np.int64)
+                nb = 4
+            mask = (1 << (8 * nb)) - 1
+            diff = np.empty(w, np.int64)
+            diff[0] = pix[0]
+            diff[1:] = pix[1:] - pix[:-1]
+            diff &= mask
+            for k in range(nb):
+                planes.append(((diff >> (8 * (nb - 1 - k))) & 0xFF)
+                              .astype(np.uint8))
+    return _zlib.compress(np.concatenate(planes).tobytes())
+
+
+# (dst, src) chains of the 15 packed 6-bit deltas, in stream order — the
+# exact inverse of _b44_unpack14_batch's reconstruction table
+_B44_CHAIN = ((4, 0), (8, 4), (12, 8), (1, 0), (5, 4), (9, 8), (13, 12),
+              (2, 1), (6, 5), (10, 9), (14, 13), (3, 2), (7, 6), (11, 10),
+              (15, 14))
+
+
+def _b44_pack14_batch(s: np.ndarray) -> np.ndarray:
+    """Batch-encode 4x4 HALF tiles [T, 16] u16 (monotonic-transformed) ->
+    [T, 14] u8. Per tile the smallest shift is chosen such that every
+    chained delta d (against the RECONSTRUCTED predecessor, so quantization
+    error never accumulates) satisfies 0 <= (d + (0x20 << shift)) >> shift
+    <= 63; vectorized over tiles by iterating shift 0..13 and freezing
+    tiles as they become encodable."""
+    s = s.astype(np.int64)
+    t = s.shape[0]
+    best_shift = np.full(t, -1, np.int64)
+    best_dd = np.zeros((t, 15), np.int64)
+    todo = np.ones(t, bool)
+    for shift in range(14):
+        if not todo.any():
+            break
+        bias = np.int64(0x20) << shift
+        recon = np.zeros((t, 16), np.int64)
+        recon[:, 0] = s[:, 0]
+        dd = np.zeros((t, 15), np.int64)
+        ok = todo.copy()
+        for k, (dst, src) in enumerate(_B44_CHAIN):
+            d = s[:, dst] - recon[:, src]
+            q = (d + bias) >> shift
+            ok &= (q >= 0) & (q <= 63)
+            dd[:, k] = np.clip(q, 0, 63)
+            recon[:, dst] = recon[:, src] + (dd[:, k] << shift) - bias
+        newly = todo & ok
+        best_shift[newly] = shift
+        best_dd[newly] = dd[newly]
+        todo &= ~ok
+    if todo.any():
+        raise ValueError("B44: tile not encodable at any shift")
+    # bit-pack: bytes 0-1 = s[0] big-endian; bytes 2-13 = MSB-first stream
+    # of shift(6) then 15 x dd(6)
+    out = np.zeros((t, 14), np.uint8)
+    out[:, 0] = (s[:, 0] >> 8) & 0xFF
+    out[:, 1] = s[:, 0] & 0xFF
+    # accumulate the 96-bit stream into a [T, 12] byte array via a running
+    # bit cursor (every value is 6 bits, so each spans at most 2 bytes)
+    vals = np.concatenate([best_shift[:, None], best_dd], axis=1)  # [T, 16]
+    bitpos = 0
+    acc = np.zeros((t, 12), np.uint16)
+    for j in range(16):
+        v = vals[:, j].astype(np.uint16)
+        byte, off = divmod(bitpos, 8)
+        # a 6-bit value at bit offset `off` spans at most 2 bytes
+        acc[:, byte] |= (v << (10 - off)) >> 8
+        if byte + 1 < 12:
+            acc[:, byte + 1] |= (v << (10 - off)) & 0xFF
+        bitpos += 6
+    out[:, 2:] = acc.astype(np.uint8)
+    return out
+
+
+def _b44_to_monotonic(v: np.ndarray) -> np.ndarray:
+    """Forward bit-pattern-monotonic half transform (inverse of
+    _b44_from_monotonic): negative halfs invert all bits, non-negative set
+    the flag bit."""
+    v = v.astype(np.uint16)
+    return np.where(v & 0x8000, ~v, v | 0x8000).astype(np.uint16)
+
+
+def _b44_do(raw: bytes, channels, w: int, ny: int, b44a: bool) -> bytes:
+    """Inverse of _b44_undo: channel-planar; HALF channels as 4x4 tiles of
+    14 bytes (B44A: 3-byte [hi, lo, 0xfc] constant tiles), FLOAT/UINT raw."""
+    data = np.frombuffer(raw, np.uint8)
+    line_bytes = sum(w * (2 if pt == 1 else 4) for _, pt in channels)
+    col_off = 0
+    parts = []
+    nty, ntx = -(-ny // 4), -(-w // 4)
+    for _name, pt in channels:
+        bpp = 2 if pt == 1 else 4
+        chan = data.reshape(ny, line_bytes)[:, col_off:col_off + w * bpp]
+        col_off += w * bpp
+        if pt != 1:
+            parts.append(np.ascontiguousarray(chan).tobytes())
+            continue
+        vals = np.ascontiguousarray(chan).view("<u2").reshape(ny, w)
+        # edge-replicate to 4x4 tile grid (decoder crops)
+        full = np.empty((nty * 4, ntx * 4), np.uint16)
+        full[:ny, :w] = vals
+        full[ny:, :w] = vals[-1:, :]
+        full[:, w:] = full[:, w - 1:w]
+        tiles = full.reshape(nty, 4, ntx, 4).transpose(0, 2, 1, 3) \
+            .reshape(nty * ntx, 16)
+        mono = _b44_to_monotonic(tiles)
+        const = (mono == mono[:, :1]).all(axis=1) if b44a \
+            else np.zeros(mono.shape[0], bool)
+        packed = _b44_pack14_batch(mono[~const]) if (~const).any() \
+            else np.zeros((0, 14), np.uint8)
+        buf = bytearray()
+        pi = 0
+        for ti in range(mono.shape[0]):
+            if const[ti]:
+                v = int(mono[ti, 0])
+                buf += bytes([v >> 8, v & 0xFF, 0xFC])
+            else:
+                buf += packed[pi].tobytes()
+                pi += 1
+        parts.append(bytes(buf))
+    return b"".join(parts)
+
+
+def _dwa_from_linear_lut() -> np.ndarray:
+    """Inverse of _dwa_to_linear_lut: half-bits -> half-bits, the encoder's
+    perceptual sign * |x|^(1/2.2) curve."""
+    lut = _dwa_lut_cache.get("nonlin")
+    if lut is None:
+        v = np.arange(65536, dtype=np.uint16).view(np.float16) \
+            .astype(np.float32)
+        with np.errstate(invalid="ignore", over="ignore"):
+            nl = np.sign(v) * np.abs(v) ** np.float32(1.0 / 2.2)
+            nl = np.where(np.isnan(v), v, nl)
+            lut = nl.astype(np.float16).view(np.uint16)
+        _dwa_lut_cache["nonlin"] = lut
+    return lut
+
+
+_DWA_CSC_FWD = np.linalg.inv(_DWA_CSC_INV.astype(np.float64)) \
+    .astype(np.float32)
+
+
+def _dwa_serialize_rules(rules) -> bytes:
+    body = b""
+    for sfx, scheme, ptype, csc, ci in rules:
+        flags = ((csc + 1) << 4) | (scheme << 2) | (1 if ci else 0)
+        body += sfx.encode("latin-1") + b"\0" + bytes([flags, ptype])
+    return _struct.pack("<H", len(body) + 2) + body
+
+
+def _dwa_do(raw: bytes, channels, w: int, ny: int) -> bytes:
+    """Inverse of _dwa_undo: classify channels under the default rules,
+    LOSSY_DCT channels per 8x8 block through the perceptual curve ->
+    (forward BT.709 CSC for complete R/G/B sets) -> orthonormal DCT ->
+    half quantization -> zero-run zigzag AC (ImfHuf container) +
+    component-planar DC (EXR-Zip); RLE channels byte-planar; others raw
+    deflate. Emits a version-2 stream with serialized rules."""
+    from .piz import huf_compress
+    data = np.frombuffer(raw, np.uint8)
+    line_bytes = sum(w * (2 if pt == 1 else 4) for _, pt in channels)
+    schemes = [_dwa_classify(nm, pt, _DWA_DEFAULT_RULES)
+               for nm, pt in channels]
+    # channel planes as [ny, w] value arrays
+    col_off = 0
+    planes = []
+    for (_nm, pt) in channels:
+        bpp = 2 if pt == 1 else 4
+        chan = np.ascontiguousarray(
+            data.reshape(ny, line_bytes)[:, col_off:col_off + w * bpp])
+        col_off += w * bpp
+        planes.append(chan)
+
+    by_prefix = {}
+    for ci, ((nm, pt), (scheme, csc)) in enumerate(zip(channels, schemes)):
+        if scheme == _DWA_LOSSY_DCT and csc >= 0:
+            pre = nm.rsplit(".", 1)[0] if "." in nm else ""
+            by_prefix.setdefault(pre, {})[csc] = ci
+    csc_sets, in_set = {}, {}
+    for pre, m in by_prefix.items():
+        if len(m) == 3:
+            members = [m[0], m[1], m[2]]
+            csc_sets[min(members)] = members
+            for ci in members:
+                in_set[ci] = min(members)
+
+    nbx, nby = -(-w // 8), -(-ny // 8)
+    nblocks = nbx * nby
+    tmat = _dwa_dct_mat()
+    nonlin = _dwa_from_linear_lut()
+
+    order, done = [], set()
+    for ci in range(len(channels)):
+        if ci in done:
+            continue
+        if ci in in_set:
+            members = csc_sets[in_set[ci]]
+            order.append(members)
+            done.update(members)
+        else:
+            order.append([ci])
+            done.add(ci)
+
+    ac_tokens, dc_words = [], []
+    rle_bytes, unk_bytes = [], []
+    for group in order:
+        scheme, _csc = schemes[group[0]]
+        nm, pt = channels[group[0]]
+        if scheme == _DWA_LOSSY_DCT:
+            ncomp = len(group)
+            comp = []
+            for ci in group:
+                _nm, cpt = channels[ci]
+                if cpt == 1:
+                    half_bits = planes[ci].view("<u2").reshape(ny, w) \
+                        .astype(np.uint16)
+                elif cpt == 2:
+                    half_bits = planes[ci].view("<f4").reshape(ny, w) \
+                        .astype(np.float16).view(np.uint16)
+                else:
+                    raise ValueError("DWA: UINT channel cannot be LOSSY_DCT")
+                nl = nonlin[half_bits].view(np.float16).astype(np.float32)
+                full = np.zeros((nby * 8, nbx * 8), np.float32)
+                full[:ny, :w] = nl        # zero-pad edge blocks (the
+                                          # decoder crops them away)
+                comp.append(full.reshape(nby, 8, nbx, 8)
+                            .transpose(0, 2, 1, 3).reshape(nblocks, 8, 8))
+            vals = np.stack(comp, axis=1)            # [nblocks, ncomp, 8, 8]
+            if ncomp == 3:
+                vals = np.einsum("rc,bcxy->brxy", _DWA_CSC_FWD, vals)
+            coef = np.einsum("xu,bcuv,yv->bcxy", tmat, vals, tmat,
+                             optimize=True)
+            half_q = coef.astype(np.float16).view(np.uint16) \
+                .reshape(nblocks, ncomp, 64)
+            # the decoder scatters raster[ZZ] = zig, so zig[i] = raster[ZZ[i]]
+            zig = half_q[:, :, _DWA_ZIGZAG]
+            # DC: component-planar within the set ([ncomp, nblocks])
+            dc_words.append(np.ascontiguousarray(
+                zig[:, :, 0].T).reshape(-1))
+            # AC zero-run code, block-major component-minor
+            flat = zig.reshape(nblocks * ncomp, 64)
+            for b in range(flat.shape[0]):
+                row = flat[b]
+                toks = []
+                i = 1
+                while i < 64:
+                    if row[i] == 0:
+                        j = i
+                        while j < 64 and row[j] == 0:
+                            j += 1
+                        if j >= 64:
+                            break
+                        toks.append(0xFF00 | (j - i))
+                        i = j
+                    else:
+                        toks.append(int(row[i]))
+                        i += 1
+                toks.append(0xFF00)
+                ac_tokens.append(np.asarray(toks, np.uint16))
+        elif scheme == _DWA_RLE:
+            nb = {0: 4, 1: 2, 2: 4}[pt]
+            sam = planes[group[0]].reshape(ny * w, nb)
+            rle_bytes.append(np.ascontiguousarray(sam.T).reshape(-1))
+        else:
+            unk_bytes.append(planes[group[0]].reshape(-1))
+
+    ac = np.concatenate(ac_tokens) if ac_tokens else np.empty(0, np.uint16)
+    dc = np.concatenate(dc_words) if dc_words else np.empty(0, np.uint16)
+    ac_buf = huf_compress(ac) if ac.size else b""
+    dc_buf = _zip_do(dc.astype("<u2").tobytes()) if dc.size else b""
+    rle_raw = (np.concatenate(rle_bytes).tobytes() if rle_bytes else b"")
+    rle_enc = _rle_encode(rle_raw) if rle_raw else b""
+    rle_buf = _zlib.compress(rle_enc) if rle_raw else b""
+    unk_raw = (np.concatenate(unk_bytes).tobytes() if unk_bytes else b"")
+    unk_buf = _zlib.compress(unk_raw) if unk_raw else b""
+
+    rules_buf = _dwa_serialize_rules(_DWA_DEFAULT_RULES)
+    hdr = np.asarray([2, len(unk_raw), len(unk_buf), len(ac_buf),
+                      len(dc_buf), len(rle_buf), len(rle_enc),
+                      len(rle_raw), ac.size, dc.size, 0], "<u8")
+    return (hdr.tobytes() + rules_buf + unk_buf + ac_buf + dc_buf + rle_buf)
+
+
 def write_exr(path, img: np.ndarray, half: bool = False,
               compression: str = "none") -> None:
-    """Write [h, w, 3] float32 as a scanline EXR
-    (compression: none|rle|zips|zip|piz)."""
+    """Write [h, w, 3] float32 as a scanline EXR (compression:
+    none|rle|zips|zip|piz|pxr24|b44|b44a|dwaa|dwab — the full OpenEXR
+    scanline enum 0-9; pxr24 truncates FLOAT mantissas, b44/b44a/dwa are
+    lossy by design and force HALF semantics through their codecs)."""
     img = np.asarray(img, dtype=np.float32)
     h, w = img.shape[:2]
     if img.ndim == 2:
@@ -671,7 +982,8 @@ def write_exr(path, img: np.ndarray, half: bool = False,
     names = ["Y"] if c == 1 else ["R", "G", "B"]  # names[j] = EXR channel of img column j
     pix_t = 1 if half else 2  # 1 = HALF, 2 = FLOAT
     dtype = np.float16 if half else np.float32
-    comp = {"none": 0, "rle": 1, "zips": 2, "zip": 3, "piz": 4}[compression]
+    comp = {"none": 0, "rle": 1, "zips": 2, "zip": 3, "piz": 4, "pxr24": 5,
+            "b44": 6, "b44a": 7, "dwaa": 8, "dwab": 9}[compression]
     lpb = _EXR_LINES_PER_BLOCK[comp]
 
     chlist = b""
@@ -699,14 +1011,22 @@ def write_exr(path, img: np.ndarray, half: bool = False,
         raw = b"".join(
             img[y][:, j].astype(dtype).tobytes()
             for y in range(y0, y0 + ny) for j in order)
+        chans = [(n, pix_t) for n in sorted(names)]
         if comp == 4:
-            z = _piz_do(raw, [(n, pix_t) for n in sorted(names)], w, ny)
-            payload = z if len(z) < len(raw) else raw   # OpenEXR raw fallback
+            z = _piz_do(raw, chans, w, ny)
+        elif comp == 5:
+            z = _pxr24_do(raw, chans, w, ny)
+        elif comp in (6, 7):
+            z = _b44_do(raw, chans, w, ny, b44a=(comp == 7))
+        elif comp in (8, 9):
+            z = _dwa_do(raw, chans, w, ny)
+        elif comp == 1:
+            z = _rle_do(raw)
         elif comp:
-            z = _rle_do(raw) if comp == 1 else _zip_do(raw)
-            payload = z if len(z) < len(raw) else raw   # OpenEXR raw fallback
+            z = _zip_do(raw)
         else:
-            payload = raw
+            z = raw
+        payload = z if len(z) < len(raw) else raw       # OpenEXR raw fallback
         blocks.append(_struct.pack("<ii", y0, len(payload)) + payload)
     table_off = len(header) + 8 * len(blocks)
     offsets, acc = [], table_off

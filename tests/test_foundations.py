@@ -1141,6 +1141,145 @@ class TestExrDecodeFuzz:
             _dwa_unrle_ac_batch(np.array([0xFF00], np.uint16), 0, 2)
 
 
+class TestExrWriteEncoders:
+    """Write-side PXR24/B44/B44A/DWAA/DWAB encoders (VERDICT r3 item 9:
+    write_exr must accept the full OpenEXR scanline enum 0-9, reference
+    src/structure.rs:490-642). Every test is an encode->decode round trip
+    through the production read path; where the format is conditionally
+    lossless (PXR24 HALF, B44 at shift 0, B44A constant tiles) the trip is
+    asserted bit-exact."""
+
+    def test_pxr24_float_truncates_mantissa(self, tmp_path):
+        from rustlight_tpu.utils import image as rimage
+        rng = np.random.default_rng(41)
+        img = rng.gamma(1.5, 1.0, (19, 23, 3)).astype(np.float32)
+        p = tmp_path / "pxr24_f.exr"
+        rimage.write_exr(p, img, compression="pxr24")
+        # PXR24 keeps the top 24 bits of each float word (lossy by design)
+        exp = ((img.view(np.uint32) >> 8) << 8).view(np.float32)
+        np.testing.assert_array_equal(rimage.read_exr(p), exp)
+
+    def test_pxr24_half_lossless(self, tmp_path):
+        from rustlight_tpu.utils import image as rimage
+        rng = np.random.default_rng(42)
+        for shape in ((9, 11, 3), (33, 7, 3), (64, 64, 3)):
+            img = rng.normal(size=shape).astype(np.float32)
+            p = tmp_path / f"pxr24_h_{shape[0]}.exr"
+            rimage.write_exr(p, img, half=True, compression="pxr24")
+            exp = img.astype(np.float16).astype(np.float32)
+            np.testing.assert_array_equal(rimage.read_exr(p), exp)
+
+    def test_b44_small_delta_tiles_lossless(self, tmp_path):
+        """At shift 0 the 6-bit chained-delta quantization is exact, so any
+        image whose 4x4 tiles keep chained monotonic-half deltas within
+        [-32, 31] must round-trip bit-exactly — a strong structural check
+        on _b44_pack14_batch's bit stream, not just a tolerance band."""
+        from rustlight_tpu.utils import image as rimage
+        rng = np.random.default_rng(43)
+        base = np.float16(0.5).view(np.uint16).astype(np.int64)
+        for w, h in ((16, 8), (13, 9), (4, 4)):
+            bits = (base + rng.integers(-14, 15, (h, w, 3))) \
+                .astype(np.uint16)
+            img = bits.view(np.float16).astype(np.float32)
+            p = tmp_path / f"b44_{w}x{h}.exr"
+            rimage.write_exr(p, img, half=True, compression="b44")
+            np.testing.assert_array_equal(rimage.read_exr(p), img)
+
+    def test_b44_hard_tiles_bounded_error(self, tmp_path):
+        """Full-range random halfs force large shifts; the reconstruction
+        chains against the RECONSTRUCTED predecessor, so per-pixel error in
+        the monotonic-u16 domain stays < 2^shift <= 2^13 and never
+        accumulates across the tile."""
+        from rustlight_tpu.utils import image as rimage
+        from rustlight_tpu.utils.image import (_b44_to_monotonic,
+                                               _b44_pack14_batch)
+        rng = np.random.default_rng(44)
+        bits = rng.integers(0, 0x7C00, (12, 20, 3)).astype(np.uint16)
+        img = bits.view(np.float16).astype(np.float32)
+        p = tmp_path / "b44_hard.exr"
+        rimage.write_exr(p, img, half=True, compression="b44")
+        out = rimage.read_exr(p).astype(np.float16).view(np.uint16)
+        a = _b44_to_monotonic(bits).astype(np.int64)
+        b = _b44_to_monotonic(out).astype(np.int64)
+        assert np.abs(a - b).max() < (1 << 13)
+        # idempotence: a second trip through the codec is a fixed point
+        p2 = tmp_path / "b44_hard2.exr"
+        rimage.write_exr(p2, out.view(np.float16).astype(np.float32),
+                         half=True, compression="b44")
+        np.testing.assert_array_equal(
+            rimage.read_exr(p2).astype(np.float16).view(np.uint16), out)
+        # and the packer must refuse nothing: every tile found a shift
+        tiles = _b44_to_monotonic(bits[:4, :4, 0]).reshape(1, 16)
+        assert _b44_pack14_batch(tiles).shape == (1, 14)
+
+    def test_b44a_constant_tiles_exact_and_smaller(self, tmp_path):
+        from rustlight_tpu.utils import image as rimage
+        img = np.full((16, 16, 3), 0.25, np.float32)
+        # a non-constant tile whose chained deltas stay within the shift-0
+        # band, so B44A stays bit-exact while mixing 3- and 14-byte tiles
+        bits = np.float16(0.25).view(np.uint16).astype(np.int64)
+        wiggle = (bits + np.arange(48).reshape(4, 4, 3) % 7) \
+            .astype(np.uint16)
+        img[4:8, 4:8] = wiggle.view(np.float16).astype(np.float32)
+        pa = tmp_path / "b44a.exr"
+        pb = tmp_path / "b44.exr"
+        rimage.write_exr(pa, img, half=True, compression="b44a")
+        rimage.write_exr(pb, img, half=True, compression="b44")
+        exp = img.astype(np.float16).astype(np.float32)
+        np.testing.assert_array_equal(rimage.read_exr(pa), exp)
+        # 3-byte constant tiles must beat the 14-byte packed encoding
+        assert pa.stat().st_size < pb.stat().st_size
+
+    def test_dwa_smooth_rgb_roundtrip(self, tmp_path):
+        """DWAA + DWAB on a smooth RGB image: the R/G/B channels ride the
+        forward CSC + DCT path as one set; round-trip error is bounded by
+        the half quantization of the DCT coefficients."""
+        from rustlight_tpu.utils import image as rimage
+        rng = np.random.default_rng(45)
+        for comp, (h, w) in (("dwaa", (37, 29)), ("dwab", (70, 18))):
+            yy, xx = np.mgrid[:h, :w].astype(np.float32)
+            f = float(rng.uniform(4, 9))
+            img = np.stack([
+                0.4 + 0.3 * np.sin(xx / f + yy / (f + 1) + c)
+                for c in range(3)], axis=-1).astype(np.float32)
+            p = tmp_path / f"{comp}.exr"
+            rimage.write_exr(p, img, half=True, compression=comp)
+            out = rimage.read_exr(p)
+            np.testing.assert_allclose(out, img, rtol=3e-2, atol=3e-3)
+
+    def test_dwa_grayscale_and_multichunk(self, tmp_path):
+        """Single 'Y' channel is LOSSY_DCT without a CSC set; 70 rows under
+        DWAA (32-line blocks) exercises the multi-chunk write path."""
+        from rustlight_tpu.utils import image as rimage
+        yy, xx = np.mgrid[:70, :22].astype(np.float32)
+        img = (0.3 + 0.25 * np.cos(xx / 5.0 + yy / 7.0)).astype(np.float32)
+        p = tmp_path / "dwaa_y.exr"
+        rimage.write_exr(p, img[..., None].repeat(1, axis=2), half=True,
+                         compression="dwaa")
+        out = rimage.read_exr(p)
+        np.testing.assert_allclose(out[..., 0], img, rtol=3e-2, atol=3e-3)
+
+    def test_all_write_formats_random_shapes(self, tmp_path):
+        """Fuzz: every compression enum 0-9 through write_exr on random
+        shapes; lossless formats bit-exact, lossy ones finite and close in
+        the half domain."""
+        from rustlight_tpu.utils import image as rimage
+        rng = np.random.default_rng(46)
+        for comp in ("none", "rle", "zips", "zip", "piz", "pxr24",
+                     "b44", "b44a", "dwaa", "dwab"):
+            h, w = int(rng.integers(1, 70)), int(rng.integers(1, 70))
+            img = (rng.random((h, w, 3)).astype(np.float32) * 0.9 + 0.05)
+            p = tmp_path / f"fz_{comp}.exr"
+            rimage.write_exr(p, img, half=True, compression=comp)
+            out = rimage.read_exr(p)
+            exp = img.astype(np.float16).astype(np.float32)
+            if comp in ("b44", "b44a", "dwaa", "dwab"):
+                assert out.shape == exp.shape and np.isfinite(out).all()
+                assert np.abs(out - exp).max() < 0.25
+            else:
+                np.testing.assert_array_equal(out, exp)
+
+
 def test_resize_camera_rederives_projection():
     """resize_camera must rebuild the projection for the new aspect; a bare
     dataclass replace keeps the old aspect baked into sample_to_camera
