@@ -161,16 +161,31 @@ def _treelet_cut(nodes: np.ndarray, max_tris: int):
     return out
 
 
-def build_walk_tables(geom, bvh=None) -> WalkTables:
+def build_walk_tables(geom, bvh=None, builder=None,
+                      repack_alpha=None) -> WalkTables:
     """Host build: SAH-BVH treelet cut points (segments of the preorder
     primitive array aligned to subtree boundaries), greedily re-packed up
     to K per cluster, with tight per-range triangle AABBs. `bvh` shares
-    the caller's max_leaf=8 build (see build_clusters)."""
+    the caller's max_leaf=8 build (see build_clusters).
+
+    builder: BVH build algorithm when `bvh` is None — "binned" (default)
+    or "sweep" (full SAH sweep); env RUSTLIGHT_TPU_BVH_BUILDER overrides.
+    repack_alpha: if set, the treelet re-pack becomes tightness-aware —
+    neighbors merge only when SA(merged) <= alpha * (SA(a) + SA(b)), so
+    spatially disjoint segments stay separate clusters at the price of a
+    lower fill rate; env RUSTLIGHT_TPU_REPACK_ALPHA. A/B'd in
+    tools/perf/tree_lab.py."""
+    import os
     from .bvh import build_bvh
     if hasattr(geom, "host") and geom.host is not None:
         geom = geom.host.data.geom
+    if builder is None:
+        builder = os.environ.get("RUSTLIGHT_TPU_BVH_BUILDER", "binned")
+    if repack_alpha is None:
+        env_a = os.environ.get("RUSTLIGHT_TPU_REPACK_ALPHA", "")
+        repack_alpha = float(env_a) if env_a else None
     if bvh is None:
-        bvh = build_bvh(geom, max_leaf=8)
+        bvh = build_bvh(geom, max_leaf=8, builder=builder)
     order = np.asarray(bvh.prim_index)                   # SAH preorder
     t = order.shape[0]
     nodes = np.stack([
@@ -180,23 +195,6 @@ def build_walk_tables(geom, bvh=None) -> WalkTables:
                      np.asarray(bvh.prim_count)], axis=1).astype(np.int32)
     nodes = np.concatenate([nodes, ints.view(np.float32)], axis=1)
     segs = _treelet_cut(nodes, K)
-    # greedy consecutive re-pack: segments tile the prim array in order, so
-    # merging neighbors keeps ranges contiguous; >50% fill guaranteed (two
-    # adjacent clusters never sum <= K, else they'd have merged)
-    cuts = []
-    cs, cn = segs[0]
-    for s, n in segs[1:]:
-        if cn + n <= K:
-            cn += n
-        else:
-            cuts.append((cs, cn))
-            cs, cn = s, n
-    cuts.append((cs, cn))
-
-    c = len(cuts)
-    if c > _MAX_CLUSTERS:
-        return None          # beyond the wide-mode ceiling (~16M triangles)
-    cp = ((c + 127) // 128) * 128                        # lane-pad C
     all_rows = np.asarray(geom.inter_rows[: geom.n_tris])[order]  # [T, 3, 4]
     v0 = np.asarray(geom.v0[: geom.n_tris])[order]
     e1 = np.asarray(geom.e1[: geom.n_tris])[order]
@@ -204,6 +202,46 @@ def build_walk_tables(geom, bvh=None) -> WalkTables:
     p1, p2 = v0 + e1, v0 + e2
     tri_lo = np.minimum(np.minimum(v0, p1), p2)          # [T, 3]
     tri_hi = np.maximum(np.maximum(v0, p1), p2)
+    # greedy consecutive re-pack: segments tile the prim array in order, so
+    # merging neighbors keeps ranges contiguous; >50% fill guaranteed (two
+    # adjacent clusters never sum <= K, else they'd have merged). With
+    # repack_alpha set, a merge additionally requires the merged AABB's
+    # surface area <= alpha * (SA(a) + SA(b)) — blocks spatially disjoint
+    # merges (e.g. across high-level subtree boundaries in the preorder).
+    if repack_alpha is not None:
+        seg_starts = np.fromiter((s for s, _ in segs), np.int64, len(segs))
+        seg_lo = np.minimum.reduceat(tri_lo, seg_starts, axis=0)
+        seg_hi = np.maximum.reduceat(tri_hi, seg_starts, axis=0)
+
+        def _sa(lo_v, hi_v):
+            d = np.maximum(hi_v - lo_v, 0.0)
+            return 2.0 * (d[0] * d[1] + d[1] * d[2] + d[2] * d[0])
+    cuts = []
+    cs, cn = segs[0]
+    if repack_alpha is not None:
+        clo, chi = seg_lo[0].copy(), seg_hi[0].copy()
+    for i, (s, n) in enumerate(segs[1:], start=1):
+        ok = cn + n <= K
+        if ok and repack_alpha is not None:
+            mlo = np.minimum(clo, seg_lo[i])
+            mhi = np.maximum(chi, seg_hi[i])
+            ok = _sa(mlo, mhi) <= repack_alpha * (_sa(clo, chi)
+                                                  + _sa(seg_lo[i], seg_hi[i]))
+        if ok:
+            cn += n
+            if repack_alpha is not None:
+                clo, chi = mlo, mhi
+        else:
+            cuts.append((cs, cn))
+            cs, cn = s, n
+            if repack_alpha is not None:
+                clo, chi = seg_lo[i].copy(), seg_hi[i].copy()
+    cuts.append((cs, cn))
+
+    c = len(cuts)
+    if c > _MAX_CLUSTERS:
+        return None          # beyond the wide-mode ceiling (~16M triangles)
+    cp = ((c + 127) // 128) * 128                        # lane-pad C
     # vectorized packing: cuts tile the preorder prim array contiguously, so
     # the destination of source tri j is cluster_of[j]*K + (j - start_of[j])
     # and per-cluster AABBs are contiguous-segment reductions (reduceat) —

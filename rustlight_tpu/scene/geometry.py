@@ -257,7 +257,9 @@ def build_geometry_tables(meshes: List[TriMesh], mesh_emitter_id: List[int]) -> 
     if gt.n_tris > CLUSTER_THRESHOLD:
         from ..accel.bvh import build_bvh
         from ..accel.clustered import build_clusters
-        bvh = build_bvh(gt, max_leaf=8)   # ONE build shared by both accels
+        import os
+        _builder = os.environ.get("RUSTLIGHT_TPU_BVH_BUILDER", "binned")
+        bvh = build_bvh(gt, max_leaf=8, builder=_builder)  # ONE build, shared
         gt = gt.replace(clusters=build_clusters(gt, bvh=bvh))
         from ..accel.pallas_walk import (K, _MAX_CLUSTERS, build_walk_tables)
         if (gt.n_tris + K - 1) // K <= _MAX_CLUSTERS:
