@@ -60,8 +60,17 @@ def build_tests():
         "veach_mis": dict(scene=veach, techniques=["path"]),
         # single-scatter estimators compare against a single-scatter ref
         "cbox_medium_single": dict(scene=cbox_medium,
-                                   techniques=["point-normal", "path-single"],
+                                   techniques=["point-normal", "path-single",
+                                               "plane-single",
+                                               "plane-single-unc"],
                                    ref_tech="path-single"),
+        # photon-primitive family (BRE/beams/planes/VRL,
+        # vol_primitives.rs:40-374): biased density estimators, gated on
+        # their own stored rows against the multiple-scattering path ref
+        "cbox_medium_prims": dict(scene=cbox_medium,
+                                  techniques=["bre", "beams", "planes",
+                                              "vrl"],
+                                  ref_tech="path", spp=8),
     }
 
 
@@ -103,6 +112,15 @@ def make_integrator(name):
     if name == "path-single":
         return I.IntegratorPathTracing(max_depth=2, hard_cap=2, min_depth=1,
                                        single_scattering=True)
+    if name == "plane-single":
+        return I.IntegratorSinglePlane(nb_primitive=256, strategy="average")
+    if name == "plane-single-unc":
+        return I.IntegratorSinglePlane(nb_primitive=256, strategy="average",
+                                       uncorrelated=True)
+    if name in ("bre", "beams", "planes", "vrl"):
+        return I.IntegratorVolPrimitives(nb_primitive=1024, max_depth=6,
+                                         hard_cap=6, primitives=name,
+                                         radius=8.0)
     raise ValueError(name)
 
 
@@ -175,7 +193,7 @@ def main():
             if args.techniques and tech not in args.techniques:
                 continue
             t0 = time.time()
-            film = render_one(scene_data, tech, args.spp)
+            film = render_one(scene_data, tech, spec.get("spp", args.spp))
             dt = time.time() - t0
             img_path = out / f"{tname}_{tech}.exr"
             rimage.save(str(img_path), film["primal"])
@@ -198,7 +216,15 @@ def main():
                 print(f"[check] {key}: no stored row (skipped)")
                 continue
             scene_name = key.split("/")[0]
-            fl = floors.get(scene_name, {})
+            fl = floors.get(scene_name)
+            if fl is None:
+                # a gated row without a measured noise floor means the 1.3x
+                # band is doing load-bearing work with no justification —
+                # fail loudly instead of silently gating at floor=0
+                breaches.append(
+                    f"{key}: no noise floor for scene '{scene_name}' in "
+                    f"{floors_path} — run tools/regression.py --make-floors")
+                continue
             for m in METRICS:
                 limit = srow[m] * 1.3 + 1.5 * fl.get(m, 0.0)
                 if row[m] > limit:
