@@ -197,12 +197,12 @@ def _pairs_impl(wt: WalkTables, o, d, tnear, tfar, any_hit: bool,
 
     # coherence sort: consecutive pairs then share clusters, bounding each
     # pair tile's distinct-cluster count
-    key = _sort_key(wt, jnp.where(jnp.isfinite(o), o, 0.0),
-                    jnp.where(jnp.isfinite(d), d, 0.0))
+    kmaj, kmin = _sort_key(wt, jnp.where(jnp.isfinite(o), o, 0.0),
+                           jnp.where(jnp.isfinite(d), d, 0.0))
     lane = lax.iota(jnp.int32, n)
-    (_, o0, o1, o2, d0, d1, d2, tnear, tfar, lane) = lax.sort(
-        (key, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
-         tnear, tfar, lane), dimension=0, num_keys=1)
+    (_, _, o0, o1, o2, d0, d1, d2, tnear, tfar, lane) = lax.sort(
+        (kmaj, kmin, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+         tnear, tfar, lane), dimension=0, num_keys=2)
     o = jnp.stack([o0, o1, o2], -1)
     d = jnp.stack([d0, d1, d2], -1)
 

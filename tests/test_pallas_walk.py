@@ -441,8 +441,10 @@ def test_inert_ray_compaction_parity(soup):
                                np.asarray(ref.t)[both], rtol=1e-5, atol=1e-6)
     assert (np.asarray(ref.tri)[both] == np.asarray(out.tri)[both]).all()
     # the key actually segregates: every inert lane sorts after every live
-    key = np.asarray(W._sort_key(wt, o, d, tfar))
-    assert key[inert].min() > key[live].max()
+    # (the inert bit rides the MAJOR key of the two-key sort)
+    kmaj, _ = W._sort_key(wt, o, d, tfar)
+    kmaj = np.asarray(kmaj)
+    assert kmaj[inert].min() > kmaj[live].max()
     # any-hit variant too
     occ = W._walk_impl(wt, o, d, jnp.full(nr, 1e-4), tfar, True,
                        interpret=True, compact_inert=True)

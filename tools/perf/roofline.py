@@ -217,11 +217,11 @@ def main():
     tfar = jnp.full(n, jnp.inf)
     # replicate _walk_impl's sort + pad so the instrumented run sees the
     # same tiles (sorting changes the unions, i.e. the visit counts)
-    key = pw._sort_key(wt, o_j, d_j)
+    kmaj, kmin = pw._sort_key(wt, o_j, d_j)
     lane = lax.iota(jnp.int32, n)
-    (_, o0, o1, o2, dd0, dd1, dd2, tn_s, tf_s, lane) = lax.sort(
-        (key, o_j[:, 0], o_j[:, 1], o_j[:, 2], d_j[:, 0], d_j[:, 1],
-         d_j[:, 2], tnear, tfar, lane), dimension=0, num_keys=1)
+    (_, _, o0, o1, o2, dd0, dd1, dd2, tn_s, tf_s, lane) = lax.sort(
+        (kmaj, kmin, o_j[:, 0], o_j[:, 1], o_j[:, 2], d_j[:, 0], d_j[:, 1],
+         d_j[:, 2], tnear, tfar, lane), dimension=0, num_keys=2)
     o_s = jnp.stack([o0, o1, o2], -1)
     d_s = jnp.stack([dd0, dd1, dd2], -1)
     g = n // RAY_TILE
