@@ -452,3 +452,38 @@ def test_inert_ray_compaction_parity(soup):
     ref_occ = _intersect_impl(geom.inter_rows, o, d, jnp.full(nr, 1e-4),
                               jnp.where(jnp.asarray(inert), 0.0, 1e8), True)
     assert np.array_equal(np.asarray(ref_occ)[live], np.asarray(occ)[live])
+
+
+def test_sort_key_point_origin_wavefront_uses_fine_direction_bits():
+    """The r4 two-key coherence sort (major = octant|origin-morton5,
+    minor = |d|-morton5): for a point-origin wavefront the major key
+    collapses to the octant and the FINE minor key must spread the rays
+    over many direction cones — the property that halved the coherent
+    tile union in tools/perf/sortkey_lab.py. Also pins the int32 pair
+    contract (x64 stays off) and that origins still dominate the major
+    key for spread-origin wavefronts."""
+    import numpy as np
+    import jax.numpy as jnp
+    import rustlight_tpu.accel.pallas_walk as W
+
+    wt = W.WalkTables(
+        n_tris=0, n_clusters=0,
+        world_lo=jnp.zeros(3), world_hi=jnp.ones(3) * 10.0)
+    rng = np.random.default_rng(5)
+    n = 4096
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+
+    # point origin: major = octant only (8 values), minor spreads
+    o_pt = np.full((n, 3), 5.0, np.float32)
+    kmaj, kmin = W._sort_key(wt, jnp.asarray(o_pt), jnp.asarray(d))
+    assert kmaj.dtype == jnp.int32 and kmin.dtype == jnp.int32
+    assert len(np.unique(np.asarray(kmaj))) == 8
+    per_octant_cones = [
+        len(np.unique(np.asarray(kmin)[np.asarray(kmaj) == v]))
+        for v in np.unique(np.asarray(kmaj))]
+    assert min(per_octant_cones) > 32   # fine cones, not the old 3-bit 512
+    # spread origins: the major key separates spatial cells within octants
+    o_sp = rng.uniform(0, 10, (n, 3)).astype(np.float32)
+    kmaj2, _ = W._sort_key(wt, jnp.asarray(o_sp), jnp.asarray(d))
+    assert len(np.unique(np.asarray(kmaj2))) > 1000
