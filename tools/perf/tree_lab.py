@@ -153,8 +153,9 @@ def main():
                   f"(max {vmax})  hits={hits} parity={parity}", flush=True)
         results.append(row)
 
-    Path("regress").mkdir(exist_ok=True)
-    Path("regress/tree_lab.json").write_text(json.dumps(results, indent=2))
+    out = Path(__file__).parent / "regress" / "tree_lab.json"
+    out.parent.mkdir(exist_ok=True)
+    out.write_text(json.dumps(results, indent=2))
     print(json.dumps(results))
 
 
