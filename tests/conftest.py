@@ -13,6 +13,12 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# keep the persistent XLA compile cache OUT of test runs: tests that invoke
+# the CLI in-process (test_cli) would otherwise enable it for the whole
+# suite, and a cache WRITE inside jax's serialization layer has segfaulted
+# a full-suite run at ~92% (zstd backend, under memory pressure). CPU
+# compiles are cheap; determinism beats cache speed in CI.
+os.environ["RUSTLIGHT_TPU_NO_COMPILE_CACHE"] = "1"
 
 import jax  # noqa: E402
 
