@@ -121,3 +121,115 @@ def test_orbit_camera_math():
     np.testing.assert_allclose(
         np.asarray(cam2.to_local) @ np.asarray(cam2.to_world), np.eye(4),
         atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# In-browser client tracer (/local + tools/web_tracer.js): the compute-side
+# analog of the reference WASM frontend. No JS runtime exists in this image
+# (no node/quickjs/browser/wasm toolchain), so the algorithm is gated through
+# tests/js_mirror.py — a line-by-line Python transcription — and this sha256
+# pin forces the transcription to be re-checked whenever the JS changes.
+# ---------------------------------------------------------------------------
+
+_WEB_TRACER_SHA256 = (
+    "ea1525192dff5fa5d60d6a0eb63a17d536b0d4629d1ac710e5ae7cc14393eb83")
+
+
+def test_web_tracer_js_pinned_to_mirror():
+    import hashlib
+    js = (Path(viewer.__file__).parent / "web_tracer.js").read_bytes()
+    got = hashlib.sha256(js).hexdigest()
+    assert got == _WEB_TRACER_SHA256, (
+        "tools/web_tracer.js changed (sha256 {}): re-check that "
+        "tests/js_mirror.py still transcribes it line-for-line, re-run "
+        "test_client_tracer_matches_oracle, then update this pin".format(got))
+
+
+def test_local_tracer_endpoints(server):
+    port = server
+    page = _get(port, "/local").decode()
+    assert "web_tracer.js" in page and "renderBlock" in page
+    assert "canvas" in page
+    js = _get(port, "/web_tracer.js").decode()
+    assert "class WebScene" in js and "renderBlock" in js
+    desc = json.loads(_get(port, "/api/scene.json"))
+    # consistency with the host scene the server is rendering
+    assert len(desc["v0"]) == len(desc["e1"]) == len(desc["e2"])
+    assert len(desc["v0"]) > 0
+    assert _wait(lambda: viewer._STATE["width"] > 0)  # render loop started
+    assert desc["cam"]["width"] == viewer._STATE["width"]
+    assert desc["cam"]["height"] == viewer._STATE["height"]
+    assert sum(desc["em_prob"]) == pytest.approx(1.0)
+    assert len(desc["em_tri"]) == len(desc["em_prob"]) > 0
+    # the main page links to the client tracer
+    assert "/local" in _get(port, "/").decode()
+
+
+def test_scene_export_scope_rejections():
+    """Out-of-scope scenes must 501 loudly, never render the wrong image."""
+    from rustlight_tpu.models.cbox import cornell_box
+    from rustlight_tpu.scene.volume import make_volume
+    from rustlight_tpu.bsdfs import glass
+
+    host = cornell_box(16, 16)
+    host.volume = make_volume(sigma_s=(0.01,) * 3, sigma_a=(0.001,) * 3,
+                              g=0.0)
+    with pytest.raises(viewer.WebExportError, match="media"):
+        viewer.scene_to_web_json(host)
+
+    host2 = cornell_box(16, 16, mat_overrides={"white": glass()})
+    with pytest.raises(viewer.WebExportError, match="diffuse"):
+        viewer.scene_to_web_json(host2)
+
+
+def test_client_tracer_matches_oracle():
+    """z-test the JS transcription against the independent scalar oracle
+    (same gate as test_oracle.py: global mean z + per-pixel outlier rate).
+    The transcription shares only scene DATA with the oracle — transport,
+    RNG, intersection and NEE are implemented three separate times across
+    the wavefront renderer, the oracle, and the client tracer."""
+    from js_mirror import MirrorScene
+    from oracle_pt import OracleScene
+    from rustlight_tpu.models.cbox import cornell_box
+    from rustlight_tpu.integrators.path import IntegratorPathTracing
+
+    size = 12
+    host = cornell_box(size, size)
+    desc = viewer.scene_to_web_json(
+        host, IntegratorPathTracing(max_depth=5), seed=3)
+    mirror = MirrorScene(desc)
+    mirror.run(32)
+    img_m, var_m = mirror.mean_linear(), mirror.var_of_mean()
+    # var of the mean: var_of_mean() already divides by n
+    img_o, var_o = OracleScene(host).render(size, size, 48, seed=11,
+                                            max_depth=5)
+    assert img_m.mean() > 1e-3 and img_o.mean() > 1e-3
+    diff = img_m - img_o
+    se2 = var_m + var_o
+    gdiff = float(diff.mean())
+    gse = float(np.sqrt(se2.sum()) / diff.size)
+    assert abs(gdiff) < 6.0 * gse + 1e-3 * float(img_o.mean()), (
+        f"client tracer disagrees with oracle: {gdiff:.5f} "
+        f"(allowed {6 * gse:.5f})")
+    z = np.abs(diff) / np.maximum(np.sqrt(se2), 1e-4)
+    assert float((z > 5.0).mean()) < 0.02
+
+
+def test_mulberry32_known_vectors():
+    """Pin the RNG bit semantics (JS ToInt32/imul rules) so an accidental
+    edit to either side surfaces as a vector mismatch, not silent drift."""
+    from js_mirror import mulberry32, pixel_rng
+
+    r = mulberry32(123)
+    np.testing.assert_allclose(
+        [r() for _ in range(4)],
+        [0.7872516233474016, 0.1785435655619949,
+         0.49531551403924823, 0.23136196262203157], rtol=0, atol=1e-15)
+    vals = [pixel_rng(x, y, p, 0)() for x, y, p in
+            [(0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1)]]
+    # distinct streams: all pairwise different
+    assert len({round(v, 12) for v in vals}) == 4
+    # uniformity smoke: mean of a long stream near 0.5
+    r2 = mulberry32(7)
+    m = np.mean([r2() for _ in range(20000)])
+    assert abs(m - 0.5) < 0.01

@@ -46,6 +46,146 @@ _LOCK = threading.Lock()
 _ORBIT = {"dirty": False, "theta": 0.0, "phi": 0.0, "radius": 1.0,
           "target": None, "up": np.array([0.0, 1.0, 0.0], np.float32)}
 
+#: client-side tracer state: scene JSON (or an export error) + JS source path
+_WEB = {"scene_json": None, "error": None}
+_TRACER_JS = Path(__file__).parent / "web_tracer.js"
+
+
+class WebExportError(RuntimeError):
+    pass
+
+
+def scene_to_web_json(scene, integrator=None, seed=0):
+    """Flatten a host Scene into the JSON the in-browser tracer consumes.
+
+    Data-only export (triangle soup + flux-CDF emitter table + camera
+    matrices) — the client reimplements ALL transport independently
+    (tools/web_tracer.js). Scope mirrors the scalar oracle: diffuse
+    materials, triangle area lights, no medium; anything else raises
+    WebExportError so /api/scene.json can answer 501 loudly instead of
+    silently rendering the wrong image.
+    """
+    if scene.volume is not None:
+        raise WebExportError("client tracer: no participating media")
+    if getattr(scene, "envmap", None) is not None:
+        raise WebExportError("client tracer: no environment light")
+    mats = scene.materials or []
+    v0, e1, e2, kd, le = [], [], [], [], []
+    em_tri, em_weight = [], []
+    for mesh in scene.meshes:
+        mat = mats[mesh.material]
+        if int(mat.kind) != 0 or int(getattr(mat, "tex_kind", 0)) != 0:
+            raise WebExportError(
+                "client tracer: constant-albedo diffuse materials only")
+        if mesh.emission_kind != 0:
+            raise WebExportError("client tracer: constant emission only")
+        verts = np.asarray(mesh.vertices, np.float64)
+        areas = mesh.triangle_areas().astype(np.float64)
+        flux_scalar = float(np.max(mesh.flux()))
+        total = max(float(areas.sum()), 1e-30)
+        for k, (i0, i1, i2) in enumerate(np.asarray(mesh.indices)):
+            t = len(v0)
+            v0.append(verts[i0])
+            e1.append(verts[i1] - verts[i0])
+            e2.append(verts[i2] - verts[i0])
+            kd.append(np.asarray(mat.kd, np.float64))
+            le.append(np.asarray(mesh.emission, np.float64))
+            if mesh.is_light:
+                em_tri.append(t)
+                em_weight.append(flux_scalar * areas[k] / total)
+    if len(v0) > 100_000:
+        raise WebExportError(
+            "client tracer is the NaiveAcceleration analog: "
+            f"{len(v0)} triangles is beyond brute-force scope")
+    if not em_tri:
+        raise WebExportError("client tracer: no emissive triangles")
+    w = np.asarray(em_weight, np.float64)
+    cam = scene.camera
+    return {
+        "v0": np.asarray(v0).tolist(), "e1": np.asarray(e1).tolist(),
+        "e2": np.asarray(e2).tolist(), "kd": np.asarray(kd).tolist(),
+        "le": np.asarray(le).tolist(), "em_tri": em_tri,
+        "em_prob": (w / w.sum()).tolist(),
+        "cam": {
+            "s2c": np.asarray(cam.sample_to_camera, np.float64).tolist(),
+            "to_world": np.asarray(cam.to_world, np.float64).tolist(),
+            "width": int(cam.width), "height": int(cam.height),
+        },
+        "max_depth": getattr(integrator, "max_depth", 5) if integrator
+        else 5,
+        "min_depth": getattr(integrator, "min_depth", 0) if integrator
+        else 0,
+        "seed": int(seed),
+    }
+
+
+_LOCAL_PAGE = """<!doctype html><html><head>
+<title>rustlight_tpu local tracer</title>
+<style>
+ body{background:#1b1b1f;color:#d6d6dc;font-family:monospace;margin:0}
+ #bar{padding:8px 12px;display:flex;gap:16px;align-items:center}
+ #bar b{color:#8ecaff}
+ canvas{image-rendering:pixelated;width:70vmin;display:block;margin:0 auto}
+ button{background:#2a2a31;color:#d6d6dc;border:1px solid #444;
+        font-family:monospace;padding:2px 10px;cursor:pointer}
+ #help{padding:4px 12px;color:#888}
+</style></head><body>
+<div id="bar">
+ <b>rustlight_tpu · in-browser</b><span id="stats">loading scene…</span>
+ <button id="pause">pause</button>
+</div>
+<div id="help">compute runs IN THIS TAB (the WASM-frontend analog:
+one sample/pixel per pass over 16x16 blocks, brute-force intersection)</div>
+<canvas id="cv"></canvas>
+<script src="/web_tracer.js"></script>
+<script>
+const stats=document.getElementById('stats');
+let paused=false, tracer=null, ctx=null, pass=0, blocks=[], bi=0, t0=0;
+document.getElementById('pause').onclick=()=>{
+  paused=!paused;
+  document.getElementById('pause').textContent=paused?'resume':'pause';
+};
+async function boot(){
+  const r=await fetch('/api/scene.json');
+  if(!r.ok){stats.textContent='scene export: '+await r.text();return;}
+  const desc=await r.json();
+  tracer=new WebScene(desc);
+  const cv=document.getElementById('cv');
+  cv.width=tracer.width; cv.height=tracer.height;
+  ctx=cv.getContext('2d');
+  for(let y=0;y<tracer.height;y+=16)
+    for(let x=0;x<tracer.width;x+=16) blocks.push([x,y]);
+  t0=performance.now();
+  window.__tracer={
+    ready:true,
+    runSync:(n)=>{for(let p=0;p<n;p++){
+      for(const [x,y] of blocks) tracer.renderBlock(x,y,16,16,pass);
+      pass++;}tracer.getImg(ctx);},
+    mean:()=>Array.from(tracer.meanLinear()),
+    varOfMean:()=>Array.from(tracer.varOfMean()),
+    spp:()=>tracer.spp(), size:()=>[tracer.width,tracer.height],
+  };
+  tick();
+}
+function tick(){
+  if(tracer&&!paused){
+    const tb=performance.now();
+    while(performance.now()-tb<30){
+      const [x,y]=blocks[bi];
+      tracer.renderBlock(x,y,16,16,pass);
+      if(++bi>=blocks.length){bi=0;pass++;}
+    }
+    tracer.getImg(ctx);
+    const el=(performance.now()-t0)/1000;
+    stats.textContent=`${tracer.width}x${tracer.height} · ${tracer.spp()} spp`
+      +` · ${el.toFixed(1)}s · ${(tracer.spp()/Math.max(el,1e-3)).toFixed(2)}`
+      +' pass/s · js-local';
+  }
+  setTimeout(tick,0);
+}
+boot();
+</script></body></html>"""
+
 _PAGE = """<!doctype html><html><head><title>rustlight_tpu viewer</title>
 <style>
  body{background:#1b1b1f;color:#d6d6dc;font-family:monospace;margin:0}
@@ -60,6 +200,7 @@ _PAGE = """<!doctype html><html><head><title>rustlight_tpu viewer</title>
 <div id="bar">
  <b>rustlight_tpu</b><span id="stats">…</span>
  <button id="pause">pause</button><button id="reset">reset</button>
+ <a href="/local" style="color:#8ecaff">in-browser tracer</a>
 </div>
 <div id="help">drag = orbit &nbsp; wheel / +- = zoom &nbsp; arrows = orbit</div>
 <img id="img" draggable="false"/>
@@ -121,6 +262,25 @@ class _Handler(BaseHTTPRequestHandler):
             with _LOCK:
                 st = {k: v for k, v in _STATE.items() if k != "png"}
             self._json(st)
+        elif self.path.startswith("/api/scene.json"):
+            if _WEB["scene_json"] is None:
+                self.send_response(501)
+                self.send_header("Content-Type", "text/plain")
+                self.end_headers()
+                self.wfile.write(
+                    (_WEB["error"] or "no scene exported").encode())
+            else:
+                self._json(_WEB["scene_json"])
+        elif self.path.startswith("/web_tracer.js"):
+            self.send_response(200)
+            self.send_header("Content-Type", "application/javascript")
+            self.end_headers()
+            self.wfile.write(_TRACER_JS.read_bytes())
+        elif self.path.startswith("/local"):
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.end_headers()
+            self.wfile.write(_LOCAL_PAGE.encode())
         else:
             self.send_response(200)
             self.send_header("Content-Type", "text/html")
@@ -282,6 +442,14 @@ def main(argv=None, block=True):
                   phi=float(np.arcsin(np.clip(v[1] / max(r, 1e-3), -1, 1))))
     with _LOCK:
         _STATE.update(scene=args.scene, integrator=rest[0])
+
+    # export the scene for the in-browser tracer (/local); scenes outside
+    # the client scope serve a 501 with the reason instead of failing here
+    try:
+        _WEB["scene_json"] = scene_to_web_json(scene, integ)
+        _WEB["error"] = None
+    except WebExportError as e:
+        _WEB["scene_json"], _WEB["error"] = None, str(e)
 
     server = ThreadingHTTPServer(("0.0.0.0", args.port), _Handler)
     threading.Thread(target=server.serve_forever, daemon=True).start()

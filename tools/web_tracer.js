@@ -1,0 +1,353 @@
+/* In-browser progressive path tracer — the client-side compute analog of the
+ * reference's WASM frontend (examples/web/src/lib.rs): `Scene::new` from a
+ * scene description, `render_block(x, y, sx, sy)` accumulating one sample per
+ * pixel per pass over 16x16 blocks with brute-force intersection
+ * (NaiveAcceleration, accel.rs:14-77), and `get_img(ctx)` painting the
+ * gamma-2.2 running average to a canvas (lib.rs:221-232).
+ *
+ * The transport algorithm (unidirectional path tracing with next-event
+ * estimation and balance-heuristic MIS; path.rs:198-237 semantics) is written
+ * here from the spec as a THIRD independent implementation: it shares no code
+ * with either the JAX wavefront renderer or the scalar numpy oracle
+ * (tests/oracle_pt.py) — only scene DATA arrives via /api/scene.json. The
+ * committed agreement artifact (regress/web_tracer_cbox.json, gated by
+ * tests/test_viewer.py) pins this file's sha256 and its statistical agreement
+ * with the oracle, so edits here must re-run the browser capture.
+ *
+ * Scope mirrors the oracle: diffuse materials, triangle area lights, no
+ * medium. Everything is double precision (JS numbers), deterministic via a
+ * counter-based per-(pixel, pass) mulberry32 stream.
+ */
+'use strict';
+
+/* eslint-disable no-bitwise */
+function mulberry32(seed) {
+  let a = seed >>> 0;
+  return function () {
+    a = (a + 0x6D2B79F5) | 0;
+    let t = Math.imul(a ^ (a >>> 15), 1 | a);
+    t = (t + Math.imul(t ^ (t >>> 7), 61 | t)) ^ t;
+    return ((t ^ (t >>> 14)) >>> 0) / 4294967296;
+  };
+}
+
+/* Distinct stream per (pixel, pass, seed): splitmix-style avalanche of the
+ * packed counter so neighbouring pixels never share low-bit structure. */
+function pixelRng(x, y, pass, seed) {
+  let h = (x * 0x9E3779B1) ^ (y * 0x85EBCA6B) ^ (pass * 0xC2B2AE35) ^ seed;
+  h = Math.imul(h ^ (h >>> 16), 0x7FEB352D);
+  h = Math.imul(h ^ (h >>> 15), 0x846CA68B);
+  h ^= h >>> 16;
+  return mulberry32(h);
+}
+
+const EPS_ABS = 1e-4;
+const EPS_REL = 2e-5;
+
+class WebScene {
+  /* desc: parsed /api/scene.json (see tools/viewer.py scene_to_web_json). */
+  constructor(desc) {
+    const T = desc.v0.length;
+    this.n = T;
+    this.v0 = desc.v0; this.e1 = desc.e1; this.e2 = desc.e2;
+    this.kd = desc.kd; this.le = desc.le;
+    this.ng = new Array(T); this.area = new Array(T);
+    this.isLight = new Array(T);
+    for (let i = 0; i < T; i++) {
+      const c = cross(this.e1[i], this.e2[i]);
+      const l = Math.hypot(c[0], c[1], c[2]);
+      this.ng[i] = l > 0 ? [c[0] / l, c[1] / l, c[2] / l] : [0, 0, 1];
+      this.area[i] = 0.5 * l;
+      const le = this.le[i];
+      this.isLight[i] = Math.hypot(le[0], le[1], le[2]) > 0;
+    }
+    this.emTri = desc.em_tri;
+    this.emCdf = new Array(desc.em_prob.length);
+    this.pdfArea = new Array(T).fill(0);
+    let acc = 0;
+    for (let i = 0; i < desc.em_prob.length; i++) {
+      acc += desc.em_prob[i];
+      this.emCdf[i] = acc;
+      this.pdfArea[desc.em_tri[i]] =
+        desc.em_prob[i] / this.area[desc.em_tri[i]];
+    }
+    this.s2c = desc.cam.s2c;            // [4][4] sample -> camera
+    this.toWorld = desc.cam.to_world;   // [4][4]
+    this.width = desc.cam.width;
+    this.height = desc.cam.height;
+    this.maxDepth = desc.max_depth == null ? 5 : desc.max_depth;
+    this.minDepth = desc.min_depth == null ? 0 : desc.min_depth;
+    this.seed = desc.seed == null ? 0 : desc.seed;
+
+    // running average film, lib.rs:42-44 (img + nb_samples), plus a
+    // sum-of-squares channel so the agreement artifact can carry the
+    // variance of the mean for its z-test
+    this.img = new Float64Array(this.width * this.height * 3);
+    this.img2 = new Float64Array(this.width * this.height * 3);
+    this.nbSamples = new Uint32Array(this.width * this.height);
+  }
+
+  cameraRay(px, py) {
+    // sample-space point -> camera space -> world (camera.rs:81-91)
+    const s = [px / this.width, py / this.height, 0.0, 1.0];
+    const q = [0, 0, 0, 0];
+    for (let r = 0; r < 4; r++) {
+      q[r] = this.s2c[r][0] * s[0] + this.s2c[r][1] * s[1] +
+             this.s2c[r][2] * s[2] + this.s2c[r][3] * s[3];
+    }
+    let d = [q[0] / q[3], q[1] / q[3], q[2] / q[3]];
+    d = norm(d);
+    const m = this.toWorld;
+    const dw = [
+      m[0][0] * d[0] + m[0][1] * d[1] + m[0][2] * d[2],
+      m[1][0] * d[0] + m[1][1] * d[1] + m[1][2] * d[2],
+      m[2][0] * d[0] + m[2][1] * d[1] + m[2][2] * d[2],
+    ];
+    return [[m[0][3], m[1][3], m[2][3]], dw];
+  }
+
+  /* Closest hit, Moller-Trumbore over every triangle (NaiveAcceleration). */
+  intersect(o, d, tmax) {
+    let best = -1; let bestT = tmax;
+    for (let i = 0; i < this.n; i++) {
+      const e1 = this.e1[i]; const e2 = this.e2[i]; const v0 = this.v0[i];
+      const px = d[1] * e2[2] - d[2] * e2[1];
+      const py = d[2] * e2[0] - d[0] * e2[2];
+      const pz = d[0] * e2[1] - d[1] * e2[0];
+      const det = e1[0] * px + e1[1] * py + e1[2] * pz;
+      if (Math.abs(det) < 1e-12) continue;
+      const inv = 1.0 / det;
+      const tx = o[0] - v0[0]; const ty = o[1] - v0[1]; const tz = o[2] - v0[2];
+      const u = (tx * px + ty * py + tz * pz) * inv;
+      if (u < 0 || u > 1) continue;
+      const qx = ty * e1[2] - tz * e1[1];
+      const qy = tz * e1[0] - tx * e1[2];
+      const qz = tx * e1[1] - ty * e1[0];
+      const v = (d[0] * qx + d[1] * qy + d[2] * qz) * inv;
+      if (v < 0 || u + v > 1) continue;
+      const t = (e2[0] * qx + e2[1] * qy + e2[2] * qz) * inv;
+      if (t > EPS_ABS && t < bestT) { bestT = t; best = i; }
+    }
+    return [best, bestT];
+  }
+
+  occluded(p0, p1) {
+    const dx = p1[0] - p0[0]; const dy = p1[1] - p0[1]; const dz = p1[2] - p0[2];
+    const dist = Math.hypot(dx, dy, dz);
+    if (dist <= 0) return true;
+    const d = [dx / dist, dy / dist, dz / dist];
+    const [tri] = this.intersect(p0, d, dist * (1.0 - 1e-4));
+    return tri >= 0;
+  }
+
+  offset(p, n, d) {
+    const eps = EPS_ABS + EPS_REL *
+      Math.max(Math.abs(p[0]), Math.abs(p[1]), Math.abs(p[2]));
+    const s = dot(n, d) >= 0 ? 1.0 : -1.0;
+    return [p[0] + n[0] * eps * s, p[1] + n[1] * eps * s,
+            p[2] + n[2] * eps * s];
+  }
+
+  /* One NEE sample from p_ref: selection by flux CDF, area sampling on the
+   * triangle, area->solid-angle pdf conversion (emitter.rs:652-688). */
+  sampleLight(pRef, rng) {
+    const u = rng();
+    let i = 0;
+    while (i < this.emCdf.length - 1 && u > this.emCdf[i]) i++;
+    const tri = this.emTri[i];
+    const su = Math.sqrt(rng());
+    const b1 = 1.0 - su; const b2 = rng() * su;
+    const v0 = this.v0[tri]; const e1 = this.e1[tri]; const e2 = this.e2[tri];
+    const pL = [v0[0] + b1 * e1[0] + b2 * e2[0],
+                v0[1] + b1 * e1[1] + b2 * e2[1],
+                v0[2] + b1 * e1[2] + b2 * e2[2]];
+    const del = [pL[0] - pRef[0], pL[1] - pRef[1], pL[2] - pRef[2]];
+    const dist = Math.hypot(del[0], del[1], del[2]);
+    if (dist <= 0) return null;
+    const d = [del[0] / dist, del[1] / dist, del[2] / dist];
+    const cosL = -dot(this.ng[tri], d);
+    if (cosL <= 0) return null;
+    const g = cosL / (dist * dist);
+    const pdfA = this.pdfArea[tri];
+    const le = this.le[tri];
+    return {
+      d, dist, pL,
+      weight: [le[0] * g / pdfA, le[1] * g / pdfA, le[2] * g / pdfA],
+      pdfSa: pdfA * dist * dist / cosL,
+    };
+  }
+
+  lightPdfSa(tri, pRef, pHit, d) {
+    const cosL = -dot(this.ng[tri], d);
+    if (cosL <= 0 || !this.isLight[tri]) return 0.0;
+    const dx = pHit[0] - pRef[0]; const dy = pHit[1] - pRef[1];
+    const dz = pHit[2] - pRef[2];
+    return this.pdfArea[tri] * (dx * dx + dy * dy + dz * dz) / cosL;
+  }
+
+  cosineHemisphere(n, rng) {
+    const u1 = rng(); const u2 = rng();
+    const r = Math.sqrt(u1);
+    const phi = 2.0 * Math.PI * u2;
+    const x = r * Math.cos(phi); const y = r * Math.sin(phi);
+    const z = Math.sqrt(Math.max(1.0 - u1, 0.0));
+    // ONB about n: Gram-Schmidt off the smallest component
+    const a = [0, 0, 0];
+    const ax = Math.abs(n[0]); const ay = Math.abs(n[1]); const az = Math.abs(n[2]);
+    a[ax <= ay ? (ax <= az ? 0 : 2) : (ay <= az ? 1 : 2)] = 1.0;
+    let t = cross(n, a);
+    t = norm(t);
+    const b = cross(n, t);
+    return [[x * t[0] + y * b[0] + z * n[0],
+             x * t[1] + y * b[1] + z * n[1],
+             x * t[2] + y * b[2] + z * n[2]], z / Math.PI];
+  }
+
+  /* Recursive radiance along (o, d) with k edges completed. */
+  radiance(o, d, rng, k, prevPdf, prevDelta) {
+    const [tri, tHit] = this.intersect(o, d, Infinity);
+    const L = [0, 0, 0];
+    if (tri < 0) return L;   // no envmap in client scope
+    const pHit = [o[0] + d[0] * tHit, o[1] + d[1] * tHit,
+                  o[2] + d[2] * tHit];
+    const ng = this.ng[tri];
+    if (this.isLight[tri] && k >= this.minDepth && -dot(ng, d) > 0) {
+      const w = prevDelta ? 1.0
+        : balance(prevPdf, this.lightPdfSa(tri, o, pHit, d));
+      const le = this.le[tri];
+      L[0] += le[0] * w; L[1] += le[1] * w; L[2] += le[2] * w;
+    }
+    const canExpand = this.maxDepth == null || k + 1 < this.maxDepth;
+    if (!canExpand) return L;
+
+    let n = ng;
+    if (!this.isLight[tri] && dot(n, d) > 0) n = [-n[0], -n[1], -n[2]];
+    const kd = this.kd[tri];
+
+    // NEE, path of k+2 edges
+    if (k + 1 >= this.minDepth) {
+      const ls = this.sampleLight(pHit, rng);
+      if (ls !== null) {
+        const cosO = dot(n, ls.d);
+        if (cosO > 0) {
+          const f = [kd[0] / Math.PI * cosO, kd[1] / Math.PI * cosO,
+                     kd[2] / Math.PI * cosO];
+          const pShadow = this.offset(pHit, ng, ls.d);
+          if (!this.occluded(pShadow, ls.pL)) {
+            const w = balance(ls.pdfSa, cosO / Math.PI);
+            L[0] += f[0] * ls.weight[0] * w;
+            L[1] += f[1] * ls.weight[1] * w;
+            L[2] += f[2] * ls.weight[2] * w;
+          }
+        }
+      }
+    }
+
+    // BSDF bounce: cosine IS, f*cos/pdf = kd
+    const [dNew, pdfDir] = this.cosineHemisphere(n, rng);
+    if (pdfDir <= 0) return L;
+    if (Math.max(kd[0], kd[1], kd[2]) <= 0) return L;
+    const oNew = this.offset(pHit, ng, dNew);
+    const Ln = this.radiance(oNew, dNew, rng, k + 1, pdfDir, false);
+    L[0] += kd[0] * Ln[0]; L[1] += kd[1] * Ln[1]; L[2] += kd[2] * Ln[2];
+    return L;
+  }
+
+  /* One sample per pixel over the block, accumulated (lib.rs:198-219). */
+  renderBlock(x0, y0, sx, sy, pass) {
+    const xe = Math.min(x0 + sx, this.width);
+    const ye = Math.min(y0 + sy, this.height);
+    for (let y = y0; y < ye; y++) {
+      for (let x = x0; x < xe; x++) {
+        const rng = pixelRng(x, y, pass, this.seed);
+        const [o, d] = this.cameraRay(x + rng(), y + rng());
+        const li = this.radiance(o, d, rng, 0, 1.0, true);
+        const idx = y * this.width + x;
+        if (isFinite(li[0]) && isFinite(li[1]) && isFinite(li[2]) &&
+            li[0] >= 0 && li[1] >= 0 && li[2] >= 0) {
+          this.img[idx * 3 + 0] += li[0];
+          this.img[idx * 3 + 1] += li[1];
+          this.img[idx * 3 + 2] += li[2];
+          this.img2[idx * 3 + 0] += li[0] * li[0];
+          this.img2[idx * 3 + 1] += li[1] * li[1];
+          this.img2[idx * 3 + 2] += li[2] * li[2];
+        }
+        this.nbSamples[idx] += 1;
+      }
+    }
+  }
+
+  /* Gamma-2.2 running average to the canvas (lib.rs:221-232). */
+  getImg(ctx) {
+    const W = this.width; const H = this.height;
+    const data = new Uint8ClampedArray(W * H * 4);
+    for (let i = 0; i < W * H; i++) {
+      const ns = this.nbSamples[i];
+      if (ns !== 0) {
+        const inv = 1.0 / ns;
+        for (let c = 0; c < 3; c++) {
+          data[i * 4 + c] = Math.min(
+            Math.pow(this.img[i * 3 + c] * inv, 1.0 / 2.2), 1.0) * 255.0;
+        }
+      }
+      data[i * 4 + 3] = 255;
+    }
+    ctx.putImageData(new ImageData(data, W, H), 0, 0);
+  }
+
+  /* Linear mean film (validation hook for the agreement artifact). */
+  meanLinear() {
+    const out = new Float64Array(this.img.length);
+    for (let i = 0; i < this.nbSamples.length; i++) {
+      const ns = Math.max(this.nbSamples[i], 1);
+      out[i * 3] = this.img[i * 3] / ns;
+      out[i * 3 + 1] = this.img[i * 3 + 1] / ns;
+      out[i * 3 + 2] = this.img[i * 3 + 2] / ns;
+    }
+    return out;
+  }
+
+  /* Per-pixel per-channel variance OF THE MEAN: s^2/n with the unbiased
+   * sample variance from the (sum, sum-of-squares) accumulators. */
+  varOfMean() {
+    const out = new Float64Array(this.img.length);
+    for (let i = 0; i < this.nbSamples.length; i++) {
+      const n = this.nbSamples[i];
+      if (n < 2) continue;
+      for (let c = 0; c < 3; c++) {
+        const m = this.img[i * 3 + c] / n;
+        const s2 = Math.max(
+          (this.img2[i * 3 + c] - n * m * m) / (n - 1), 0.0);
+        out[i * 3 + c] = s2 / n;
+      }
+    }
+    return out;
+  }
+
+  spp() {
+    let m = Infinity;
+    for (let i = 0; i < this.nbSamples.length; i++) {
+      if (this.nbSamples[i] < m) m = this.nbSamples[i];
+    }
+    return m === Infinity ? 0 : m;
+  }
+}
+
+function dot(a, b) { return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]; }
+function cross(a, b) {
+  return [a[1] * b[2] - a[2] * b[1],
+          a[2] * b[0] - a[0] * b[2],
+          a[0] * b[1] - a[1] * b[0]];
+}
+function norm(v) {
+  const l = Math.hypot(v[0], v[1], v[2]);
+  return [v[0] / l, v[1] / l, v[2] / l];
+}
+function balance(pdfA, pdfB) {
+  return pdfA <= 0 ? 0.0 : pdfA / (pdfA + pdfB);
+}
+
+if (typeof window !== 'undefined') {
+  window.WebScene = WebScene;
+  window.__webTracerRng = { mulberry32, pixelRng };
+}
