@@ -809,6 +809,43 @@ def _b44_do(raw: bytes, channels, w: int, ny: int, b44a: bool) -> bytes:
     return b"".join(parts)
 
 
+def _dwa_rle_ac_batch(flat: np.ndarray) -> np.ndarray:
+    """Vectorized AC zero-run tokenizer over [B, 64] zigzag blocks.
+
+    Per row, positions 1..63: a literal token per nonzero half, one
+    0xFF00|len run token per interior zero run, trailing zero runs
+    dropped — the write-side mirror of _dwa_unrle_ac (the scalar spec
+    decoder), vectorized for the same reason the decode side was (a
+    2048^2 DWAB is ~200k blocks; a Python per-block loop is
+    interpreter-bound for minutes).
+
+    End-of-block: the decoder stops as soon as its slot counter reaches
+    64, WITHOUT consuming a token — so a full block (nonzero at zigzag
+    slot 63) must NOT be followed by 0xFF00; the EOB token is emitted
+    only for blocks that end early via a trailing zero run. (A stray EOB
+    after a full block desyncs every later block in the stream — the
+    high-contrast-render bug this rule fixes.)"""
+    v = np.ascontiguousarray(flat[:, 1:], np.uint16)
+    n_rows, n = v.shape
+    nzm = v != 0
+    col = np.arange(n)
+    # next nonzero position at-or-after each column (suffix minimum);
+    # 2n sentinel when the rest of the row is zero
+    idx = np.where(nzm, col[None, :], 2 * n)
+    nxt = np.minimum.accumulate(idx[:, ::-1], axis=1)[:, ::-1]
+    prev_nz = np.concatenate([np.ones((n_rows, 1), bool), nzm[:, :-1]],
+                             axis=1)
+    run_start = (~nzm) & prev_nz & (nxt < n)    # interior runs only
+    runlen = (nxt - col[None, :]).astype(np.uint16)
+    toks = np.where(nzm, v, np.uint16(0xFF00) | runlen)
+    emit = nzm | run_start
+    toks = np.concatenate(
+        [toks, np.full((n_rows, 1), 0xFF00, np.uint16)], axis=1)
+    # EOB only for blocks with a trailing zero run (last slot zero)
+    emit = np.concatenate([emit, ~nzm[:, -1:]], axis=1)
+    return toks[emit]                            # row-major ragged concat
+
+
 def _dwa_from_linear_lut() -> np.ndarray:
     """Inverse of _dwa_to_linear_lut: half-bits -> half-bits, the encoder's
     perceptual sign * |x|^(1/2.2) curve."""
@@ -925,25 +962,8 @@ def _dwa_do(raw: bytes, channels, w: int, ny: int) -> bytes:
             dc_words.append(np.ascontiguousarray(
                 zig[:, :, 0].T).reshape(-1))
             # AC zero-run code, block-major component-minor
-            flat = zig.reshape(nblocks * ncomp, 64)
-            for b in range(flat.shape[0]):
-                row = flat[b]
-                toks = []
-                i = 1
-                while i < 64:
-                    if row[i] == 0:
-                        j = i
-                        while j < 64 and row[j] == 0:
-                            j += 1
-                        if j >= 64:
-                            break
-                        toks.append(0xFF00 | (j - i))
-                        i = j
-                    else:
-                        toks.append(int(row[i]))
-                        i += 1
-                toks.append(0xFF00)
-                ac_tokens.append(np.asarray(toks, np.uint16))
+            ac_tokens.append(
+                _dwa_rle_ac_batch(zig.reshape(nblocks * ncomp, 64)))
         elif scheme == _DWA_RLE:
             nb = {0: 4, 1: 2, 2: 4}[pt]
             sam = planes[group[0]].reshape(ny * w, nb)

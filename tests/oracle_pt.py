@@ -34,6 +34,15 @@ class OracleScene:
     """Flatten a host rustlight_tpu Scene into plain float64 numpy arrays."""
 
     def __init__(self, scene):
+        # contract: raise loudly on anything outside oracle scope — a
+        # silently-ignored emitter would z-test the renderer against a
+        # reference that omits those light paths
+        if scene.env_constant is not None or scene.env_image is not None:
+            raise NotImplementedError("oracle: no environment light")
+        if scene.point_lights or scene.directional_lights \
+                or scene.point_normal_lights:
+            raise NotImplementedError(
+                "oracle: triangle area lights only")
         v0, e1, e2, kd, le, two_sided = [], [], [], [], [], []
         em_tri, em_weight = [], []
         mats = scene.materials or []

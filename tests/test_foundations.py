@@ -1140,6 +1140,51 @@ class TestExrDecodeFuzz:
         with pytest.raises(ValueError, match="underrun"):
             _dwa_unrle_ac_batch(np.array([0xFF00], np.uint16), 0, 2)
 
+    def test_dwa_ac_encode_batch_matches_scalar(self):
+        """The vectorized write-side AC run-length tokenizer is bit-identical
+        to the scalar spec loop (literals, interior runs merged to one token,
+        EOB only for blocks ending in a trailing zero run — a FULL block must
+        not be followed by EOB because the decoder stops at slot 64 without
+        consuming a token; same loop as the in-test spec encoder)."""
+        from rustlight_tpu.utils.image import _dwa_rle_ac_batch
+
+        def scalar(flat):
+            out = []
+            for b in range(flat.shape[0]):
+                row = flat[b]
+                toks = []
+                dct = 1
+                while dct < 64:
+                    if row[dct] != 0:
+                        toks.append(int(row[dct]))
+                        dct += 1
+                        continue
+                    run = 1
+                    while dct + run < 64 and row[dct + run] == 0:
+                        run += 1
+                    if dct + run >= 64:
+                        toks.append(0xFF00)                  # EOB
+                        break
+                    toks.append(0xFF00 | run)
+                    dct += run
+                out.append(np.asarray(toks, np.uint16))
+            return (np.concatenate(out) if out
+                    else np.empty(0, np.uint16))
+
+        rng = np.random.default_rng(5)
+        for _ in range(40):
+            nb = int(rng.integers(1, 30))
+            flat = rng.integers(0, 6, (nb, 64)).astype(np.uint16)
+            flat[flat < 4] = 0                       # zero-heavy, real runs
+            flat *= rng.integers(1, 20000, (nb, 64)).astype(np.uint16)
+            got = _dwa_rle_ac_batch(flat)
+            np.testing.assert_array_equal(got, scalar(flat))
+        # edges: all-zero row (EOB only), dense row, single trailing run
+        edge = np.zeros((3, 64), np.uint16)
+        edge[1, :] = 7
+        edge[2, 1] = 5
+        np.testing.assert_array_equal(_dwa_rle_ac_batch(edge), scalar(edge))
+
 
 class TestExrWriteEncoders:
     """Write-side PXR24/B44/B44A/DWAA/DWAB encoders (VERDICT r3 item 9:
@@ -1246,6 +1291,24 @@ class TestExrWriteEncoders:
             rimage.write_exr(p, img, half=True, compression=comp)
             out = rimage.read_exr(p)
             np.testing.assert_allclose(out, img, rtol=3e-2, atol=3e-3)
+
+    def test_dwa_high_contrast_full_blocks(self, tmp_path):
+        """Hard edges drive nonzero AC up to zigzag slot 63 (a FULL block).
+        The decoder ends such a block at slot 64 without consuming a token,
+        so the encoder must not append EOB after it — a stray EOB desyncs
+        every later block (shipped-encoder bug caught on a real cbox render:
+        emitter pixels came back ~0 with maxerr 18.6)."""
+        from rustlight_tpu.utils import image as rimage
+        img = np.full((16, 16, 3), 0.2, np.float32)
+        img[4:8, 4:12] = np.array([18.4, 15.6, 8.0], np.float32)  # light quad
+        for comp in ("dwaa", "dwab"):
+            p = tmp_path / f"hc_{comp}.exr"
+            rimage.write_exr(p, img, half=True, compression=comp)
+            out = rimage.read_exr(p)
+            err = np.abs(out - img) / (np.abs(img) + 0.1)
+            assert float(err.max()) < 0.05, (
+                f"{comp}: relative error {float(err.max()):.3f} — "
+                "AC stream desynced on full blocks?")
 
     def test_dwa_grayscale_and_multichunk(self, tmp_path):
         """Single 'Y' channel is LOSSY_DCT without a CSC set; 70 rows under

@@ -84,6 +84,7 @@ try:
 finally:
     pw.K, pw.MAX_VMEM_CLUSTERS = K0, MV0
 
-Path("regress").mkdir(exist_ok=True)
-Path("regress/k_sweep_bench.json").write_text(json.dumps(rows, indent=2))
+out_dir = Path(__file__).parent / "regress"
+out_dir.mkdir(exist_ok=True)
+(out_dir / "k_sweep_bench.json").write_text(json.dumps(rows, indent=2))
 print(json.dumps(rows))

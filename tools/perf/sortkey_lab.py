@@ -210,7 +210,11 @@ def main():
         sweep = {}
         for r in (32, 64, 128, 256):
             mu, mx = tile_union(hits, order, ray_tile=r)
-            sweep[r] = {"union_mean": round(mu, 2)}
+            # work_per_ray: the per-ray share of the per-tile overhead
+            # (union/R) — the quantity the RAY_TILE decision rule weighs
+            # against the union itself (committed-artifact schema)
+            sweep[r] = {"union_mean": round(mu, 2),
+                        "work_per_ray": round(mu / r, 3)}
             print(f"[{tag}] R={r:3d} union {mu:7.2f} "
                   f"(test-work/ray ratio vs R=64: "
                   f"{mu / sweep.get(64, sweep[r])['union_mean']:.2f})"

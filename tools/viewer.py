@@ -67,8 +67,13 @@ def scene_to_web_json(scene, integrator=None, seed=0):
     """
     if scene.volume is not None:
         raise WebExportError("client tracer: no participating media")
-    if getattr(scene, "envmap", None) is not None:
+    if scene.env_constant is not None or scene.env_image is not None:
         raise WebExportError("client tracer: no environment light")
+    if scene.point_lights or scene.directional_lights \
+            or scene.point_normal_lights:
+        raise WebExportError(
+            "client tracer: triangle area lights only "
+            "(scene has point/directional/point-normal emitters)")
     mats = scene.materials or []
     v0, e1, e2, kd, le = [], [], [], [], []
     em_tri, em_weight = [], []
