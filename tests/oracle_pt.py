@@ -15,10 +15,14 @@ discipline the repo uses for the PIZ codec: two codebases written from the
 same spec cross-validating each other statistically, standing in for the
 un-buildable Rust reference (no rustc/cargo/egress in this image).
 
-Scope: diffuse materials, triangle area lights, optional homogeneous
-isotropic medium. Enough to cross-check the estimators that carry the
-regression suite (path with NEE+MIS at any max_depth, direct lighting as
-max_depth=2, volumetric path tracing). Raises loudly on anything else.
+Scope: diffuse and phong materials (the Modified-Phong lobe mix of
+/root/reference/src/bsdfs/phong.rs:13-136 — cosine-diffuse + exponent
+lobe around the mirror direction, lobe selection by weight_specular,
+full MIS-compatible mixture pdf), triangle area lights, optional
+homogeneous isotropic medium. Enough to cross-check the estimators that
+carry the regression suite (path with NEE+MIS at any max_depth, direct
+lighting as max_depth=2, volumetric path tracing, and the veach_mis
+glossy-MIS configuration). Raises loudly on anything else.
 """
 from __future__ import annotations
 
@@ -44,13 +48,14 @@ class OracleScene:
             raise NotImplementedError(
                 "oracle: triangle area lights only")
         v0, e1, e2, kd, le, two_sided = [], [], [], [], [], []
+        kind, ks, expo, wspec = [], [], [], []
         em_tri, em_weight = [], []
         mats = scene.materials or []
         for mesh in scene.meshes:
             mat = mats[mesh.material]
-            if int(mat.kind) != 0:   # KIND_DIFFUSE
+            if int(mat.kind) not in (0, 1):   # KIND_DIFFUSE, KIND_PHONG
                 raise NotImplementedError(
-                    "oracle supports diffuse materials only")
+                    "oracle supports diffuse and phong materials only")
             if int(getattr(mat, "tex_kind", 0)) != 0:
                 raise NotImplementedError("oracle: constant albedo only")
             if mesh.emission_kind != 0:
@@ -65,8 +70,12 @@ class OracleScene:
                 e1.append(verts[i1] - verts[i0])
                 e2.append(verts[i2] - verts[i0])
                 kd.append(np.asarray(mat.kd, np.float64))
+                kind.append(int(mat.kind))
+                ks.append(np.asarray(mat.ks, np.float64))
+                expo.append(float(mat.exponent))
+                wspec.append(float(mat.weight_specular))
                 le.append(np.asarray(mesh.emission, np.float64))
-                two_sided.append(True)   # diffuse is two-sided
+                two_sided.append(True)   # diffuse and phong are two-sided
                 if mesh.is_light:
                     em_tri.append(t)
                     # selection weight: channel-max mesh flux x in-mesh area
@@ -80,6 +89,10 @@ class OracleScene:
         self.ng = nraw / np.maximum(nl, 1e-30)
         self.area = 0.5 * nl[:, 0]
         self.kd = np.asarray(kd)
+        self.kind = np.asarray(kind, np.int64)
+        self.ks = np.asarray(ks)
+        self.expo = np.asarray(expo)
+        self.wspec = np.asarray(wspec)
         self.le = np.asarray(le)
         self.is_light = np.linalg.norm(self.le, axis=-1) > 0.0
         self.em_tri = np.asarray(em_tri, np.int64)
@@ -171,21 +184,87 @@ class OracleScene:
         return self.pdf_area[tri] * dist2 / cos_l
 
     @staticmethod
-    def _cosine_hemisphere(n, rng):
-        """Cosine-weighted direction about n; returns (d_world, pdf_sa)."""
-        u1, u2 = rng.random(), rng.random()
-        r = math.sqrt(u1)
-        phi = 2.0 * math.pi * u2
-        x, y = r * math.cos(phi), r * math.sin(phi)
-        z = math.sqrt(max(1.0 - u1, 0.0))
-        # build an ONB about n (Gram-Schmidt off the smallest component)
+    def _onb(n):
+        """ONB about n (Gram-Schmidt off the smallest component)."""
         a = np.zeros(3)
         a[int(np.argmin(np.abs(n)))] = 1.0
         t = np.cross(n, a)
         t /= np.linalg.norm(t)
-        b = np.cross(n, t)
-        d = x * t + y * b + z * n
-        return d, z / math.pi
+        return t, np.cross(n, t)
+
+    @staticmethod
+    def _cosine_hemisphere_uv(n, u1, u2):
+        """Cosine-weighted direction about n from explicit uniforms."""
+        r = math.sqrt(u1)
+        phi = 2.0 * math.pi * u2
+        x, y = r * math.cos(phi), r * math.sin(phi)
+        z = math.sqrt(max(1.0 - u1, 0.0))
+        t, b = OracleScene._onb(n)
+        return x * t + y * b + z * n, z / math.pi
+
+    @staticmethod
+    def _cosine_hemisphere(n, rng):
+        """Cosine-weighted direction about n; returns (d_world, pdf_sa)."""
+        return OracleScene._cosine_hemisphere_uv(n, rng.random(),
+                                                 rng.random())
+
+    # ------------------------------------------------------------- BSDFs
+    def _bsdf_eval_pdf(self, tri, n, d_in_ray, d_out):
+        """(f including the outgoing cosine, mixture sampling pdf) for
+        world directions at a surface vertex; d_in_ray is the incoming RAY
+        direction (pointing at the surface), n the (flipped) shading-side
+        normal. Diffuse: kd cos/pi. Phong (phong.rs:66-121): diffuse term
+        kd cos/pi + specular lobe ks alpha^e (e+2)/2pi about the mirror
+        direction, pdf = ws alpha^e (e+1)/2pi + (1-ws) cos/pi."""
+        cos_o = float(n @ d_out)
+        if cos_o <= 0.0:
+            return np.zeros(3), 0.0
+        if self.kind[tri] == 0:
+            return self.kd[tri] / math.pi * cos_o, cos_o / math.pi
+        wi = -np.asarray(d_in_ray)           # toward viewer; wi.z>0 by flip
+        refl = 2.0 * float(n @ wi) * n - wi  # mirror of wi about n
+        alpha = float(refl @ d_out)
+        e, ws = self.expo[tri], self.wspec[tri]
+        spec = np.zeros(3)
+        pdf_s = 0.0
+        if alpha > 0.0:
+            ae = alpha ** e
+            spec = self.ks[tri] * (ae * (e + 2.0) / (2.0 * math.pi))
+            pdf_s = ws * ae * (e + 1.0) / (2.0 * math.pi)
+        f = spec + self.kd[tri] * cos_o / math.pi
+        return f, pdf_s + (1.0 - ws) * cos_o / math.pi
+
+    def _bsdf_sample(self, tri, n, d_in_ray, rng):
+        """One BSDF direction sample: (d_world, pdf_sa, weight=f/pdf) or
+        None (killed lane). Phong lobe selection by weight_specular with
+        remainder reuse (phong.rs:14-63); specular samples falling under
+        the surface kill the path like the reference's None return."""
+        if self.kind[tri] == 0:
+            d_new, pdf = self._cosine_hemisphere(n, rng)
+            if pdf <= 0.0:
+                return None
+            return d_new, pdf, self.kd[tri].copy()
+        e, ws = self.expo[tri], self.wspec[tri]
+        u, v = rng.random(), rng.random()
+        if u < ws:
+            u = u / ws
+            wi = -np.asarray(d_in_ray)
+            refl = 2.0 * float(n @ wi) * n - wi
+            cos_a = v ** (1.0 / (e + 1.0))
+            sin_a = math.sqrt(max(1.0 - cos_a * cos_a, 0.0))
+            phi = 2.0 * math.pi * u
+            t, b = self._onb(refl)
+            d_new = (sin_a * math.cos(phi)) * t \
+                + (sin_a * math.sin(phi)) * b + cos_a * refl
+            if float(n @ d_new) <= 0.0:
+                return None
+        else:
+            u = (u - ws) / (1.0 - ws)
+            d_new, _ = self._cosine_hemisphere_uv(n, u, v)
+        f, pdf = self._bsdf_eval_pdf(tri, n, d_in_ray, d_new)
+        if pdf <= 0.0:
+            return None
+        return d_new, pdf, f / pdf
 
     @staticmethod
     def _uniform_sphere(rng):
@@ -265,9 +344,7 @@ class OracleScene:
                     pdf_other = f_const
                     p_shadow = p_v
                 else:
-                    cos_o = float(n @ d_l)
-                    f = self.kd[tri] / math.pi * max(cos_o, 0.0)
-                    pdf_other = max(cos_o, 0.0) / math.pi
+                    f, pdf_other = self._bsdf_eval_pdf(tri, n, d, d_l)
                     p_shadow = self._offset(p_hit, self.ng[tri], d_l)
                 if float(np.max(f)) > 0.0 and not self.occluded(p_shadow,
                                                                 p_l):
@@ -284,10 +361,10 @@ class OracleScene:
             pdf_dir = f_const
             o_new = p_v
         else:
-            d_new, pdf_dir = self._cosine_hemisphere(n, rng)
-            if pdf_dir <= 0.0:
+            res = self._bsdf_sample(tri, n, d, rng)
+            if res is None:
                 return L
-            weight = self.kd[tri]        # f*cos/pdf = kd for cosine IS
+            d_new, pdf_dir, weight = res
             o_new = self._offset(p_hit, self.ng[tri], d_new)
         if float(np.max(weight)) <= 0.0:
             return L

@@ -35,7 +35,8 @@ def _agree(config_name, host, max_depth, spp_wave, spp_oracle,
     img_w = np.asarray(film.buffers["primal"], np.float64)
     var_w = np.asarray(film.buffers["variance"], np.float64) / spp_wave
 
-    img_o, var_o = oracle.render(SIZE, SIZE, spp_oracle, seed=seed + 1,
+    img_o, var_o = oracle.render(host.camera.width, host.camera.height,
+                                 spp_oracle, seed=seed + 1,
                                  max_depth=max_depth)
 
     assert np.isfinite(img_w).all() and np.isfinite(img_o).all()
@@ -79,3 +80,25 @@ def test_oracle_homogeneous_medium():
                       sigma_a=(0.0004, 0.0004, 0.0004), g=0.0)
     _agree("medium(md=4)", host, max_depth=4, spp_wave=384, spp_oracle=80,
            volume=vol)
+
+
+def test_oracle_phong_cbox():
+    """Glossy transport: cbox with Modified-Phong blocks — exercises the
+    oracle's independent phong eval/pdf/sample (lobe mix, mirror-lobe
+    normalization, mixture-pdf MIS against NEE)."""
+    from rustlight_tpu.bsdfs import phong
+    host = cornell_box(SIZE, SIZE, mat_overrides={
+        "blocks": phong(kd=(0.2,) * 3, ks=(0.5,) * 3, exponent=50.0,
+                        weight_specular=0.5)})
+    _agree("cbox-phong(md=4)", host, max_depth=4, spp_wave=384,
+           spp_oracle=80)
+
+
+def test_oracle_veach_mis_direct():
+    """The veach_mis MIS stress scene at max_depth=2 (emission + direct):
+    four glossy plates (exponent 40..5000) x four light sizes — the
+    configuration where a MIS-weight defect would separate the wavefront
+    renderer from the oracle far outside the combined noise."""
+    from rustlight_tpu.models.veach import veach_mis
+    _agree("veach(md=2)", veach_mis(16, 12), max_depth=2, spp_wave=512,
+           spp_oracle=96)
