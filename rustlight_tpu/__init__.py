@@ -25,14 +25,38 @@ __version__ = "0.1.0"
 # to seconds. Opt out with RUSTLIGHT_TPU_NO_COMPILE_CACHE=1.
 import os as _os
 
+def _host_fingerprint() -> str:
+    """Short hash of the host's CPU feature flags. XLA:CPU caches AOT
+    MACHINE CODE compiled for the build host's exact feature set; loading
+    it on a host with different features (heterogeneous fleet) warns
+    'could lead to execution errors such as SIGILL' and can do exactly
+    that. Keying the cache dir by the feature flags makes a different
+    machine start a fresh cache instead of loading foreign code."""
+    import hashlib
+    import platform
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+            else:
+                feats = platform.processor()
+    except OSError:  # pragma: no cover - non-Linux
+        feats = platform.processor()
+    return hashlib.sha256(feats.encode()).hexdigest()[:10]
+
+
 if not _os.environ.get("RUSTLIGHT_TPU_NO_COMPILE_CACHE"):
     try:
         import jax as _jax
-        # separate cache per backend: AOT CPU executables are machine-specific
+        # separate cache per backend AND host machine type: AOT CPU
+        # executables are machine-specific (see _host_fingerprint)
         _plat = _os.environ.get("JAX_PLATFORMS", "dev") or "dev"
         _cache_dir = _os.environ.get(
             "RUSTLIGHT_TPU_COMPILE_CACHE",
-            _os.path.expanduser(f"~/.jax_cache_{_plat.split(',')[0]}"))
+            _os.path.expanduser(
+                f"~/.jax_cache_{_plat.split(',')[0]}_{_host_fingerprint()}"))
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
         _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

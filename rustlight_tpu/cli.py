@@ -352,10 +352,13 @@ def _enable_compile_cache():
         return
     try:
         import jax
+        from rustlight_tpu import _host_fingerprint
+        # keyed by host machine type: XLA:CPU AOT executables from another
+        # fleet machine can SIGILL (see rustlight_tpu.__init__)
         path = os.environ.get(
             "JAX_COMPILATION_CACHE_DIR",
             os.path.join(os.path.expanduser("~"), ".cache", "rustlight_tpu",
-                         "jax"))
+                         f"jax_{_host_fingerprint()}"))
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -15,11 +15,13 @@ discipline the repo uses for the PIZ codec: two codebases written from the
 same spec cross-validating each other statistically, standing in for the
 un-buildable Rust reference (no rustc/cargo/egress in this image).
 
-Scope: diffuse and phong materials (the Modified-Phong lobe mix of
-/root/reference/src/bsdfs/phong.rs:13-136 — cosine-diffuse + exponent
-lobe around the mirror direction, lobe selection by weight_specular,
-full MIS-compatible mixture pdf), triangle area lights, optional
-homogeneous isotropic medium. Enough to cross-check the estimators that
+Scope: diffuse, phong and glass materials (phong: the Modified-Phong
+lobe mix of /root/reference/src/bsdfs/phong.rs:13-136 — cosine-diffuse +
+exponent lobe around the mirror direction, lobe selection by
+weight_specular, full MIS-compatible mixture pdf; glass: the smooth
+dielectric delta interface of glass.rs:75-124 with Mitsuba-convention
+Fresnel, NEE skipped at delta vertices and radiance-transport eta^2
+scaling), triangle area lights, optional homogeneous isotropic medium. Enough to cross-check the estimators that
 carry the regression suite (path with NEE+MIS at any max_depth, direct
 lighting as max_depth=2, volumetric path tracing, and the veach_mis
 glossy-MIS configuration). Raises loudly on anything else.
@@ -48,14 +50,14 @@ class OracleScene:
             raise NotImplementedError(
                 "oracle: triangle area lights only")
         v0, e1, e2, kd, le, two_sided = [], [], [], [], [], []
-        kind, ks, expo, wspec = [], [], [], []
+        kind, ks, kt, eta, expo, wspec = [], [], [], [], [], []
         em_tri, em_weight = [], []
         mats = scene.materials or []
         for mesh in scene.meshes:
             mat = mats[mesh.material]
-            if int(mat.kind) not in (0, 1):   # KIND_DIFFUSE, KIND_PHONG
+            if int(mat.kind) not in (0, 1, 2):   # DIFFUSE, PHONG, GLASS
                 raise NotImplementedError(
-                    "oracle supports diffuse and phong materials only")
+                    "oracle supports diffuse/phong/glass materials only")
             if int(getattr(mat, "tex_kind", 0)) != 0:
                 raise NotImplementedError("oracle: constant albedo only")
             if mesh.emission_kind != 0:
@@ -72,6 +74,8 @@ class OracleScene:
                 kd.append(np.asarray(mat.kd, np.float64))
                 kind.append(int(mat.kind))
                 ks.append(np.asarray(mat.ks, np.float64))
+                kt.append(np.asarray(mat.kt, np.float64))
+                eta.append(float(mat.eta))
                 expo.append(float(mat.exponent))
                 wspec.append(float(mat.weight_specular))
                 le.append(np.asarray(mesh.emission, np.float64))
@@ -91,6 +95,8 @@ class OracleScene:
         self.kd = np.asarray(kd)
         self.kind = np.asarray(kind, np.int64)
         self.ks = np.asarray(ks)
+        self.kt = np.asarray(kt)
+        self.eta_m = np.asarray(eta)
         self.expo = np.asarray(expo)
         self.wspec = np.asarray(wspec)
         self.le = np.asarray(le)
@@ -234,6 +240,48 @@ class OracleScene:
         f = spec + self.kd[tri] * cos_o / math.pi
         return f, pdf_s + (1.0 - ws) * cos_o / math.pi
 
+    @staticmethod
+    def _fresnel_dielectric(cos_i, eta):
+        """(unpolarized reflectance, signed cos_theta_t) — the Mitsuba-
+        convention dielectric Fresnel of bsdfs/utils.rs:99-130: cos_i is
+        SIGNED (positive = outside), cos_theta_t's sign encodes which way
+        the transmitted ray crosses; (1, 0) flags total internal
+        reflection."""
+        if eta == 1.0:
+            return 0.0, -cos_i
+        scale = (1.0 / eta) if cos_i > 0.0 else eta
+        cos_t_sqr = 1.0 - (1.0 - cos_i * cos_i) * (scale * scale)
+        if cos_t_sqr <= 0.0:
+            return 1.0, 0.0
+        ci = abs(cos_i)
+        ct = math.sqrt(cos_t_sqr)
+        rs = (ci - eta * ct) / (ci + eta * ct)
+        rp = (eta * ci - ct) / (eta * ci + ct)
+        ct = -ct if cos_i > 0.0 else ct
+        return 0.5 * (rs * rs + rp * rp), ct
+
+    def _glass_sample(self, tri, ng, d_in_ray, rng):
+        """Smooth-dielectric delta interface (glass.rs:75-124): Fresnel-
+        selected reflect/refract in the UNFLIPPED geometric frame (wi.z<0
+        = hitting from inside), transmission weight scaled by the radiance
+        solid-angle-compression factor^2. Returns (d_world, weight)."""
+        t, b = self._onb(ng)
+        wi = np.array([-float(d_in_ray @ t), -float(d_in_ray @ b),
+                       -float(d_in_ray @ ng)])
+        eta = self.eta_m[tri]
+        inv_eta = 1.0 / eta
+        fresnel, cos_t = self._fresnel_dielectric(wi[2], eta)
+        if rng.random() <= fresnel:
+            wo = np.array([-wi[0], -wi[1], wi[2]])
+            weight = self.ks[tri].copy()
+        else:
+            scale = -inv_eta if cos_t < 0.0 else -eta
+            wo = np.array([scale * wi[0], scale * wi[1], cos_t])
+            factor = inv_eta if cos_t < 0.0 else eta
+            weight = self.kt[tri] * (factor * factor)
+        d_world = wo[0] * t + wo[1] * b + wo[2] * ng
+        return d_world, weight
+
     def _bsdf_sample(self, tri, n, d_in_ray, rng):
         """One BSDF direction sample: (d_world, pdf_sa, weight=f/pdf) or
         None (killed lane). Phong lobe selection by weight_specular with
@@ -326,16 +374,22 @@ class OracleScene:
         if not can_expand:
             return L
 
+        is_delta = (not scattered) and self.kind[tri] == 2   # glass
         if scattered:
             f_const = 1.0 / (4.0 * math.pi)   # isotropic phase (value==pdf)
         else:
             n = self.ng[tri].copy()
-            # two-sided: flip toward the incoming side (non-lights only)
-            if not self.is_light[tri] and float(n @ d) > 0.0:
+            # two-sided: flip toward the incoming side (non-lights only;
+            # glass keeps the unflipped geometric frame — wi.z's sign
+            # encodes inside/outside)
+            if not is_delta and not self.is_light[tri] \
+                    and float(n @ d) > 0.0:
                 n = -n
 
-        # ---- NEE (light strategy), path of k+2 edges
-        if nee and (k + 1) >= min_depth:
+        # ---- NEE (light strategy), path of k+2 edges; a delta interface
+        # has zero value on any sampled direction, so NEE is skipped there
+        # (LightSamplingStrategy evaluates f=0 for BSDFType::DELTA)
+        if nee and (k + 1) >= min_depth and not is_delta:
             ls = self._sample_light(p_v, rng)
             if ls is not None:
                 d_l, dist_l, w_l, pdf_l, p_l = ls
@@ -360,6 +414,10 @@ class OracleScene:
             weight = np.ones(3)          # perfect IS: value/pdf = 1
             pdf_dir = f_const
             o_new = p_v
+        elif is_delta:
+            d_new, weight = self._glass_sample(tri, self.ng[tri], d, rng)
+            pdf_dir = 1.0                # discrete pdf; MIS never uses it
+            o_new = self._offset(p_hit, self.ng[tri], d_new)
         else:
             res = self._bsdf_sample(tri, n, d, rng)
             if res is None:
@@ -370,7 +428,7 @@ class OracleScene:
             return L
 
         L_next = self.radiance(o_new, d_new, rng, k=k + 1, prev_pdf=pdf_dir,
-                               prev_delta=False, prev_nee=nee,
+                               prev_delta=is_delta, prev_nee=nee,
                                min_depth=min_depth, max_depth=max_depth,
                                mis=mis, nee=nee)
         return L + thr_med * weight * L_next

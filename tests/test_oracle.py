@@ -102,3 +102,14 @@ def test_oracle_veach_mis_direct():
     from rustlight_tpu.models.veach import veach_mis
     _agree("veach(md=2)", veach_mis(16, 12), max_depth=2, spp_wave=512,
            spp_oracle=96)
+
+
+def test_oracle_glass_cbox():
+    """Specular transport: cbox with smooth-dielectric (glass) blocks —
+    delta chains through Fresnel-selected reflect/refract with the
+    radiance-transport eta^2 scaling, NEE suppressed at delta vertices,
+    emission picked up with weight 1 after a delta bounce."""
+    from rustlight_tpu.bsdfs import glass
+    host = cornell_box(SIZE, SIZE, mat_overrides={"blocks": glass()})
+    _agree("cbox-glass(md=6)", host, max_depth=6, spp_wave=512,
+           spp_oracle=96)
