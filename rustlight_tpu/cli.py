@@ -39,7 +39,8 @@ def _add_recons(p):
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="rustlight_tpu",
                                  description=__doc__.splitlines()[0])
-    ap.add_argument("scene", help="scene file (.pbrt/.xml/.obj) or builtin 'cbox'")
+    ap.add_argument("scene", help="scene file (.pbrt/.xml/.obj) or a "
+                    "builtin: cbox, veach_mis, door_box")
     ap.add_argument("-n", "--nbsamples", type=int, default=1)
     ap.add_argument("-a", "--average", default=None,
                     help="averaging passes or time budget ('inf' / '10s')")
@@ -180,6 +181,12 @@ def load_scene_arg(args):
 
     if args.scene == "cbox":
         scene = cornell_box()
+    elif args.scene == "veach_mis":
+        from .models.veach import veach_mis
+        scene = veach_mis()
+    elif args.scene == "door_box":
+        from .models import door_box
+        scene = door_box()
     else:
         scene = load_scene(args.scene)
     # image scale -s (reference Camera::scale_image): the sample-space mapping

@@ -70,6 +70,13 @@ class MirrorScene:
         self.e1 = np.asarray(desc["e1"], np.float64)
         self.e2 = np.asarray(desc["e2"], np.float64)
         self.kd = np.asarray(desc["kd"], np.float64)
+        n_tri = len(self.v0)
+        self.kind = list(desc.get("kind") or [0] * n_tri)
+        self.ks = desc.get("ks")
+        self.kt = desc.get("kt")
+        self.eta = desc.get("eta")
+        self.expo = desc.get("exponent")
+        self.wspec = desc.get("weight_specular")
         self.le = np.asarray(desc["le"], np.float64)
         c = np.cross(self.e1, self.e2)
         ln = np.linalg.norm(c, axis=-1)
@@ -169,19 +176,105 @@ class MirrorScene:
         return float(self.pdf_area[tri]
                      * np.sum((p_hit - p_ref) ** 2) / cos_l)
 
-    def cosine_hemisphere(self, n, rng):
-        u1, u2 = rng(), rng()
-        r = math.sqrt(u1)
-        phi = 2.0 * math.pi * u2
-        x, y = r * math.cos(phi), r * math.sin(phi)
-        z = math.sqrt(max(1.0 - u1, 0.0))
+    def onb(self, n):
         a = np.zeros(3)
         ax, ay, az = abs(n[0]), abs(n[1]), abs(n[2])
         a[(0 if ax <= az else 2) if ax <= ay else (1 if ay <= az else 2)] = 1.0
         t = np.cross(n, a)
         t = t / np.linalg.norm(t)
-        b = np.cross(n, t)
+        return t, np.cross(n, t)
+
+    def cosine_hemisphere_uv(self, n, u1, u2):
+        r = math.sqrt(u1)
+        phi = 2.0 * math.pi * u2
+        x, y = r * math.cos(phi), r * math.sin(phi)
+        z = math.sqrt(max(1.0 - u1, 0.0))
+        t, b = self.onb(n)
         return x * t + y * b + z * n, z / math.pi
+
+    def cosine_hemisphere(self, n, rng):
+        return self.cosine_hemisphere_uv(n, rng(), rng())
+
+    def bsdf_eval_pdf(self, tri, n, d_in_ray, d_out):
+        cos_o = float(n @ d_out)
+        if cos_o <= 0.0:
+            return np.zeros(3), 0.0
+        kd = self.kd[tri]
+        if self.kind[tri] == 0:
+            return kd / math.pi * cos_o, cos_o / math.pi
+        wi = -np.asarray(d_in_ray)
+        refl = 2.0 * float(n @ wi) * n - wi
+        alpha = float(refl @ d_out)
+        e, ws = self.expo[tri], self.wspec[tri]
+        spec_scale = 0.0
+        pdf_s = 0.0
+        if alpha > 0.0:
+            ae = alpha ** e
+            spec_scale = ae * (e + 2.0) / (2.0 * math.pi)
+            pdf_s = ws * ae * (e + 1.0) / (2.0 * math.pi)
+        f = np.asarray(self.ks[tri]) * spec_scale + kd * cos_o / math.pi
+        return f, pdf_s + (1.0 - ws) * cos_o / math.pi
+
+    def bsdf_sample(self, tri, n, d_in_ray, rng):
+        if self.kind[tri] == 0:
+            d_new, pdf = self.cosine_hemisphere(n, rng)
+            if pdf <= 0.0:
+                return None
+            return d_new, pdf, self.kd[tri].copy()
+        e, ws = self.expo[tri], self.wspec[tri]
+        u, v = rng(), rng()
+        if u < ws:
+            u = u / ws
+            wi = -np.asarray(d_in_ray)
+            refl = 2.0 * float(n @ wi) * n - wi
+            cos_a = v ** (1.0 / (e + 1.0))
+            sin_a = math.sqrt(max(1.0 - cos_a * cos_a, 0.0))
+            phi = 2.0 * math.pi * u
+            t, b = self.onb(refl)
+            d_new = (sin_a * math.cos(phi)) * t \
+                + (sin_a * math.sin(phi)) * b + cos_a * refl
+            if float(n @ d_new) <= 0.0:
+                return None
+        else:
+            u = (u - ws) / (1.0 - ws)
+            d_new, _ = self.cosine_hemisphere_uv(n, u, v)
+        f, pdf = self.bsdf_eval_pdf(tri, n, d_in_ray, d_new)
+        if pdf <= 0.0:
+            return None
+        return d_new, pdf, f / pdf
+
+    @staticmethod
+    def fresnel_dielectric(cos_i, eta):
+        if eta == 1.0:
+            return 0.0, -cos_i
+        scale = (1.0 / eta) if cos_i > 0.0 else eta
+        cos_t2 = 1.0 - (1.0 - cos_i * cos_i) * (scale * scale)
+        if cos_t2 <= 0.0:
+            return 1.0, 0.0
+        ci = abs(cos_i)
+        ct = math.sqrt(cos_t2)
+        rs = (ci - eta * ct) / (ci + eta * ct)
+        rp = (eta * ci - ct) / (eta * ci + ct)
+        if cos_i > 0.0:
+            ct = -ct
+        return 0.5 * (rs * rs + rp * rp), ct
+
+    def glass_sample(self, tri, ng, d_in_ray, rng):
+        t, b = self.onb(ng)
+        wi = np.array([-float(d_in_ray @ t), -float(d_in_ray @ b),
+                       -float(d_in_ray @ ng)])
+        eta = self.eta[tri]
+        inv_eta = 1.0 / eta
+        fresnel, cos_t = self.fresnel_dielectric(wi[2], eta)
+        if rng() <= fresnel:
+            wo = np.array([-wi[0], -wi[1], wi[2]])
+            weight = np.asarray(self.ks[tri], np.float64).copy()
+        else:
+            scale = -inv_eta if cos_t < 0.0 else -eta
+            wo = np.array([scale * wi[0], scale * wi[1], cos_t])
+            factor = inv_eta if cos_t < 0.0 else eta
+            weight = np.asarray(self.kt[tri]) * (factor * factor)
+        return wo[0] * t + wo[1] * b + wo[2] * ng, weight
 
     # ---------------------------------------------------------- transport
     def radiance(self, o, d, rng, k, prev_pdf, prev_delta):
@@ -200,30 +293,37 @@ class MirrorScene:
         if not can_expand:
             return L
 
+        # glass keeps the UNFLIPPED geometric frame
+        is_delta = self.kind[tri] == 2
         n = ng
-        if not self.is_light[tri] and float(n @ d) > 0.0:
+        if not is_delta and not self.is_light[tri] and float(n @ d) > 0.0:
             n = -n
-        kd = self.kd[tri]
 
-        if k + 1 >= self.min_depth:
+        if k + 1 >= self.min_depth and not is_delta:
             ls = self.sample_light(p_hit, rng)
             if ls is not None:
-                cos_o = float(n @ ls["d"])
-                if cos_o > 0.0:
-                    f = kd / math.pi * cos_o
+                f, pdf_other = self.bsdf_eval_pdf(tri, n, d, ls["d"])
+                if float(np.max(f)) > 0.0:
                     p_shadow = self.offset(p_hit, ng, ls["d"])
                     if not self.occluded(p_shadow, ls["p_l"]):
-                        w = _balance(ls["pdf_sa"], cos_o / math.pi)
+                        w = _balance(ls["pdf_sa"], pdf_other)
                         L = L + f * ls["weight"] * w
 
-        d_new, pdf_dir = self.cosine_hemisphere(n, rng)
-        if pdf_dir <= 0.0:
-            return L
-        if float(np.max(kd)) <= 0.0:
+        prev_delta = False
+        if is_delta:
+            d_new, weight = self.glass_sample(tri, ng, d, rng)
+            pdf_dir = 1.0
+            prev_delta = True
+        else:
+            res = self.bsdf_sample(tri, n, d, rng)
+            if res is None:
+                return L
+            d_new, pdf_dir, weight = res
+        if float(np.max(weight)) <= 0.0:
             return L
         o_new = self.offset(p_hit, ng, d_new)
-        ln = self.radiance(o_new, d_new, rng, k + 1, pdf_dir, False)
-        return L + kd * ln
+        ln = self.radiance(o_new, d_new, rng, k + 1, pdf_dir, prev_delta)
+        return L + weight * ln
 
     # --------------------------------------------------------------- film
     def render_block(self, x0, y0, sx, sy, pass_):

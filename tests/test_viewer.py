@@ -132,7 +132,7 @@ def test_orbit_camera_math():
 # ---------------------------------------------------------------------------
 
 _WEB_TRACER_SHA256 = (
-    "ea1525192dff5fa5d60d6a0eb63a17d536b0d4629d1ac710e5ae7cc14393eb83")
+    "d49189414034c3c94b189e4db23ed7186903d24fd6ff9708b0abb8bf5dd5b1ea")
 
 
 def test_web_tracer_js_pinned_to_mirror():
@@ -169,7 +169,7 @@ def test_scene_export_scope_rejections():
     """Out-of-scope scenes must 501 loudly, never render the wrong image."""
     from rustlight_tpu.models.cbox import cornell_box
     from rustlight_tpu.scene.volume import make_volume
-    from rustlight_tpu.bsdfs import glass
+    from rustlight_tpu.bsdfs import metal
 
     host = cornell_box(16, 16)
     host.volume = make_volume(sigma_s=(0.01,) * 3, sigma_a=(0.001,) * 3,
@@ -177,32 +177,46 @@ def test_scene_export_scope_rejections():
     with pytest.raises(viewer.WebExportError, match="media"):
         viewer.scene_to_web_json(host)
 
-    host2 = cornell_box(16, 16, mat_overrides={"white": glass()})
-    with pytest.raises(viewer.WebExportError, match="diffuse"):
+    host2 = cornell_box(16, 16, mat_overrides={"white": metal()})
+    with pytest.raises(viewer.WebExportError, match="diffuse/phong/glass"):
         viewer.scene_to_web_json(host2)
 
 
-def test_client_tracer_matches_oracle():
+@pytest.mark.parametrize("variant,passes,md,spp_o", [
+    ("diffuse", 32, 5, 48),
+    ("phong", 24, 4, 48),
+    ("glass", 24, 6, 48),
+])
+def test_client_tracer_matches_oracle(variant, passes, md, spp_o):
     """z-test the JS transcription against the independent scalar oracle
     (same gate as test_oracle.py: global mean z + per-pixel outlier rate).
     The transcription shares only scene DATA with the oracle — transport,
     RNG, intersection and NEE are implemented three separate times across
-    the wavefront renderer, the oracle, and the client tracer."""
+    the wavefront renderer, the oracle, and the client tracer. Variants
+    cover the full client material scope: diffuse, Modified-Phong, and
+    the glass delta interface."""
     from js_mirror import MirrorScene
     from oracle_pt import OracleScene
     from rustlight_tpu.models.cbox import cornell_box
+    from rustlight_tpu.bsdfs import glass, phong
     from rustlight_tpu.integrators.path import IntegratorPathTracing
 
     size = 12
-    host = cornell_box(size, size)
+    overrides = {
+        "diffuse": None,
+        "phong": {"blocks": phong(kd=(0.2,) * 3, ks=(0.5,) * 3,
+                                  exponent=50.0, weight_specular=0.5)},
+        "glass": {"blocks": glass()},
+    }[variant]
+    host = cornell_box(size, size, mat_overrides=overrides)
     desc = viewer.scene_to_web_json(
-        host, IntegratorPathTracing(max_depth=5), seed=3)
+        host, IntegratorPathTracing(max_depth=md), seed=3)
     mirror = MirrorScene(desc)
-    mirror.run(32)
+    mirror.run(passes)
     img_m, var_m = mirror.mean_linear(), mirror.var_of_mean()
     # var of the mean: var_of_mean() already divides by n
-    img_o, var_o = OracleScene(host).render(size, size, 48, seed=11,
-                                            max_depth=5)
+    img_o, var_o = OracleScene(host).render(size, size, spp_o, seed=11,
+                                            max_depth=md)
     assert img_m.mean() > 1e-3 and img_o.mean() > 1e-3
     diff = img_m - img_o
     se2 = var_m + var_o

@@ -76,12 +76,14 @@ def scene_to_web_json(scene, integrator=None, seed=0):
             "(scene has point/directional/point-normal emitters)")
     mats = scene.materials or []
     v0, e1, e2, kd, le = [], [], [], [], []
+    kind, ks, kt, eta, expo, wspec = [], [], [], [], [], []
     em_tri, em_weight = [], []
     for mesh in scene.meshes:
         mat = mats[mesh.material]
-        if int(mat.kind) != 0 or int(getattr(mat, "tex_kind", 0)) != 0:
+        if int(mat.kind) not in (0, 1, 2) \
+                or int(getattr(mat, "tex_kind", 0)) != 0:
             raise WebExportError(
-                "client tracer: constant-albedo diffuse materials only")
+                "client tracer: constant diffuse/phong/glass materials only")
         if mesh.emission_kind != 0:
             raise WebExportError("client tracer: constant emission only")
         verts = np.asarray(mesh.vertices, np.float64)
@@ -94,6 +96,12 @@ def scene_to_web_json(scene, integrator=None, seed=0):
             e1.append(verts[i1] - verts[i0])
             e2.append(verts[i2] - verts[i0])
             kd.append(np.asarray(mat.kd, np.float64))
+            kind.append(int(mat.kind))
+            ks.append(np.asarray(mat.ks, np.float64))
+            kt.append(np.asarray(mat.kt, np.float64))
+            eta.append(float(mat.eta))
+            expo.append(float(mat.exponent))
+            wspec.append(float(mat.weight_specular))
             le.append(np.asarray(mesh.emission, np.float64))
             if mesh.is_light:
                 em_tri.append(t)
@@ -109,6 +117,9 @@ def scene_to_web_json(scene, integrator=None, seed=0):
     return {
         "v0": np.asarray(v0).tolist(), "e1": np.asarray(e1).tolist(),
         "e2": np.asarray(e2).tolist(), "kd": np.asarray(kd).tolist(),
+        "kind": kind, "ks": np.asarray(ks).tolist(),
+        "kt": np.asarray(kt).tolist(), "eta": eta, "exponent": expo,
+        "weight_specular": wspec,
         "le": np.asarray(le).tolist(), "em_tri": em_tri,
         "em_prob": (w / w.sum()).tolist(),
         "cam": {

@@ -14,9 +14,11 @@
  * tests/test_viewer.py) pins this file's sha256 and its statistical agreement
  * with the oracle, so edits here must re-run the browser capture.
  *
- * Scope mirrors the oracle: diffuse materials, triangle area lights, no
- * medium. Everything is double precision (JS numbers), deterministic via a
- * counter-based per-(pixel, pass) mulberry32 stream.
+ * Scope mirrors the oracle: diffuse, Modified-Phong (phong.rs:13-136) and
+ * smooth-dielectric glass (glass.rs:75-124, delta interface with NEE
+ * suppressed) materials, triangle area lights, no medium. Everything is
+ * double precision (JS numbers), deterministic via a counter-based
+ * per-(pixel, pass) mulberry32 stream.
  */
 'use strict';
 
@@ -51,6 +53,13 @@ class WebScene {
     this.n = T;
     this.v0 = desc.v0; this.e1 = desc.e1; this.e2 = desc.e2;
     this.kd = desc.kd; this.le = desc.le;
+    // material table: 0 = diffuse, 1 = phong, 2 = glass (delta)
+    this.kind = desc.kind || new Array(T).fill(0);
+    this.ks = desc.ks || null;
+    this.kt = desc.kt || null;
+    this.eta = desc.eta || null;
+    this.expo = desc.exponent || null;
+    this.wspec = desc.weight_specular || null;
     this.ng = new Array(T); this.area = new Array(T);
     this.isLight = new Array(T);
     for (let i = 0; i < T; i++) {
@@ -185,22 +194,129 @@ class WebScene {
     return this.pdfArea[tri] * (dx * dx + dy * dy + dz * dz) / cosL;
   }
 
-  cosineHemisphere(n, rng) {
-    const u1 = rng(); const u2 = rng();
-    const r = Math.sqrt(u1);
-    const phi = 2.0 * Math.PI * u2;
-    const x = r * Math.cos(phi); const y = r * Math.sin(phi);
-    const z = Math.sqrt(Math.max(1.0 - u1, 0.0));
+  onb(n) {
     // ONB about n: Gram-Schmidt off the smallest component
     const a = [0, 0, 0];
     const ax = Math.abs(n[0]); const ay = Math.abs(n[1]); const az = Math.abs(n[2]);
     a[ax <= ay ? (ax <= az ? 0 : 2) : (ay <= az ? 1 : 2)] = 1.0;
-    let t = cross(n, a);
-    t = norm(t);
-    const b = cross(n, t);
+    const t = norm(cross(n, a));
+    return [t, cross(n, t)];
+  }
+
+  cosineHemisphereUv(n, u1, u2) {
+    const r = Math.sqrt(u1);
+    const phi = 2.0 * Math.PI * u2;
+    const x = r * Math.cos(phi); const y = r * Math.sin(phi);
+    const z = Math.sqrt(Math.max(1.0 - u1, 0.0));
+    const [t, b] = this.onb(n);
     return [[x * t[0] + y * b[0] + z * n[0],
              x * t[1] + y * b[1] + z * n[1],
              x * t[2] + y * b[2] + z * n[2]], z / Math.PI];
+  }
+
+  cosineHemisphere(n, rng) {
+    return this.cosineHemisphereUv(n, rng(), rng());
+  }
+
+  /* (f including the outgoing cosine, mixture pdf); phong.rs:66-121. */
+  bsdfEvalPdf(tri, n, dInRay, dOut) {
+    const cosO = dot(n, dOut);
+    if (cosO <= 0) return [[0, 0, 0], 0.0];
+    const kd = this.kd[tri];
+    if (this.kind[tri] === 0) {
+      return [[kd[0] / Math.PI * cosO, kd[1] / Math.PI * cosO,
+               kd[2] / Math.PI * cosO], cosO / Math.PI];
+    }
+    const wi = [-dInRay[0], -dInRay[1], -dInRay[2]];
+    const nwi = 2.0 * dot(n, wi);
+    const refl = [nwi * n[0] - wi[0], nwi * n[1] - wi[1], nwi * n[2] - wi[2]];
+    const alpha = dot(refl, dOut);
+    const e = this.expo[tri]; const ws = this.wspec[tri];
+    const ksv = this.ks[tri];
+    let specScale = 0.0; let pdfS = 0.0;
+    if (alpha > 0) {
+      const ae = Math.pow(alpha, e);
+      specScale = ae * (e + 2.0) / (2.0 * Math.PI);
+      pdfS = ws * ae * (e + 1.0) / (2.0 * Math.PI);
+    }
+    const f = [ksv[0] * specScale + kd[0] * cosO / Math.PI,
+               ksv[1] * specScale + kd[1] * cosO / Math.PI,
+               ksv[2] * specScale + kd[2] * cosO / Math.PI];
+    return [f, pdfS + (1.0 - ws) * cosO / Math.PI];
+  }
+
+  /* [d, pdf, weight=f/pdf] or null; phong lobe selection (phong.rs:14-63). */
+  bsdfSample(tri, n, dInRay, rng) {
+    if (this.kind[tri] === 0) {
+      const [dNew, pdf] = this.cosineHemisphere(n, rng);
+      if (pdf <= 0) return null;
+      return [dNew, pdf, this.kd[tri].slice()];
+    }
+    const e = this.expo[tri]; const ws = this.wspec[tri];
+    let u = rng(); const v = rng();
+    let dNew;
+    if (u < ws) {
+      u = u / ws;
+      const wi = [-dInRay[0], -dInRay[1], -dInRay[2]];
+      const nwi = 2.0 * dot(n, wi);
+      const refl = [nwi * n[0] - wi[0], nwi * n[1] - wi[1],
+                    nwi * n[2] - wi[2]];
+      const cosA = Math.pow(v, 1.0 / (e + 1.0));
+      const sinA = Math.sqrt(Math.max(1.0 - cosA * cosA, 0.0));
+      const phi = 2.0 * Math.PI * u;
+      const [t, b] = this.onb(refl);
+      const x = sinA * Math.cos(phi); const y = sinA * Math.sin(phi);
+      dNew = [x * t[0] + y * b[0] + cosA * refl[0],
+              x * t[1] + y * b[1] + cosA * refl[1],
+              x * t[2] + y * b[2] + cosA * refl[2]];
+      if (dot(n, dNew) <= 0) return null;   // under the surface: kill lane
+    } else {
+      u = (u - ws) / (1.0 - ws);
+      [dNew] = this.cosineHemisphereUv(n, u, v);
+    }
+    const [f, pdf] = this.bsdfEvalPdf(tri, n, dInRay, dNew);
+    if (pdf <= 0) return null;
+    return [dNew, pdf, [f[0] / pdf, f[1] / pdf, f[2] / pdf]];
+  }
+
+  /* (unpolarized reflectance, signed cos_theta_t); utils.rs:99-130. */
+  fresnelDielectric(cosI, eta) {
+    if (eta === 1.0) return [0.0, -cosI];
+    const scale = cosI > 0 ? 1.0 / eta : eta;
+    const cosT2 = 1.0 - (1.0 - cosI * cosI) * (scale * scale);
+    if (cosT2 <= 0) return [1.0, 0.0];          // total internal reflection
+    const ci = Math.abs(cosI);
+    let ct = Math.sqrt(cosT2);
+    const rs = (ci - eta * ct) / (ci + eta * ct);
+    const rp = (eta * ci - ct) / (eta * ci + ct);
+    if (cosI > 0) ct = -ct;
+    return [0.5 * (rs * rs + rp * rp), ct];
+  }
+
+  /* Smooth-dielectric delta interface (glass.rs:75-124): Fresnel-selected
+   * reflect/refract in the UNFLIPPED geometric frame, radiance eta^2
+   * scaling on transmission. Returns [dWorld, weight]. */
+  glassSample(tri, ng, dInRay, rng) {
+    const [t, b] = this.onb(ng);
+    const wi = [-dot(dInRay, t), -dot(dInRay, b), -dot(dInRay, ng)];
+    const eta = this.eta[tri];
+    const invEta = 1.0 / eta;
+    const [fresnel, cosT] = this.fresnelDielectric(wi[2], eta);
+    let wo; let weight;
+    if (rng() <= fresnel) {
+      wo = [-wi[0], -wi[1], wi[2]];
+      weight = this.ks[tri].slice();
+    } else {
+      const scale = cosT < 0 ? -invEta : -eta;
+      wo = [scale * wi[0], scale * wi[1], cosT];
+      const factor = cosT < 0 ? invEta : eta;
+      const ktv = this.kt[tri];
+      weight = [ktv[0] * factor * factor, ktv[1] * factor * factor,
+                ktv[2] * factor * factor];
+    }
+    return [[wo[0] * t[0] + wo[1] * b[0] + wo[2] * ng[0],
+             wo[0] * t[1] + wo[1] * b[1] + wo[2] * ng[1],
+             wo[0] * t[2] + wo[1] * b[2] + wo[2] * ng[2]], weight];
   }
 
   /* Recursive radiance along (o, d) with k edges completed. */
@@ -220,21 +336,22 @@ class WebScene {
     const canExpand = this.maxDepth == null || k + 1 < this.maxDepth;
     if (!canExpand) return L;
 
+    // glass keeps the UNFLIPPED geometric frame (wi.z sign = inside/out)
+    const isDelta = this.kind[tri] === 2;
     let n = ng;
-    if (!this.isLight[tri] && dot(n, d) > 0) n = [-n[0], -n[1], -n[2]];
-    const kd = this.kd[tri];
+    if (!isDelta && !this.isLight[tri] && dot(n, d) > 0) {
+      n = [-n[0], -n[1], -n[2]];
+    }
 
-    // NEE, path of k+2 edges
-    if (k + 1 >= this.minDepth) {
+    // NEE, path of k+2 edges; skipped at delta interfaces (f = 0 there)
+    if (k + 1 >= this.minDepth && !isDelta) {
       const ls = this.sampleLight(pHit, rng);
       if (ls !== null) {
-        const cosO = dot(n, ls.d);
-        if (cosO > 0) {
-          const f = [kd[0] / Math.PI * cosO, kd[1] / Math.PI * cosO,
-                     kd[2] / Math.PI * cosO];
+        const [f, pdfOther] = this.bsdfEvalPdf(tri, n, d, ls.d);
+        if (Math.max(f[0], f[1], f[2]) > 0) {
           const pShadow = this.offset(pHit, ng, ls.d);
           if (!this.occluded(pShadow, ls.pL)) {
-            const w = balance(ls.pdfSa, cosO / Math.PI);
+            const w = balance(ls.pdfSa, pdfOther);
             L[0] += f[0] * ls.weight[0] * w;
             L[1] += f[1] * ls.weight[1] * w;
             L[2] += f[2] * ls.weight[2] * w;
@@ -243,13 +360,23 @@ class WebScene {
       }
     }
 
-    // BSDF bounce: cosine IS, f*cos/pdf = kd
-    const [dNew, pdfDir] = this.cosineHemisphere(n, rng);
-    if (pdfDir <= 0) return L;
-    if (Math.max(kd[0], kd[1], kd[2]) <= 0) return L;
+    // directional bounce
+    let dNew; let pdfDir; let weight; let prevDelta = false;
+    if (isDelta) {
+      [dNew, weight] = this.glassSample(tri, ng, d, rng);
+      pdfDir = 1.0;                 // discrete pdf; MIS never uses it
+      prevDelta = true;
+    } else {
+      const res = this.bsdfSample(tri, n, d, rng);
+      if (res === null) return L;
+      [dNew, pdfDir, weight] = res;
+    }
+    if (Math.max(weight[0], weight[1], weight[2]) <= 0) return L;
     const oNew = this.offset(pHit, ng, dNew);
-    const Ln = this.radiance(oNew, dNew, rng, k + 1, pdfDir, false);
-    L[0] += kd[0] * Ln[0]; L[1] += kd[1] * Ln[1]; L[2] += kd[2] * Ln[2];
+    const Ln = this.radiance(oNew, dNew, rng, k + 1, pdfDir, prevDelta);
+    L[0] += weight[0] * Ln[0];
+    L[1] += weight[1] * Ln[1];
+    L[2] += weight[2] * Ln[2];
     return L;
   }
 
