@@ -1073,6 +1073,18 @@ def read_exr(path) -> np.ndarray:
     data = Path(path).read_bytes()
     if data[:4] != b"\x76\x2f\x31\x01":
         raise ValueError("not an EXR file")
+    # version field: low byte = 2, flag bits select tiled (0x200),
+    # long-names (0x400, header layout unchanged), deep (0x800),
+    # multipart (0x1000). The chunk layout below is scanline-only; a
+    # tiled/deep/multipart file must fail loudly, not decode garbage.
+    (version,) = _struct.unpack_from("<I", data, 4)
+    if version & (0x200 | 0x800 | 0x1000):
+        kindbits = [nm for bit, nm in ((0x200, "tiled"), (0x800, "deep"),
+                                       (0x1000, "multipart"))
+                    if version & bit]
+        raise NotImplementedError(
+            f"EXR {'/'.join(kindbits)} files unsupported (scanline only); "
+            "convert with `exrmaketiled -o` / oiiotool")
     pos = 8
     channels, comp, dw = [], None, None
     while data[pos] != 0:

@@ -1360,3 +1360,31 @@ def test_resize_camera_rederives_projection():
     # the bug being guarded against: replace() keeps the 448x336 aspect
     bare = wide.replace(width=128, height=128)
     assert not np.array_equal(bare.sample_to_camera, fresh.sample_to_camera)
+
+
+class TestExrVersionFlags:
+    def test_tiled_deep_multipart_rejected_loudly(self, tmp_path):
+        """The reader is scanline-only; tiled (0x200), deep (0x800) and
+        multipart (0x1000) version flags must raise instead of misparsing
+        the chunk table as scanline blocks."""
+        import struct
+        from rustlight_tpu.utils import image as rimage
+        p = tmp_path / "ok.exr"
+        rimage.write_exr(p, np.ones((4, 4, 3), np.float32))
+        raw = bytearray(p.read_bytes())
+        for flag, word in ((0x200, "tiled"), (0x800, "deep"),
+                           (0x1000, "multipart")):
+            (v,) = struct.unpack_from("<I", raw, 4)
+            struct.pack_into("<I", raw, 4, v | flag)
+            q = tmp_path / f"f{flag}.exr"
+            q.write_bytes(bytes(raw))
+            with pytest.raises(NotImplementedError, match=word):
+                rimage.read_exr(q)
+            struct.pack_into("<I", raw, 4, v)   # restore
+        # long-names (0x400) leaves the header layout unchanged: still reads
+        (v,) = struct.unpack_from("<I", raw, 4)
+        struct.pack_into("<I", raw, 4, v | 0x400)
+        q = tmp_path / "longnames.exr"
+        q.write_bytes(bytes(raw))
+        np.testing.assert_array_equal(rimage.read_exr(q),
+                                      np.ones((4, 4, 3), np.float32))
