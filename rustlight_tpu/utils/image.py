@@ -989,11 +989,16 @@ def _dwa_do(raw: bytes, channels, w: int, ny: int) -> bytes:
 
 
 def write_exr(path, img: np.ndarray, half: bool = False,
-              compression: str = "none") -> None:
-    """Write [h, w, 3] float32 as a scanline EXR (compression:
+              compression: str = "none", tiled=None) -> None:
+    """Write [h, w, 3] float32 as an EXR (compression:
     none|rle|zips|zip|piz|pxr24|b44|b44a|dwaa|dwab — the full OpenEXR
     scanline enum 0-9; pxr24 truncates FLOAT mantissas, b44/b44a/dwa are
-    lossy by design and force HALF semantics through their codecs)."""
+    lossy by design and force HALF semantics through their codecs).
+
+    tiled=(tx, ty) writes a single-part TILED file (ONE_LEVEL, rounding
+    down): version flag 0x200, a 'tiledesc' attribute, and one chunk per
+    tile (each tile compressed whole — lines-per-block does not apply to
+    tiles)."""
     img = np.asarray(img, dtype=np.float32)
     h, w = img.shape[:2]
     if img.ndim == 2:
@@ -1011,7 +1016,8 @@ def write_exr(path, img: np.ndarray, half: bool = False,
         chlist += n.encode() + b"\0" + _struct.pack("<iiii", pix_t, 0, 1, 1)
     chlist += b"\0"
 
-    header = b"\x76\x2f\x31\x01" + _struct.pack("<i", 2)  # magic + version 2
+    version = 2 | (0x200 if tiled else 0)
+    header = b"\x76\x2f\x31\x01" + _struct.pack("<i", version)  # magic + ver
     header += _exr_attr(b"channels", b"chlist", chlist)
     header += _exr_attr(b"compression", b"compression", bytes([comp]))
     box = _struct.pack("<iiii", 0, 0, w - 1, h - 1)
@@ -1021,33 +1027,54 @@ def write_exr(path, img: np.ndarray, half: bool = False,
     header += _exr_attr(b"pixelAspectRatio", b"float", _struct.pack("<f", 1.0))
     header += _exr_attr(b"screenWindowCenter", b"v2f", _struct.pack("<ff", 0.0, 0.0))
     header += _exr_attr(b"screenWindowWidth", b"float", _struct.pack("<f", 1.0))
+    if tiled:
+        tx, ty = int(tiled[0]), int(tiled[1])
+        # mode byte 0 = ONE_LEVEL + ROUND_DOWN
+        header += _exr_attr(b"tiles", b"tiledesc",
+                            _struct.pack("<IIB", tx, ty, 0))
     header += b"\0"
 
-    # channel order in each scanline block is alphabetical
+    # channel order within each chunk is alphabetical
     order = [names.index(n) for n in sorted(names)]
-    blocks = []
-    for y0 in range(0, h, lpb):
-        ny = min(lpb, h - y0)
-        raw = b"".join(
-            img[y][:, j].astype(dtype).tobytes()
-            for y in range(y0, y0 + ny) for j in order)
-        chans = [(n, pix_t) for n in sorted(names)]
+    chans = [(n, pix_t) for n in sorted(names)]
+
+    def _encode(raw, bw, bny):
         if comp == 4:
-            z = _piz_do(raw, chans, w, ny)
+            z = _piz_do(raw, chans, bw, bny)
         elif comp == 5:
-            z = _pxr24_do(raw, chans, w, ny)
+            z = _pxr24_do(raw, chans, bw, bny)
         elif comp in (6, 7):
-            z = _b44_do(raw, chans, w, ny, b44a=(comp == 7))
+            z = _b44_do(raw, chans, bw, bny, b44a=(comp == 7))
         elif comp in (8, 9):
-            z = _dwa_do(raw, chans, w, ny)
+            z = _dwa_do(raw, chans, bw, bny)
         elif comp == 1:
             z = _rle_do(raw)
         elif comp:
             z = _zip_do(raw)
         else:
             z = raw
-        payload = z if len(z) < len(raw) else raw       # OpenEXR raw fallback
-        blocks.append(_struct.pack("<ii", y0, len(payload)) + payload)
+        return z if len(z) < len(raw) else raw          # OpenEXR raw fallback
+
+    blocks = []
+    if tiled:
+        for dy in range(0, (h + ty - 1) // ty):
+            for dx in range(0, (w + tx - 1) // tx):
+                bw = min(tx, w - dx * tx)
+                bny = min(ty, h - dy * ty)
+                raw = b"".join(
+                    img[y][dx * tx:dx * tx + bw, j].astype(dtype).tobytes()
+                    for y in range(dy * ty, dy * ty + bny) for j in order)
+                payload = _encode(raw, bw, bny)
+                blocks.append(_struct.pack("<iiiii", dx, dy, 0, 0,
+                                           len(payload)) + payload)
+    else:
+        for y0 in range(0, h, lpb):
+            ny = min(lpb, h - y0)
+            raw = b"".join(
+                img[y][:, j].astype(dtype).tobytes()
+                for y in range(y0, y0 + ny) for j in order)
+            payload = _encode(raw, w, ny)
+            blocks.append(_struct.pack("<ii", y0, len(payload)) + payload)
     table_off = len(header) + 8 * len(blocks)
     offsets, acc = [], table_off
     for b in blocks:
@@ -1075,18 +1102,18 @@ def read_exr(path) -> np.ndarray:
         raise ValueError("not an EXR file")
     # version field: low byte = 2, flag bits select tiled (0x200),
     # long-names (0x400, header layout unchanged), deep (0x800),
-    # multipart (0x1000). The chunk layout below is scanline-only; a
-    # tiled/deep/multipart file must fail loudly, not decode garbage.
+    # multipart (0x1000). Scanline and tiled single-part files are
+    # supported; deep/multipart must fail loudly, not decode garbage.
     (version,) = _struct.unpack_from("<I", data, 4)
-    if version & (0x200 | 0x800 | 0x1000):
-        kindbits = [nm for bit, nm in ((0x200, "tiled"), (0x800, "deep"),
+    if version & (0x800 | 0x1000):
+        kindbits = [nm for bit, nm in ((0x800, "deep"),
                                        (0x1000, "multipart"))
                     if version & bit]
         raise NotImplementedError(
-            f"EXR {'/'.join(kindbits)} files unsupported (scanline only); "
-            "convert with `exrmaketiled -o` / oiiotool")
+            f"EXR {'/'.join(kindbits)} files unsupported; "
+            "flatten with oiiotool first")
     pos = 8
-    channels, comp, dw = [], None, None
+    channels, comp, dw, tiles = [], None, None, None
     while data[pos] != 0:
         nul = data.index(b"\0", pos)
         name = data[pos:nul]; pos = nul + 1
@@ -1105,51 +1132,114 @@ def read_exr(path) -> np.ndarray:
             comp = val[0]
         elif name == b"dataWindow":
             dw = _struct.unpack("<iiii", val)
+        elif name == b"tiles":
+            tiles = _struct.unpack("<IIB", val[:9])
     pos += 1  # header terminator
     if comp not in _EXR_LINES_PER_BLOCK:
         raise NotImplementedError(
             f"EXR compression {comp} unsupported (read: NONE/RLE/ZIPS/ZIP/"
             f"PIZ/PXR24/B44/B44A/DWAA/DWAB)")
-    lpb = _EXR_LINES_PER_BLOCK[comp]
     x0, y0, x1, y1 = dw
     w, h = x1 - x0 + 1, y1 - y0 + 1
-    n_blocks = (h + lpb - 1) // lpb
-    offsets = _struct.unpack_from("<%dQ" % n_blocks, data, pos)
-    line_bytes = sum(w * (2 if pt == 1 else 4) for _, pt in channels)
     out = np.zeros((h, w, len(channels)), dtype=np.float32)
-    for off in offsets:
-        y, n = _struct.unpack_from("<ii", data, off)
-        ny = min(lpb, y1 - y + 1)
-        raw_len = ny * line_bytes
-        payload = data[off + 8:off + 8 + n]
-        if comp and n < raw_len:
+
+    def _decode(payload, bw, bny, raw_len):
+        """One chunk through the compression codec (shared by scanline
+        blocks and tiles — every codec is (channels, width, lines)
+        parameterized, and a tile is simply one chunk of tile dims)."""
+        if comp and len(payload) < raw_len:
             if comp == 4:
-                blk = _piz_undo(payload, channels, w, ny)
-            elif comp == 1:
-                blk = _rle_undo(payload)
-            elif comp == 5:
-                blk = _pxr24_undo(payload, channels, w, ny)
-            elif comp in (6, 7):
-                blk = _b44_undo(payload, channels, w, ny)
-            elif comp in (8, 9):
-                blk = _dwa_undo(payload, channels, w, ny)
-            else:
-                blk = _zip_undo(payload)
-        else:
-            blk = payload
+                return _piz_undo(payload, channels, bw, bny)
+            if comp == 1:
+                return _rle_undo(payload)
+            if comp == 5:
+                return _pxr24_undo(payload, channels, bw, bny)
+            if comp in (6, 7):
+                return _b44_undo(payload, channels, bw, bny)
+            if comp in (8, 9):
+                return _dwa_undo(payload, channels, bw, bny)
+            return _zip_undo(payload)
+        return payload
+
+    def _scatter(blk, bx0, by0, bw, bny):
         p = 0
-        for yy in range(y - y0, y - y0 + ny):
+        for yy in range(by0, by0 + bny):
             for ci, (cname, pt) in enumerate(channels):
                 bpp = 2 if pt == 1 else 4
                 dt = np.float16 if pt == 1 else np.float32
-                out[yy, :, ci] = np.frombuffer(
-                    blk[p:p + w * bpp],
+                out[yy, bx0:bx0 + bw, ci] = np.frombuffer(
+                    blk[p:p + bw * bpp],
                     dtype="<" + dt().dtype.str[1:]).astype(np.float32)
-                p += w * bpp
+                p += bw * bpp
+
+    if version & 0x200:                          # single-part tiled
+        if tiles is None:
+            raise ValueError("tiled EXR without a 'tiles' attribute")
+        tx, ty, mode = tiles
+        n_chunks = _exr_tile_chunk_count(w, h, tx, ty, mode)
+        offsets = _struct.unpack_from("<%dQ" % n_chunks, data, pos)
+        for off in offsets:
+            dx, dy, lx, ly, n = _struct.unpack_from("<iiiii", data, off)
+            if lx != 0 or ly != 0:
+                continue                         # mip/rip levels: level 0 only
+            bw = min(tx, w - dx * tx)
+            bny = min(ty, h - dy * ty)
+            raw_len = bny * sum(bw * (2 if pt == 1 else 4)
+                                for _, pt in channels)
+            blk = _decode(data[off + 20:off + 20 + n], bw, bny, raw_len)
+            _scatter(blk, dx * tx, dy * ty, bw, bny)
+    else:                                        # scanline
+        lpb = _EXR_LINES_PER_BLOCK[comp]
+        n_blocks = (h + lpb - 1) // lpb
+        offsets = _struct.unpack_from("<%dQ" % n_blocks, data, pos)
+        line_bytes = sum(w * (2 if pt == 1 else 4) for _, pt in channels)
+        for off in offsets:
+            y, n = _struct.unpack_from("<ii", data, off)
+            ny = min(lpb, y1 - y + 1)
+            blk = _decode(data[off + 8:off + 8 + n], w, ny, ny * line_bytes)
+            _scatter(blk, 0, y - y0, w, ny)
     names = [c[0] for c in channels]
     if names == ["B", "G", "R"]:
         out = out[:, :, ::-1]
     return out
+
+
+def _exr_tile_chunk_count(w: int, h: int, tx: int, ty: int,
+                          mode: int) -> int:
+    """Number of entries in a tiled single-part offset table: level mode
+    (low nibble: 0 ONE_LEVEL, 1 MIPMAP, 2 RIPMAP) and rounding mode (high
+    nibble: 0 down, 1 up) determine the level dimensions; each level
+    contributes ceil(lw/tx) * ceil(lh/ty) tiles."""
+    level_mode = mode & 0xF
+    round_up = (mode >> 4) & 0xF == 1
+
+    def lev_size(s, lev):
+        if lev == 0:
+            return s
+        d = 1 << lev
+        return max(1, (s + d - 1) // d if round_up else s // d)
+
+    def levels_for(s):
+        # number of levels until the dimension reaches 1
+        n = 1
+        while lev_size(s, n) >= 1 and lev_size(s, n - 1) > 1:
+            n += 1
+        return n
+
+    def tiles_at(lw, lh):
+        return ((lw + tx - 1) // tx) * ((lh + ty - 1) // ty)
+
+    if level_mode == 0:
+        return tiles_at(w, h)
+    if level_mode == 1:
+        n = levels_for(max(w, h))
+        return sum(tiles_at(lev_size(w, lv), lev_size(h, lv))
+                   for lv in range(n))
+    if level_mode == 2:
+        nx, ny = levels_for(w), levels_for(h)
+        return sum(tiles_at(lev_size(w, lx), lev_size(h, ly))
+                   for lx in range(nx) for ly in range(ny))
+    raise ValueError(f"EXR: unknown tile level mode {level_mode}")
 
 
 # ----------------------------------------------------------------------------- LDR

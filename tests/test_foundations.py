@@ -1363,17 +1363,16 @@ def test_resize_camera_rederives_projection():
 
 
 class TestExrVersionFlags:
-    def test_tiled_deep_multipart_rejected_loudly(self, tmp_path):
-        """The reader is scanline-only; tiled (0x200), deep (0x800) and
-        multipart (0x1000) version flags must raise instead of misparsing
-        the chunk table as scanline blocks."""
+    def test_deep_multipart_rejected_loudly(self, tmp_path):
+        """Deep (0x800) and multipart (0x1000) version flags must raise
+        instead of misparsing the chunk table; a tiled flag (0x200) with
+        no 'tiles' attribute is a malformed file and raises too."""
         import struct
         from rustlight_tpu.utils import image as rimage
         p = tmp_path / "ok.exr"
         rimage.write_exr(p, np.ones((4, 4, 3), np.float32))
         raw = bytearray(p.read_bytes())
-        for flag, word in ((0x200, "tiled"), (0x800, "deep"),
-                           (0x1000, "multipart")):
+        for flag, word in ((0x800, "deep"), (0x1000, "multipart")):
             (v,) = struct.unpack_from("<I", raw, 4)
             struct.pack_into("<I", raw, 4, v | flag)
             q = tmp_path / f"f{flag}.exr"
@@ -1381,6 +1380,13 @@ class TestExrVersionFlags:
             with pytest.raises(NotImplementedError, match=word):
                 rimage.read_exr(q)
             struct.pack_into("<I", raw, 4, v)   # restore
+        (v,) = struct.unpack_from("<I", raw, 4)
+        struct.pack_into("<I", raw, 4, v | 0x200)
+        q = tmp_path / "tiled_noattr.exr"
+        q.write_bytes(bytes(raw))
+        with pytest.raises(ValueError, match="tiles"):
+            rimage.read_exr(q)
+        struct.pack_into("<I", raw, 4, v)
         # long-names (0x400) leaves the header layout unchanged: still reads
         (v,) = struct.unpack_from("<I", raw, 4)
         struct.pack_into("<I", raw, 4, v | 0x400)
@@ -1388,3 +1394,91 @@ class TestExrVersionFlags:
         q.write_bytes(bytes(raw))
         np.testing.assert_array_equal(rimage.read_exr(q),
                                       np.ones((4, 4, 3), np.float32))
+
+
+class TestExrTiled:
+    """Single-part TILED files (version flag 0x200): one chunk per tile
+    through the same codecs, level-0 scatter; the reference reads these
+    via OpenEXR (structure.rs:490-642), and B44 in particular is designed
+    for tiled access."""
+
+    def test_tiled_roundtrip_all_codecs(self, tmp_path):
+        from rustlight_tpu.utils import image as rimage
+        rng = np.random.default_rng(1)
+        img = rng.uniform(0, 4, (37, 29, 3)).astype(np.float32)  # ragged
+        for comp in ("none", "rle", "zips", "zip", "piz", "pxr24",
+                     "b44", "b44a", "dwaa", "dwab"):
+            pt = tmp_path / f"t_{comp}.exr"
+            ps = tmp_path / f"s_{comp}.exr"
+            rimage.write_exr(pt, img, compression=comp, tiled=(16, 16))
+            rimage.write_exr(ps, img, compression=comp)
+            back_t = rimage.read_exr(pt)
+            back_s = rimage.read_exr(ps)
+            if comp in ("dwaa", "dwab"):
+                # DCT blocks partition differently across tile boundaries:
+                # not bit-equal to the scanline encode, but both stay
+                # within the codec's lossy bound
+                np.testing.assert_allclose(back_t, img, atol=0.05)
+            else:
+                np.testing.assert_array_equal(back_t, back_s)
+
+    def test_tiled_single_channel_half(self, tmp_path):
+        from rustlight_tpu.utils import image as rimage
+        img = np.linspace(0, 2, 20 * 24).reshape(20, 24).astype(np.float32)
+        p = tmp_path / "y.exr"
+        rimage.write_exr(p, img, half=True, compression="zip",
+                         tiled=(8, 8))
+        np.testing.assert_array_equal(
+            rimage.read_exr(p)[:, :, 0], img.astype(np.float16))
+
+    def test_mipmap_reads_level_zero_only(self, tmp_path):
+        """A MIPMAP_LEVELS file (mode byte 1) stores every level's tiles in
+        the offset table; the reader must return the level-(0,0) image and
+        skip the rest. Built byte-by-byte from the format spec."""
+        import struct
+        from rustlight_tpu.utils import image as rimage
+
+        w = h = 8
+        tx = ty = 4
+        img0 = np.arange(w * h, dtype=np.float32).reshape(h, w)
+        img1 = np.full((4, 4), 99.0, np.float32)        # level 1 (decoy)
+        img2 = np.full((2, 2), 77.0, np.float32)
+        img3 = np.full((1, 1), 55.0, np.float32)
+
+        chlist = b"Y\0" + struct.pack("<iiii", 2, 0, 1, 1) + b"\0"
+        header = b"\x76\x2f\x31\x01" + struct.pack("<i", 2 | 0x200)
+        header += rimage._exr_attr(b"channels", b"chlist", chlist)
+        header += rimage._exr_attr(b"compression", b"compression", b"\0")
+        box = struct.pack("<iiii", 0, 0, w - 1, h - 1)
+        header += rimage._exr_attr(b"dataWindow", b"box2i", box)
+        header += rimage._exr_attr(b"displayWindow", b"box2i", box)
+        header += rimage._exr_attr(b"lineOrder", b"lineOrder", b"\0")
+        header += rimage._exr_attr(b"tiles", b"tiledesc",
+                                   struct.pack("<IIB", tx, ty, 1))  # MIPMAP
+        header += b"\0"
+
+        chunks = []
+        for lv, im in ((0, img0), (1, img1), (2, img2), (3, img3)):
+            lw, lh = im.shape[1], im.shape[0]
+            for dy in range((lh + ty - 1) // ty):
+                for dx in range((lw + tx - 1) // tx):
+                    bw = min(tx, lw - dx * tx)
+                    bny = min(ty, lh - dy * ty)
+                    raw = b"".join(
+                        im[y, dx * tx:dx * tx + bw].astype("<f4").tobytes()
+                        for y in range(dy * ty, dy * ty + bny))
+                    chunks.append(struct.pack("<iiiii", dx, dy, lv, lv,
+                                              len(raw)) + raw)
+        n = len(chunks)
+        assert n == rimage._exr_tile_chunk_count(w, h, tx, ty, 1)
+        table_off = len(header) + 8 * n
+        offsets, acc = [], table_off
+        for c in chunks:
+            offsets.append(acc)
+            acc += len(c)
+        p = tmp_path / "mip.exr"
+        p.write_bytes(header + struct.pack("<%dQ" % n, *offsets)
+                      + b"".join(chunks))
+        out = rimage.read_exr(p)
+        np.testing.assert_array_equal(out[:, :, 0], img0)
+        assert not (out == 99.0).any()
