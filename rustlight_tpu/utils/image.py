@@ -682,8 +682,21 @@ def _pxr24_do(raw: bytes, channels, w: int, ny: int) -> bytes:
             if pt == 1:                       # HALF: 2 planes
                 pix = row.view("<u2").astype(np.int64)
                 nb = 2
-            elif pt == 2:                     # FLOAT: drop low mantissa byte
-                pix = (row.view("<u4") >> 8).astype(np.int64)
+            elif pt == 2:
+                # FLOAT -> 24 bits a la OpenEXR floatToFloat24: round the
+                # dropped mantissa byte to nearest (not truncate), and keep
+                # NaNs NaN (a NaN whose kept mantissa bits are all zero
+                # would otherwise collapse to +/-Inf).  ADVICE r4.
+                u = row.view("<u4").astype(np.uint32)
+                s = u & np.uint32(0x80000000)
+                e = u & np.uint32(0x7F800000)
+                m = u & np.uint32(0x007FFFFF)
+                fin24 = ((e | m) + (m & np.uint32(0x80))) >> np.uint32(8)
+                m24 = m >> np.uint32(8)
+                nan24 = (e >> np.uint32(8)) | m24 | (m24 == 0)
+                spec24 = np.where(m != 0, nan24, e >> np.uint32(8))
+                i24 = np.where(e == np.uint32(0x7F800000), spec24, fin24)
+                pix = ((s >> np.uint32(8)) | i24).astype(np.int64)
                 nb = 3
             else:                             # UINT
                 pix = row.view("<u4").astype(np.int64)
@@ -826,6 +839,12 @@ def _dwa_rle_ac_batch(flat: np.ndarray) -> np.ndarray:
     after a full block desyncs every later block in the stream — the
     high-contrast-render bug this rule fixes.)"""
     v = np.ascontiguousarray(flat[:, 1:], np.uint16)
+    # Token-space collision guard (ADVICE r4): any half in 0xFF00-0xFFFF (all
+    # negative NaNs) shares the zero-run/EOB token prefix and would desync the
+    # decoder's AC stream for every later block.  Canonicalize them to the
+    # positive quiet NaN 0x7E00 before tokenizing (NaN-ness preserved).
+    v = np.where((v & np.uint16(0xFF00)) == np.uint16(0xFF00),
+                 np.uint16(0x7E00), v)
     n_rows, n = v.shape
     nzm = v != 0
     col = np.arange(n)
@@ -1001,6 +1020,12 @@ def write_exr(path, img: np.ndarray, half: bool = False,
     tiles)."""
     img = np.asarray(img, dtype=np.float32)
     h, w = img.shape[:2]
+    if tiled is not None:
+        tx, ty = int(tiled[0]), int(tiled[1])
+        if tx <= 0 or ty <= 0 or tx > 0x7FFFFFFF or ty > 0x7FFFFFFF:
+            raise ValueError(
+                "write_exr: tiled=(tx, ty) needs positive tile dims, got "
+                f"({tiled[0]}, {tiled[1]})")
     if img.ndim == 2:
         img = img[:, :, None]
     c = img.shape[2]

@@ -309,11 +309,11 @@ class MirrorScene:
                         w = _balance(ls["pdf_sa"], pdf_other)
                         L = L + f * ls["weight"] * w
 
-        prev_delta = False
+        next_delta = False
         if is_delta:
             d_new, weight = self.glass_sample(tri, ng, d, rng)
             pdf_dir = 1.0
-            prev_delta = True
+            next_delta = True
         else:
             res = self.bsdf_sample(tri, n, d, rng)
             if res is None:
@@ -322,7 +322,7 @@ class MirrorScene:
         if float(np.max(weight)) <= 0.0:
             return L
         o_new = self.offset(p_hit, ng, d_new)
-        ln = self.radiance(o_new, d_new, rng, k + 1, pdf_dir, prev_delta)
+        ln = self.radiance(o_new, d_new, rng, k + 1, pdf_dir, next_delta)
         return L + weight * ln
 
     # --------------------------------------------------------------- film

@@ -1149,6 +1149,11 @@ class TestExrDecodeFuzz:
         from rustlight_tpu.utils.image import _dwa_rle_ac_batch
 
         def scalar(flat):
+            # same pre-tokenization guard as the batch coder: halfs in
+            # 0xFF00-0xFFFF (negative NaNs) collide with the run/EOB token
+            # prefix and are canonicalized to quiet NaN 0x7E00 (ADVICE r4)
+            flat = np.where((flat & np.uint16(0xFF00)) == np.uint16(0xFF00),
+                            np.uint16(0x7E00), flat)
             out = []
             for b in range(flat.shape[0]):
                 row = flat[b]
@@ -1194,15 +1199,44 @@ class TestExrWriteEncoders:
     lossless (PXR24 HALF, B44 at shift 0, B44A constant tiles) the trip is
     asserted bit-exact."""
 
-    def test_pxr24_float_truncates_mantissa(self, tmp_path):
+    @staticmethod
+    def _float24_ref(img):
+        # scalar transliteration of OpenEXR's floatToFloat24 (round to
+        # nearest; NaN keeps a nonzero 24-bit mantissa)
+        out = np.empty(img.size, np.uint32)
+        for i, u in enumerate(img.view(np.uint32).ravel()):
+            u = int(u)
+            s, e, m = u & 0x80000000, u & 0x7F800000, u & 0x007FFFFF
+            if e == 0x7F800000:
+                if m:
+                    m24 = m >> 8
+                    i24 = (e >> 8) | m24 | (0 if m24 else 1)
+                else:
+                    i24 = e >> 8
+            else:
+                i24 = ((e | m) + (m & 0x80)) >> 8
+            out[i] = ((s >> 8) | i24) << 8
+        return out.reshape(img.shape).view(np.float32)
+
+    def test_pxr24_float_rounds_like_openexr(self, tmp_path):
         from rustlight_tpu.utils import image as rimage
         rng = np.random.default_rng(41)
         img = rng.gamma(1.5, 1.0, (19, 23, 3)).astype(np.float32)
+        # exercise the special cases (ADVICE r4): Inf, canonical NaN, and a
+        # NaN whose top 15 mantissa bits are zero (must NOT collapse to Inf)
+        img[0, 0, 0] = np.inf
+        img[0, 1, 0] = -np.inf
+        img[0, 2, 0] = np.nan
+        img.view(np.uint32)[0, 3, 0] = 0x7F800001    # low-mantissa NaN
+        img.view(np.uint32)[0, 4, 0] = 0xFF800055    # negative low NaN
         p = tmp_path / "pxr24_f.exr"
         rimage.write_exr(p, img, compression="pxr24")
-        # PXR24 keeps the top 24 bits of each float word (lossy by design)
-        exp = ((img.view(np.uint32) >> 8) << 8).view(np.float32)
-        np.testing.assert_array_equal(rimage.read_exr(p), exp)
+        exp = self._float24_ref(img)
+        got = rimage.read_exr(p)
+        np.testing.assert_array_equal(got.view(np.uint32),
+                                      exp.view(np.uint32))
+        assert np.isnan(got[0, 2, 0]) and np.isnan(got[0, 3, 0])
+        assert np.isnan(got[0, 4, 0]) and np.isinf(got[0, 0, 0])
 
     def test_pxr24_half_lossless(self, tmp_path):
         from rustlight_tpu.utils import image as rimage
@@ -1309,6 +1343,36 @@ class TestExrWriteEncoders:
             assert float(err.max()) < 0.05, (
                 f"{comp}: relative error {float(err.max()):.3f} — "
                 "AC stream desynced on full blocks?")
+
+    def test_dwa_nan_pixels_do_not_desync(self, tmp_path):
+        """ADVICE r4: a NaN pixel cast float32->float16 can produce a half in
+        0xFF00-0xFFFF whose bit pattern collides with the AC zero-run/EOB
+        token prefix; un-sanitized it desyncs every later block.  The encoder
+        canonicalizes such coefficients to quiet NaN — the file must decode
+        with all NON-NaN-adjacent blocks intact."""
+        from rustlight_tpu.utils import image as rimage
+        rng = np.random.default_rng(7)
+        img = rng.gamma(1.2, 0.7, (40, 40, 3)).astype(np.float32)
+        # negative NaN with high payload -> half bits in 0xFF01-0xFFFF
+        img.view(np.uint32)[2, 3, 1] = 0xFFC00123
+        img.view(np.uint32)[2, 4, 1] = 0xFF800001
+        for comp in ("dwaa", "dwab"):
+            p = tmp_path / f"nan_{comp}.exr"
+            rimage.write_exr(p, img, half=True, compression=comp)
+            out = rimage.read_exr(p)            # must not raise / desync
+            # blocks away from the NaN block round-trip within DWA tolerance
+            clean = np.ones((40, 40), bool)
+            clean[0:8, 0:8] = False             # the 8x8 block holding NaNs
+            ref = img.astype(np.float16).astype(np.float32)
+            err = np.abs(out - ref) / (np.abs(ref) + 0.1)
+            assert float(err[clean].max()) < 0.05, f"{comp} desynced"
+
+    def test_tiled_write_rejects_bad_dims(self, tmp_path):
+        from rustlight_tpu.utils import image as rimage
+        img = np.zeros((8, 8, 3), np.float32)
+        for bad in ((0, 16), (16, 0), (-4, 16), (16, -1)):
+            with pytest.raises(ValueError, match="positive tile dims"):
+                rimage.write_exr(tmp_path / "bad.exr", img, tiled=bad)
 
     def test_dwa_grayscale_and_multichunk(self, tmp_path):
         """Single 'Y' channel is LOSSY_DCT without a CSC set; 70 rows under

@@ -132,7 +132,7 @@ def test_orbit_camera_math():
 # ---------------------------------------------------------------------------
 
 _WEB_TRACER_SHA256 = (
-    "d49189414034c3c94b189e4db23ed7186903d24fd6ff9708b0abb8bf5dd5b1ea")
+    "755881fd20535e1e4861b9c77b7808929ff254620d1ae49cb28bee6437ada770")
 
 
 def test_web_tracer_js_pinned_to_mirror():
@@ -143,6 +143,43 @@ def test_web_tracer_js_pinned_to_mirror():
         "tools/web_tracer.js changed (sha256 {}): re-check that "
         "tests/js_mirror.py still transcribes it line-for-line, re-run "
         "test_client_tracer_matches_oracle, then update this pin".format(got))
+
+
+def test_web_tracer_js_no_param_redeclaration():
+    """Static lint for the one pure-JS-syntax escape the mirror can't catch.
+
+    ADVICE r4 (high): `let prevDelta` inside radiance() redeclared the method
+    parameter `prevDelta` — an early SyntaxError in every JS engine, legal in
+    the Python transcription. With no JS runtime in this image, statically
+    reject let/const redeclarations of any enclosing method's parameters.
+    """
+    import re
+    js = (Path(viewer.__file__).parent / "web_tracer.js").read_text()
+    # method headers: name(a, b, c) {   (skip keywords like if/for/while)
+    kw = {"if", "for", "while", "switch", "catch", "return", "function"}
+    bad = []
+    for m in re.finditer(r"^\s*([A-Za-z_$][\w$]*)\s*\(([^)]*)\)\s*\{", js,
+                         re.M):
+        name, argstr = m.group(1), m.group(2)
+        if name in kw:
+            continue
+        params = [a.strip().split("=")[0].strip()
+                  for a in argstr.split(",") if a.strip()]
+        params = [p for p in params if re.fullmatch(r"[A-Za-z_$][\w$]*", p)]
+        if not params:
+            continue
+        # brace-balanced body extraction
+        depth, i = 1, m.end()
+        while i < len(js) and depth:
+            depth += {"{": 1, "}": -1}.get(js[i], 0)
+            i += 1
+        body = js[m.end():i]
+        for p in params:
+            if re.search(r"\b(?:let|const|var)\s+(?:[\w$]+\s*,\s*)*"
+                         + re.escape(p) + r"\b", body):
+                bad.append("{}(): redeclares parameter '{}'".format(name, p))
+    assert not bad, "JS param redeclaration (SyntaxError in browsers): " + \
+        "; ".join(bad)
 
 
 def test_local_tracer_endpoints(server):

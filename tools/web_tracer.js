@@ -361,11 +361,11 @@ class WebScene {
     }
 
     // directional bounce
-    let dNew; let pdfDir; let weight; let prevDelta = false;
+    let dNew; let pdfDir; let weight; let nextDelta = false;
     if (isDelta) {
       [dNew, weight] = this.glassSample(tri, ng, d, rng);
       pdfDir = 1.0;                 // discrete pdf; MIS never uses it
-      prevDelta = true;
+      nextDelta = true;
     } else {
       const res = this.bsdfSample(tri, n, d, rng);
       if (res === null) return L;
@@ -373,7 +373,7 @@ class WebScene {
     }
     if (Math.max(weight[0], weight[1], weight[2]) <= 0) return L;
     const oNew = this.offset(pHit, ng, dNew);
-    const Ln = this.radiance(oNew, dNew, rng, k + 1, pdfDir, prevDelta);
+    const Ln = this.radiance(oNew, dNew, rng, k + 1, pdfDir, nextDelta);
     L[0] += weight[0] * Ln[0];
     L[1] += weight[1] * Ln[1];
     L[2] += weight[2] * Ln[2];
