@@ -90,22 +90,99 @@ def main():
     from rustlight_tpu.integrators.common import _pixel_grid
     from rustlight_tpu.utils.rng import make_stream, stream_fold
 
-    # The driver contract is ONE JSON line; the large-scene metric the
-    # round-2 verdict asked the bench to track (the production Pallas
-    # tile-walk kernel, not just dense-MXU cbox) rides inside it as
-    # detail.grid122k.
-    # Measure the large scene first (quiet), then print the headline line
-    # with the grid numbers embedded.
+    # The driver contract is ONE JSON line; the large-scene metrics the
+    # round-2/4 verdicts asked the bench to track (the production Pallas
+    # tile-walk kernel at 122k, the 516k mid-frontier, and the 4.9M-tri
+    # wide-HBM-walk frontier) ride inside it as detail.grid122k/.grid516k/
+    # .grid4p9M. Measure the large scenes first (quiet), then print the
+    # headline line with everything embedded.
     grid = _bench_config("grid122k_path_8spp_throughput",
                          sphere_grid(122_000, 256, 256).compile(),
                          256, 256, 8, 5, emit=False)
-    _bench_config("cbox_path_128spp_throughput",
-                  cornell_box(512, 512).compile(), 512, 512, 128, 6,
-                  extra={"grid122k": grid})
+    big = _bench_config("grid516k_path_8spp_throughput",
+                        sphere_grid(516_000, 256, 256).compile(),
+                        256, 256, 8, 5, emit=False)
+    huge = _bench_ao_4p9m()
+    ok = _bench_config("cbox_path_128spp_throughput",
+                       cornell_box(512, 512).compile(), 512, 512, 128, 6,
+                       extra={"grid122k": grid, "grid516k": big,
+                              "grid4p9M": huge},
+                       gate=True)
+    if not ok:
+        sys.exit(1)
+
+
+def _block_mean(img: np.ndarray, b: int) -> np.ndarray:
+    h, w, c = img.shape
+    return img.reshape(h // b, b, w // b, b, c).mean(axis=(1, 3))
+
+
+def _correctness_gate(img: np.ndarray) -> dict:
+    """TPU-side correctness envelope (VERDICT r4 item 6): l1 of the 8x8
+    block-means of the bench cbox render against a committed TPU reference,
+    gated at 4x the measured seed-to-seed (ref-vs-ref) floor. Block-means
+    average out per-pixel MC noise and toolchain-level fusion/rounding
+    reshuffles (statistically identical renders pass); a biased estimator,
+    broken emitter, or wrong-scene regression lands far above the floor.
+    Analogous to the reference harness's metric gating,
+    /root/reference/tests/launch.py:109-138."""
+    ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "regress", "bench_ref.npz")
+    if not os.path.exists(ref_path):
+        return {"ok": True, "skipped": "regress/bench_ref.npz missing"}
+    ref = np.load(ref_path)
+    bm = _block_mean(img.astype(np.float64), int(ref["block"]))
+    perturb = float(os.environ.get("RUSTLIGHT_TPU_BENCH_SELFTEST_PERTURB",
+                                   "0"))
+    if perturb:
+        bm = bm * (1.0 + perturb)
+    l1 = float(np.abs(bm - ref["blockmean"]).mean())
+    floor = float(ref["floor_l1"])
+    return {"ok": bool(l1 <= 4.0 * floor), "l1_vs_ref": round(l1, 6),
+            "floor_l1": round(floor, 6), "margin": 4.0}
+
+
+def _bench_ao_4p9m():
+    """4.9M-tri sphere grid, AO 256^2 4 spp (the wide-HBM-walk frontier;
+    crosses the 2^14-cluster cap). Rays are exact: every sample traces one
+    primary + one occlusion wavefront, so 2 * n_pixels * spp per render."""
+    import jax.numpy as jnp
+    from rustlight_tpu.scene.geometry import TriMesh
+    from rustlight_tpu.scene import Scene, make_camera, look_at
+    from rustlight_tpu.models.presets import sphere_grid_mesh
+    from rustlight_tpu import bsdfs
+    from rustlight_tpu.integrators import IntegratorAO, render
+
+    sc = Scene()
+    m = sc.add_material(bsdfs.diffuse((0.65, 0.6, 0.55)))
+    mesh, gs = sphere_grid_mesh(4_200_000, n_theta=18, material=m)
+    sc.add_mesh(mesh)
+    ext = gs * 3.0
+    sc.camera = make_camera(256, 256, fov=55.0,
+                            to_world=look_at((ext / 2, ext / 2, -0.35 * ext),
+                                             (ext / 2, ext / 2, ext / 2),
+                                             (0, 1, 0)))
+    sd = sc.compile()
+    integ = IntegratorAO(max_distance=2.0)
+    film = render(sd, integ, spp=4, seed=0)           # warm-up / compile
+    float(jnp.sum(film["primal"]))                    # hard sync
+    t0 = time.time()
+    film = render(sd, integ, spp=4, seed=1)
+    mean = float(jnp.mean(film["primal"]))            # hard sync via readback
+    dt = time.time() - t0
+    rays = 2 * 256 * 256 * 4
+    import jax
+    n_dev = len(jax.devices())
+    return {"metric": "grid4p9M_ao_4spp_throughput",
+            "value": round(rays / dt / 1e6 / max(n_dev, 1), 3),
+            "unit": "Mrays/s/chip", "resolution": "256x256", "spp": 4,
+            "n_tris": int(sd.geom.n_tris), "wall_s": round(dt, 3),
+            "rays_per_render": rays, "n_devices": n_dev,
+            "mean_ao": round(mean, 5)}
 
 
 def _bench_config(metric, scene, width, height, spp, max_depth,
-                  emit=True, extra=None):
+                  emit=True, extra=None, gate=False):
     import jax
     import jax.numpy as jnp
     from rustlight_tpu.integrators import IntegratorPathTracing
@@ -218,6 +295,12 @@ def _bench_config(metric, scene, width, height, spp, max_depth,
     }
     if extra:
         detail.update(extra)
+    ok = True
+    if gate:
+        img = np.asarray(acc, np.float64).reshape(height, width, 3) / spp
+        check = _correctness_gate(img)
+        ok = bool(check.get("ok", True))
+        detail["correctness"] = check
     row = {
         "metric": metric,
         "value": round(mrays, 3),
@@ -225,8 +308,12 @@ def _bench_config(metric, scene, width, height, spp, max_depth,
         "vs_baseline": round(mrays / 12.5, 3),
         "detail": detail,
     }
+    if gate:
+        row["ok"] = ok
     if emit:
         print(json.dumps(row))
+    if gate:
+        return ok
     return {"metric": metric, "value": round(mrays, 3),
             "unit": "Mrays/s/chip", **detail}
 

@@ -1,4 +1,5 @@
-"""Independent scalar CPU path-tracing oracle (VERDICT r3 item 4).
+"""Independent scalar CPU path-tracing oracle (VERDICT r3 item 4, extended
+across the remaining transport surface in round 5 per VERDICT r4 item 3).
 
 A deliberately slow, simple, per-pixel *recursive* path tracer written in
 plain numpy from the algorithm specification (reference
@@ -15,16 +16,23 @@ discipline the repo uses for the PIZ codec: two codebases written from the
 same spec cross-validating each other statistically, standing in for the
 un-buildable Rust reference (no rustc/cargo/egress in this image).
 
-Scope: diffuse, phong and glass materials (phong: the Modified-Phong
-lobe mix of /root/reference/src/bsdfs/phong.rs:13-136 — cosine-diffuse +
-exponent lobe around the mirror direction, lobe selection by
-weight_specular, full MIS-compatible mixture pdf; glass: the smooth
-dielectric delta interface of glass.rs:75-124 with Mitsuba-convention
-Fresnel, NEE skipped at delta vertices and radiance-transport eta^2
-scaling), triangle area lights, optional homogeneous isotropic medium. Enough to cross-check the estimators that
-carry the regression suite (path with NEE+MIS at any max_depth, direct
-lighting as max_depth=2, volumetric path tracing, and the veach_mis
-glossy-MIS configuration). Raises loudly on anything else.
+Scope (round 5): the full BSDF surface — diffuse, phong (Modified-Phong of
+/root/reference/src/bsdfs/phong.rs:13-136), glass (smooth dielectric,
+glass.rs:75-124, Mitsuba-convention Fresnel, radiance-transport eta^2
+scaling), metal (smooth conductor delta + rough Beckmann/GGX microfacet,
+metal.rs:14-177 with fresnel_conductor of utils.rs:76-96), substrate
+(FresnelBlend, substrate.rs:21-225; rough only — the smooth DELTA|DIFFUSE
+variant is out of scope and raises), blend (two-BSDF mixture,
+blend.rs:9-95), and the textured diffuse slot (constant / bitmap /
+checkerboard / grid, mod.rs:11-121; the reference Grid's `uv.y + scale.y`
+is treated as the typo it appears to be — scale multiplies both axes, the
+renderer's convention). Emitters: triangle area lights plus constant and
+textured environment maps (emitter.rs:300-568: 2D luminance*sin(theta) CDF
+importance sampling). Optional homogeneous isotropic medium (surface-only
+scenes; env + medium raises). An adjoint particle tracer (render_light)
+implements light tracing with camera splatting from
+light.rs:35-210 + camera.rs:94-138 independently. Raises loudly on
+anything else.
 """
 from __future__ import annotations
 
@@ -35,6 +43,53 @@ import numpy as np
 _EPS_REL = 2e-5     # self-intersection offsets, relative to |p|
 _EPS_ABS = 1e-4
 
+# material kinds (shared vocabulary with bsdfs/table.py — data, not code)
+_DIFFUSE, _PHONG, _GLASS, _METAL, _SUBSTRATE, _BLEND = range(6)
+_TEX_CONST, _TEX_BITMAP, _TEX_CHECKER, _TEX_GRID = range(4)
+
+
+class _OMat:
+    """Per-material oracle descriptor (float64 snapshot of a MaterialDesc)."""
+
+    def __init__(self, d):
+        self.kind = int(d.kind)
+        self.kd = np.asarray(d.kd, np.float64)
+        self.ks = np.asarray(d.ks, np.float64)
+        self.kt = np.asarray(d.kt, np.float64)
+        self.eta = float(d.eta)
+        self.expo = float(d.exponent)
+        self.wspec = float(d.weight_specular)
+        self.eta_c = np.asarray(d.eta_c, np.float64)
+        self.k_c = np.asarray(d.k_c, np.float64)
+        self.alpha = float(d.alpha)
+        self.ggx = bool(d.dist_ggx)
+        self.tex_kind = int(getattr(d, "tex_kind", 0))
+        self.tex_c1 = np.asarray(getattr(d, "tex_c1", (0, 0, 0)), np.float64)
+        self.tex_scale = np.asarray(getattr(d, "tex_scale", (1, 1)),
+                                    np.float64)
+        self.tex_offset = np.asarray(getattr(d, "tex_offset", (0, 0)),
+                                     np.float64)
+        self.tex_lw = float(getattr(d, "tex_lw", 0.1))
+        self.tex_img = int(getattr(d, "tex_img", -1))
+        self.sub_a = int(getattr(d, "sub_a", -1))
+        self.sub_b = int(getattr(d, "sub_b", -1))
+        self.blend_w = float(getattr(d, "blend_w", 1.0))
+
+
+def _om_smooth(m: _OMat, mats) -> bool:
+    """Has a DELTA component -> NEE / camera connections skipped
+    (BSDFType::is_smooth, mod.rs:139-161)."""
+    if m.kind == _GLASS:
+        return True
+    if m.kind == _METAL:
+        return m.alpha <= 0.0
+    if m.kind == _SUBSTRATE:
+        return m.alpha <= 0.0
+    if m.kind == _BLEND:
+        return _om_smooth(mats[m.sub_a], mats) or \
+            _om_smooth(mats[m.sub_b], mats)
+    return False
+
 
 class OracleScene:
     """Flatten a host rustlight_tpu Scene into plain float64 numpy arrays."""
@@ -43,43 +98,52 @@ class OracleScene:
         # contract: raise loudly on anything outside oracle scope — a
         # silently-ignored emitter would z-test the renderer against a
         # reference that omits those light paths
-        if scene.env_constant is not None or scene.env_image is not None:
-            raise NotImplementedError("oracle: no environment light")
         if scene.point_lights or scene.directional_lights \
                 or scene.point_normal_lights:
             raise NotImplementedError(
-                "oracle: triangle area lights only")
-        v0, e1, e2, kd, le, two_sided = [], [], [], [], [], []
-        kind, ks, kt, eta, expo, wspec = [], [], [], [], [], []
-        em_tri, em_weight = [], []
+                "oracle: triangle area + environment lights only")
+
         mats = scene.materials or []
-        for mesh in scene.meshes:
-            mat = mats[mesh.material]
-            if int(mat.kind) not in (0, 1, 2):   # DIFFUSE, PHONG, GLASS
+        self.omats = [_OMat(d) for d in mats]
+        for om in self.omats:
+            if om.kind not in (_DIFFUSE, _PHONG, _GLASS, _METAL,
+                               _SUBSTRATE, _BLEND):
+                raise NotImplementedError(f"oracle: material kind {om.kind}")
+            if om.kind == _SUBSTRATE and om.alpha <= 0.0:
                 raise NotImplementedError(
-                    "oracle supports diffuse/phong/glass materials only")
-            if int(getattr(mat, "tex_kind", 0)) != 0:
-                raise NotImplementedError("oracle: constant albedo only")
+                    "oracle: smooth substrate (DELTA|DIFFUSE) out of scope")
+            if om.kind == _BLEND:
+                for s in (om.sub_a, om.sub_b):
+                    if not (0 <= s < len(mats)):
+                        raise NotImplementedError("oracle: dangling blend sub")
+                    if mats[s].kind == _BLEND:
+                        raise NotImplementedError("oracle: nested blend")
+        self.smooth = [_om_smooth(m, self.omats) for m in self.omats]
+
+        self.textures = None
+        if scene.textures is not None:
+            self.textures = np.asarray(scene.textures, np.float64)
+
+        v0, e1, e2, le, mat_id, vuv = [], [], [], [], [], []
+        em_tri, em_weight = [], []
+        for mesh in scene.meshes:
             if mesh.emission_kind != 0:
                 raise NotImplementedError("oracle: constant emission only")
             verts = np.asarray(mesh.vertices, np.float64)
             areas = mesh.triangle_areas().astype(np.float64)
             flux_scalar = float(np.max(mesh.flux()))
             total = max(float(areas.sum()), 1e-30)
+            uvs = (np.asarray(mesh.uvs, np.float64)
+                   if mesh.uvs is not None else None)
             for k, (i0, i1, i2) in enumerate(np.asarray(mesh.indices)):
                 t = len(v0)
                 v0.append(verts[i0])
                 e1.append(verts[i1] - verts[i0])
                 e2.append(verts[i2] - verts[i0])
-                kd.append(np.asarray(mat.kd, np.float64))
-                kind.append(int(mat.kind))
-                ks.append(np.asarray(mat.ks, np.float64))
-                kt.append(np.asarray(mat.kt, np.float64))
-                eta.append(float(mat.eta))
-                expo.append(float(mat.exponent))
-                wspec.append(float(mat.weight_specular))
+                mat_id.append(int(mesh.material))
                 le.append(np.asarray(mesh.emission, np.float64))
-                two_sided.append(True)   # diffuse and phong are two-sided
+                vuv.append(np.stack([uvs[i0], uvs[i1], uvs[i2]])
+                           if uvs is not None else np.zeros((3, 2)))
                 if mesh.is_light:
                     em_tri.append(t)
                     # selection weight: channel-max mesh flux x in-mesh area
@@ -92,26 +156,79 @@ class OracleScene:
         nl = np.linalg.norm(nraw, axis=-1, keepdims=True)
         self.ng = nraw / np.maximum(nl, 1e-30)
         self.area = 0.5 * nl[:, 0]
-        self.kd = np.asarray(kd)
-        self.kind = np.asarray(kind, np.int64)
-        self.ks = np.asarray(ks)
-        self.kt = np.asarray(kt)
-        self.eta_m = np.asarray(eta)
-        self.expo = np.asarray(expo)
-        self.wspec = np.asarray(wspec)
+        self.mat_id = np.asarray(mat_id, np.int64)
+        self.vuv = np.asarray(vuv)
         self.le = np.asarray(le)
         self.is_light = np.linalg.norm(self.le, axis=-1) > 0.0
         self.em_tri = np.asarray(em_tri, np.int64)
-        w = np.asarray(em_weight, np.float64)
-        self.em_prob = w / w.sum()
+
+        # ---- environment light (emitter.rs:300-568)
+        self.env_color = None
+        self.env_img = None
+        if scene.env_image is not None:
+            if scene.volume is not None:
+                raise NotImplementedError("oracle: env + medium out of scope")
+            self.env_img = np.asarray(scene.env_image, np.float64)
+        elif scene.env_constant is not None:
+            if scene.volume is not None:
+                raise NotImplementedError("oracle: env + medium out of scope")
+            self.env_color = np.asarray(scene.env_constant, np.float64)
+        self.has_env = (self.env_img is not None
+                        or self.env_color is not None)
+
+        # scene bounding sphere (env flux needs a radius; reference
+        # scene.rs:53-123 builds it from the scene AABB)
+        if len(self.v0):
+            pts = np.concatenate([self.v0, self.v0 + self.e1,
+                                  self.v0 + self.e2])
+            c = 0.5 * (pts.min(0) + pts.max(0))
+            self.bs_radius = float(np.linalg.norm(pts - c, axis=-1).max())
+        else:
+            self.bs_radius = 1.0
+
+        # emission-atom selection CDF: triangles (flux x area fraction)
+        # then the env atom last, mirroring the flux-weighted design of
+        # scene/emitters.py:150-185 (an IS choice — unbiased either way)
+        w = list(em_weight)
+        self.env_atom = -1
+        if self.has_env:
+            if self.env_img is not None:
+                h, wd = self.env_img.shape[:2]
+                sin_w = np.sin((np.arange(h) + 0.5) * math.pi / h)[:, None]
+                lum = np.asarray([0.2126, 0.7152, 0.0722])
+                self._env_lum = (self.env_img @ lum) * sin_w      # [h, w]
+                env_flux = math.pi * (self.bs_radius * 1.1) ** 2 \
+                    * float(self._env_lum.mean())
+                # independent piecewise-constant 2D CDF (row-marginal then
+                # in-row conditional), float64
+                row = self._env_lum.sum(1)
+                self._env_marg_cdf = np.cumsum(row) / max(row.sum(), 1e-30)
+                cnd = np.cumsum(self._env_lum, axis=1)
+                self._env_cond_cdf = cnd / np.maximum(cnd[:, -1:], 1e-30)
+                self._env_int = float(self._env_lum.mean())
+            else:
+                env_flux = float(np.max(self.env_color)) * math.pi \
+                    * (self.bs_radius * 1.1) ** 2
+            self.env_atom = len(w)
+            w.append(env_flux)
+        w = np.asarray(w, np.float64)
+        if w.sum() <= 0.0:
+            raise NotImplementedError("oracle: no emitters")
+        self.atom_prob = w / w.sum()
+
         # solid-angle-independent part of the NEE pdf per emissive tri:
         # selection pdf / triangle area (area-measure pdf of the sample)
         self.pdf_area = np.zeros(len(self.v0))
-        self.pdf_area[self.em_tri] = self.em_prob / self.area[self.em_tri]
+        self.pdf_area[self.em_tri] = \
+            self.atom_prob[: len(self.em_tri)] / self.area[self.em_tri]
 
         cam = scene.camera
         self.cam_s2c = np.asarray(cam.sample_to_camera, np.float64)
+        self.cam_c2s = np.asarray(cam.camera_to_sample, np.float64)
         self.cam_to_world = np.asarray(cam.to_world, np.float64)
+        self.cam_to_local = np.asarray(cam.to_local, np.float64)
+        self.cam_rect_min = np.asarray(cam.image_rect_min, np.float64)
+        self.cam_rect_max = np.asarray(cam.image_rect_max, np.float64)
         self.cam_w = cam.width
         self.cam_h = cam.height
 
@@ -127,7 +244,7 @@ class OracleScene:
     def intersect(self, o, d, tmax=np.inf):
         """Closest hit by Moller-Trumbore over all triangles.
 
-        Returns (tri, t, p) or (None, tmax-ish, None)."""
+        Returns (tri, t, p, (b1, b2)) or (None, inf, None, None)."""
         pvec = np.cross(d, self.e2)
         det = np.einsum("ij,ij->i", self.e1, pvec)
         ok = np.abs(det) > 1e-12
@@ -140,10 +257,11 @@ class OracleScene:
         hit = ok & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > _EPS_ABS) \
             & (t < tmax)
         if not hit.any():
-            return None, np.inf, None
+            return None, np.inf, None, None
         t = np.where(hit, t, np.inf)
         tri = int(np.argmin(t))
-        return tri, float(t[tri]), o + d * t[tri]
+        return tri, float(t[tri]), o + d * t[tri], \
+            (float(u[tri]), float(v[tri]))
 
     def occluded(self, p0, p1):
         d = p1 - p0
@@ -151,7 +269,12 @@ class OracleScene:
         if dist <= 0.0:
             return True
         d = d / dist
-        tri, t, _ = self.intersect(p0, d, tmax=dist * (1.0 - 1e-4))
+        tri, t, _, _ = self.intersect(p0, d, tmax=dist * (1.0 - 1e-4))
+        return tri is not None
+
+    def occluded_ray(self, p0, d):
+        """Any hit along an (infinite) ray — env visibility."""
+        tri, _, _, _ = self.intersect(p0, d)
         return tri is not None
 
     def _offset(self, p, n, d):
@@ -159,10 +282,115 @@ class OracleScene:
         sign = 1.0 if float(n @ d) >= 0.0 else -1.0
         return p + n * (eps * sign)
 
+    def _uv_at(self, tri, bary):
+        b1, b2 = bary
+        uv = self.vuv[tri]
+        return (1.0 - b1 - b2) * uv[0] + b1 * uv[1] + b2 * uv[2]
+
+    # ------------------------------------------------------------ textures
+    def _albedo(self, m: _OMat, uv):
+        """Diffuse-slot color at uv (BSDFColor, mod.rs:11-121)."""
+        if m.tex_kind == _TEX_CONST:
+            return m.kd
+        su = uv * m.tex_scale + m.tex_offset
+        if m.tex_kind == _TEX_CHECKER:
+            # Rust `as i32` truncation + signed % (mod.rs:55-62)
+            x = 2 * (int(su[0] * 2.0) % 2) - 1
+            y = 2 * (int(su[1] * 2.0) % 2) - 1
+            return m.kd if x * y == 1 else m.tex_c1
+        if m.tex_kind == _TEX_GRID:
+            gx = su[0] - math.floor(su[0])
+            gy = su[1] - math.floor(su[1])
+            if gx > 0.5:
+                gx -= 1.0
+            if gy > 0.5:
+                gy -= 1.0
+            on = abs(gx) < m.tex_lw or abs(gy) < m.tex_lw
+            return m.kd if on else m.tex_c1
+        # bitmap: repeat-wrapped nearest texel, v up (pixel_uv,
+        # structure.rs:434-453)
+        img = self.textures[m.tex_img]
+        th, tw = img.shape[:2]
+        fu = uv[0] - math.floor(uv[0])
+        fv = uv[1] - math.floor(uv[1])
+        xi = min(int(fu * tw), tw - 1)
+        yi = min(int((1.0 - fv) * th), th - 1)
+        return img[yi, xi]
+
+    # ------------------------------------------------------------ emitters
+    def _env_radiance(self, d):
+        if not self.has_env:
+            return np.zeros(3)
+        if self.env_img is None:
+            return self.env_color
+        theta = math.acos(max(-1.0, min(1.0, d[2])))
+        phi = math.atan2(d[1], d[0])
+        if phi < 0.0:
+            phi += 2.0 * math.pi
+        h, w = self.env_img.shape[:2]
+        xi = min(int(phi / (2.0 * math.pi) * w), w - 1)
+        yi = min(int(theta / math.pi * h), h - 1)
+        return self.env_img[yi, xi]
+
+    def _env_pdf_sa(self, d):
+        """Solid-angle pdf of NEE picking direction d (selection included)."""
+        sel = self.atom_prob[self.env_atom]
+        if self.env_img is None:
+            return sel / (4.0 * math.pi)
+        theta = math.acos(max(-1.0, min(1.0, d[2])))
+        phi = math.atan2(d[1], d[0])
+        if phi < 0.0:
+            phi += 2.0 * math.pi
+        h, w = self.env_img.shape[:2]
+        xi = min(int(phi / (2.0 * math.pi) * w), w - 1)
+        yi = min(int(theta / math.pi * h), h - 1)
+        cell = self._env_lum[yi, xi] / max(self._env_int, 1e-30)
+        st = math.sin(theta)
+        if st <= 0.0:
+            return 0.0
+        return sel * cell / (2.0 * math.pi ** 2 * st)
+
+    def _sample_env(self, rng):
+        """Env NEE sample: (d, radiance, pdf_sa excl. selection)."""
+        if self.env_img is None:
+            d = self._uniform_sphere(rng)
+            return d, self.env_color.copy(), 1.0 / (4.0 * math.pi)
+        h, w = self.env_img.shape[:2]
+        yi = int(np.searchsorted(self._env_marg_cdf, rng.random(),
+                                 side="right"))
+        yi = min(yi, h - 1)
+        xi = int(np.searchsorted(self._env_cond_cdf[yi], rng.random(),
+                                 side="right"))
+        xi = min(xi, w - 1)
+        # jitter inside the texel for a continuous direction
+        x = xi + rng.random()
+        y = yi + rng.random()
+        phi = 2.0 * math.pi * x / w
+        theta = math.pi * y / h
+        st, ct = math.sin(theta), math.cos(theta)
+        d = np.asarray([st * math.cos(phi), st * math.sin(phi), ct])
+        cell = self._env_lum[yi, xi] / max(self._env_int, 1e-30)
+        if st <= 0.0:
+            return None
+        pdf = cell / (2.0 * math.pi ** 2 * st)
+        return d, self.env_img[yi, xi].copy(), pdf
+
     # ------------------------------------------------------------- sampling
     def _sample_light(self, p_ref, rng):
-        """One NEE sample: (dir, dist, weight=Le*G/pdf_area, pdf_sa, p_lt)."""
-        i = rng.choice(len(self.em_tri), p=self.em_prob)
+        """One NEE sample: dict with keys d, dist (None for env),
+        weight = Le/pdf (geometry folded in), pdf_sa, p_l (None for env)."""
+        i = rng.choice(len(self.atom_prob), p=self.atom_prob)
+        if i == self.env_atom:
+            s = self._sample_env(rng)
+            if s is None:
+                return None
+            d, col, pdf = s
+            sel = self.atom_prob[self.env_atom]
+            pdf_sa = pdf * sel
+            if pdf_sa <= 0.0:
+                return None
+            return {"d": d, "dist": None, "weight": col / pdf_sa,
+                    "pdf_sa": pdf_sa, "p_l": None}
         tri = int(self.em_tri[i])
         su = math.sqrt(rng.random())
         b1, b2 = 1.0 - su, rng.random() * su
@@ -179,7 +407,8 @@ class OracleScene:
         pdf_area = self.pdf_area[tri]
         weight = self.le[tri] * (g / pdf_area)
         pdf_sa = pdf_area * dist * dist / cos_l
-        return d, dist, weight, pdf_sa, p_l
+        return {"d": d, "dist": dist, "weight": weight, "pdf_sa": pdf_sa,
+                "p_l": p_l}
 
     def _light_pdf_sa(self, tri, p_ref, p_hit, n_hit, d):
         """Solid-angle pdf the NEE strategy would have for this hit."""
@@ -214,31 +443,172 @@ class OracleScene:
         return OracleScene._cosine_hemisphere_uv(n, rng.random(),
                                                  rng.random())
 
+    # ------------------------------------------------------- microfacet bits
+    @staticmethod
+    def _mf_eval(ggx, alpha, m):
+        """Isotropic Beckmann/GGX NDF D(m) (distribution.rs:26-55)."""
+        ct = m[2]
+        if ct <= 0.0:
+            return 0.0
+        ct2 = ct * ct
+        bexp = (m[0] * m[0] + m[1] * m[1]) / (alpha * alpha) / ct2
+        if ggx:
+            root = (1.0 + bexp) * ct2
+            res = 1.0 / (math.pi * alpha * alpha * root * root)
+        else:
+            res = math.exp(-bexp) / (math.pi * alpha * alpha * ct2 * ct2)
+        return 0.0 if res * ct < 1e-20 else res
+
+    @staticmethod
+    def _mf_sample(ggx, alpha, u1, u2):
+        """Sample a half-vector from D(m) cos(m); returns (m, pdf)
+        (distribution.rs:62-107)."""
+        sp, cp = math.sin(2.0 * math.pi * u2), math.cos(2.0 * math.pi * u2)
+        a2 = alpha * alpha
+        if ggx:
+            t2 = a2 * u1 / max(1.0 - u1, 1e-12)
+            ct = 1.0 / math.sqrt(1.0 + t2)
+            tmp = 1.0 + t2 / a2
+            pdf = (1.0 / math.pi) / (a2 * ct ** 3 * tmp * tmp)
+        else:
+            t2 = a2 * -math.log(max(1.0 - u1, 1e-12))
+            ct = 1.0 / math.sqrt(1.0 + t2)
+            pdf = (1.0 - u1) / (math.pi * a2 * ct ** 3)
+        if pdf < 1e-20:
+            pdf = 0.0
+        st = math.sqrt(max(1.0 - ct * ct, 0.0))
+        return np.asarray([st * cp, st * sp, ct]), pdf
+
+    @staticmethod
+    def _mf_g1(ggx, alpha, v, m):
+        if float(v @ m) * v[2] <= 0.0:
+            return 0.0
+        ct = abs(v[2])
+        st = math.sqrt(max(1.0 - ct * ct, 0.0))
+        if st == 0.0:
+            return 1.0
+        tan_t = st / max(ct, 1e-12)
+        if ggx:
+            root = alpha * tan_t
+            return 2.0 / (1.0 + math.sqrt(1.0 + root * root))
+        a = 1.0 / (alpha * tan_t)
+        if a >= 1.6:
+            return 1.0
+        a2 = a * a
+        return (3.535 * a + 2.181 * a2) / (1.0 + 2.276 * a + 2.577 * a2)
+
+    @classmethod
+    def _mf_g(cls, ggx, alpha, wi, wo, m):
+        return cls._mf_g1(ggx, alpha, wi, m) * cls._mf_g1(ggx, alpha, wo, m)
+
+    @staticmethod
+    def _fresnel_conductor(ct, eta, k):
+        """Unpolarized conductor Fresnel, per channel (utils.rs:76-96)."""
+        ct2 = ct * ct
+        st2 = 1.0 - ct2
+        st4 = st2 * st2
+        t1 = eta * eta - k * k - st2
+        a2pb2 = np.sqrt(np.maximum(t1 * t1 + 4.0 * k * k * eta * eta, 0.0))
+        a = np.sqrt(np.maximum(0.5 * (a2pb2 + t1), 0.0))
+        term1 = a2pb2 + ct2
+        # term2 = 2a|cos| — the standard (Mitsuba/pbrt) form; the reference's
+        # metal path multiplies a by 2cos^2 (utils.rs:88), which appears to
+        # be a typo the renderer deliberately does not reproduce
+        term2 = 2.0 * a * abs(ct)
+        rs2 = (term1 - term2) / (term1 + term2)
+        term3 = a2pb2 * ct2 + st4
+        term4 = term2 * st2
+        rp2 = rs2 * (term3 - term4) / (term3 + term4)
+        return 0.5 * (rp2 + rs2)
+
+    @staticmethod
+    def _schlick(rs, ct):
+        return rs + (1.0 - rs) * (1.0 - ct) ** 5
+
     # ------------------------------------------------------------- BSDFs
-    def _bsdf_eval_pdf(self, tri, n, d_in_ray, d_out):
-        """(f including the outgoing cosine, mixture sampling pdf) for
-        world directions at a surface vertex; d_in_ray is the incoming RAY
-        direction (pointing at the surface), n the (flipped) shading-side
-        normal. Diffuse: kd cos/pi. Phong (phong.rs:66-121): diffuse term
-        kd cos/pi + specular lobe ks alpha^e (e+2)/2pi about the mirror
-        direction, pdf = ws alpha^e (e+1)/2pi + (1-ws) cos/pi."""
+    def _to_local(self, n, v):
+        t, b = self._onb(n)
+        return np.asarray([float(v @ t), float(v @ b), float(v @ n)]), (t, b)
+
+    def _atomic_eval_pdf(self, m: _OMat, n, d_in_ray, d_out, uv):
+        """(f·cos_o, solid-angle mixture pdf) for one atomic archetype in
+        world directions; d_in_ray points AT the surface, n is the flipped
+        shading-side normal. Delta archetypes evaluate to (0, 0) here."""
         cos_o = float(n @ d_out)
-        if cos_o <= 0.0:
+        cos_i = float(n @ (-np.asarray(d_in_ray)))
+        if cos_o <= 0.0 or cos_i <= 0.0:
             return np.zeros(3), 0.0
-        if self.kind[tri] == 0:
-            return self.kd[tri] / math.pi * cos_o, cos_o / math.pi
-        wi = -np.asarray(d_in_ray)           # toward viewer; wi.z>0 by flip
-        refl = 2.0 * float(n @ wi) * n - wi  # mirror of wi about n
-        alpha = float(refl @ d_out)
-        e, ws = self.expo[tri], self.wspec[tri]
-        spec = np.zeros(3)
-        pdf_s = 0.0
-        if alpha > 0.0:
-            ae = alpha ** e
-            spec = self.ks[tri] * (ae * (e + 2.0) / (2.0 * math.pi))
-            pdf_s = ws * ae * (e + 1.0) / (2.0 * math.pi)
-        f = spec + self.kd[tri] * cos_o / math.pi
-        return f, pdf_s + (1.0 - ws) * cos_o / math.pi
+        if m.kind == _DIFFUSE:
+            return self._albedo(m, uv) / math.pi * cos_o, cos_o / math.pi
+        if m.kind == _PHONG:
+            wi = -np.asarray(d_in_ray)
+            refl = 2.0 * float(n @ wi) * n - wi
+            alpha = float(refl @ d_out)
+            e, ws = m.expo, m.wspec
+            spec = np.zeros(3)
+            pdf_s = 0.0
+            if alpha > 0.0:
+                ae = alpha ** e
+                spec = m.ks * (ae * (e + 2.0) / (2.0 * math.pi))
+                pdf_s = ws * ae * (e + 1.0) / (2.0 * math.pi)
+            f = spec + self._albedo(m, uv) * cos_o / math.pi
+            return f, pdf_s + (1.0 - ws) * cos_o / math.pi
+        if m.kind in (_METAL, _SUBSTRATE):
+            wi_l, frame = self._to_local(n, -np.asarray(d_in_ray))
+            wo_l = np.asarray([float(d_out @ frame[0]),
+                               float(d_out @ frame[1]), cos_o])
+            if m.kind == _METAL:
+                if m.alpha <= 0.0:
+                    return np.zeros(3), 0.0       # delta
+                h = wi_l + wo_l
+                hl = float(np.linalg.norm(h))
+                if hl <= 1e-20:
+                    return np.zeros(3), 0.0
+                h = h / hl
+                D = self._mf_eval(m.ggx, m.alpha, h)
+                if D == 0.0:
+                    return np.zeros(3), 0.0
+                F = self._fresnel_conductor(float(wi_l @ h), m.eta_c, m.k_c)
+                G = self._mf_g(m.ggx, m.alpha, wi_l, wo_l, h)
+                # f·cos = ks F D G / (4 cos_i) (metal.rs:110-155)
+                f = m.ks * F * (D * G / (4.0 * wi_l[2]))
+                pdf = D * h[2] / (4.0 * abs(float(wo_l @ h)))
+                return f, pdf
+            # substrate (substrate.rs:150-205)
+            h = wi_l + wo_l
+            hl = float(np.linalg.norm(h))
+            diff = self._albedo(m, uv) * (1.0 - m.ks) \
+                * (28.0 / (23.0 * math.pi)) \
+                * (1.0 - (1.0 - 0.5 * abs(wi_l[2])) ** 5) \
+                * (1.0 - (1.0 - 0.5 * abs(wo_l[2])) ** 5)
+            spec = np.zeros(3)
+            pdf_spec = 0.0
+            if hl > 1e-20:
+                h = h / hl
+                D = self._mf_eval(m.ggx, m.alpha, h)
+                denom = 4.0 * abs(float(wi_l @ h)) \
+                    * max(abs(wi_l[2]), abs(wo_l[2]))
+                if D > 0.0 and denom > 0.0:
+                    spec = self._schlick(m.ks, float(wi_l @ h)) * (D / denom)
+                pdf_spec = self._mf_eval(m.ggx, m.alpha, h) * h[2] \
+                    / (4.0 * abs(float(wo_l @ h))) if D > 0.0 else 0.0
+            f = (diff + spec) * wo_l[2]
+            pdf = 0.5 * (wo_l[2] / math.pi + pdf_spec)
+            return f, pdf
+        return np.zeros(3), 0.0                   # glass: delta-only
+
+    def _bsdf_eval_pdf(self, tri, n, d_in_ray, d_out, uv=None):
+        """(f·cos_o, pdf) resolving blend mixtures (blend.rs:9-95)."""
+        if uv is None:
+            uv = np.zeros(2)
+        m = self.omats[self.mat_id[tri]]
+        if m.kind != _BLEND:
+            return self._atomic_eval_pdf(m, n, d_in_ray, d_out, uv)
+        ma, mb = self.omats[m.sub_a], self.omats[m.sub_b]
+        fa, pa = self._atomic_eval_pdf(ma, n, d_in_ray, d_out, uv)
+        fb, pb = self._atomic_eval_pdf(mb, n, d_in_ray, d_out, uv)
+        w = m.blend_w
+        return w * fa + (1.0 - w) * fb, w * pa + (1.0 - w) * pb
 
     @staticmethod
     def _fresnel_dielectric(cos_i, eta):
@@ -260,59 +630,137 @@ class OracleScene:
         ct = -ct if cos_i > 0.0 else ct
         return 0.5 * (rs * rs + rp * rp), ct
 
-    def _glass_sample(self, tri, ng, d_in_ray, rng):
+    def _glass_sample(self, tri, ng, d_in_ray, rng, radiance_transport=True):
         """Smooth-dielectric delta interface (glass.rs:75-124): Fresnel-
         selected reflect/refract in the UNFLIPPED geometric frame (wi.z<0
-        = hitting from inside), transmission weight scaled by the radiance
-        solid-angle-compression factor^2. Returns (d_world, weight)."""
+        = hitting from inside); transmission weight scaled by the radiance
+        solid-angle-compression factor^2 only for Transport::Radiance
+        (camera paths) — adjoint/importance paths skip it (glass.rs:96-121).
+        Returns (d_world, weight)."""
+        m = self.omats[self.mat_id[tri]]
         t, b = self._onb(ng)
         wi = np.array([-float(d_in_ray @ t), -float(d_in_ray @ b),
                        -float(d_in_ray @ ng)])
-        eta = self.eta_m[tri]
+        eta = m.eta
         inv_eta = 1.0 / eta
         fresnel, cos_t = self._fresnel_dielectric(wi[2], eta)
         if rng.random() <= fresnel:
             wo = np.array([-wi[0], -wi[1], wi[2]])
-            weight = self.ks[tri].copy()
+            weight = m.ks.copy()
         else:
             scale = -inv_eta if cos_t < 0.0 else -eta
             wo = np.array([scale * wi[0], scale * wi[1], cos_t])
             factor = inv_eta if cos_t < 0.0 else eta
-            weight = self.kt[tri] * (factor * factor)
+            weight = m.kt * ((factor * factor) if radiance_transport else 1.0)
         d_world = wo[0] * t + wo[1] * b + wo[2] * ng
         return d_world, weight
 
-    def _bsdf_sample(self, tri, n, d_in_ray, rng):
-        """One BSDF direction sample: (d_world, pdf_sa, weight=f/pdf) or
-        None (killed lane). Phong lobe selection by weight_specular with
-        remainder reuse (phong.rs:14-63); specular samples falling under
-        the surface kill the path like the reference's None return."""
-        if self.kind[tri] == 0:
+    def _atomic_sample(self, m: _OMat, n, d_in_ray, rng, uv):
+        """One atomic direction sample: (d_world, pdf, weight, is_delta) or
+        None. Glass is NOT handled here (radiance() keeps its unflipped
+        geometric frame)."""
+        if m.kind == _DIFFUSE:
             d_new, pdf = self._cosine_hemisphere(n, rng)
             if pdf <= 0.0:
                 return None
-            return d_new, pdf, self.kd[tri].copy()
-        e, ws = self.expo[tri], self.wspec[tri]
-        u, v = rng.random(), rng.random()
-        if u < ws:
-            u = u / ws
-            wi = -np.asarray(d_in_ray)
-            refl = 2.0 * float(n @ wi) * n - wi
-            cos_a = v ** (1.0 / (e + 1.0))
-            sin_a = math.sqrt(max(1.0 - cos_a * cos_a, 0.0))
-            phi = 2.0 * math.pi * u
-            t, b = self._onb(refl)
-            d_new = (sin_a * math.cos(phi)) * t \
-                + (sin_a * math.sin(phi)) * b + cos_a * refl
-            if float(n @ d_new) <= 0.0:
+            return d_new, pdf, self._albedo(m, uv).copy(), False
+        if m.kind == _PHONG:
+            e, ws = m.expo, m.wspec
+            u, v = rng.random(), rng.random()
+            if u < ws:
+                u = u / ws
+                wi = -np.asarray(d_in_ray)
+                refl = 2.0 * float(n @ wi) * n - wi
+                cos_a = v ** (1.0 / (e + 1.0))
+                sin_a = math.sqrt(max(1.0 - cos_a * cos_a, 0.0))
+                phi = 2.0 * math.pi * u
+                t, b = self._onb(refl)
+                d_new = (sin_a * math.cos(phi)) * t \
+                    + (sin_a * math.sin(phi)) * b + cos_a * refl
+                if float(n @ d_new) <= 0.0:
+                    return None
+            else:
+                u = (u - ws) / (1.0 - ws)
+                d_new, _ = self._cosine_hemisphere_uv(n, u, v)
+            f, pdf = self._atomic_eval_pdf(m, n, d_in_ray, d_new, uv)
+            if pdf <= 0.0:
                 return None
-        else:
-            u = (u - ws) / (1.0 - ws)
-            d_new, _ = self._cosine_hemisphere_uv(n, u, v)
-        f, pdf = self._bsdf_eval_pdf(tri, n, d_in_ray, d_new)
-        if pdf <= 0.0:
+            return d_new, pdf, f / pdf, False
+        if m.kind == _METAL:
+            t, b = self._onb(n)
+            wi_w = -np.asarray(d_in_ray)
+            wi = np.asarray([float(wi_w @ t), float(wi_w @ b),
+                             float(wi_w @ n)])
+            if wi[2] <= 0.0:
+                return None
+            if m.alpha <= 0.0:
+                # smooth conductor: delta mirror (metal.rs:26-37)
+                wo = np.asarray([-wi[0], -wi[1], wi[2]])
+                w = m.ks * self._fresnel_conductor(wi[2], m.eta_c, m.k_c)
+                d_world = wo[0] * t + wo[1] * b + wo[2] * n
+                return d_world, 1.0, w, True
+            h, pdf_m = self._mf_sample(m.ggx, m.alpha, rng.random(),
+                                       rng.random())
+            if pdf_m <= 0.0:
+                return None
+            wo = 2.0 * float(wi @ h) * h - wi
+            if wo[2] <= 0.0:
+                return None
+            D = self._mf_eval(m.ggx, m.alpha, h)
+            G = self._mf_g(m.ggx, m.alpha, wi, wo, h)
+            F = self._fresnel_conductor(float(wi @ h), m.eta_c, m.k_c)
+            w = m.ks * F * (D * G * float(wi @ h) / (pdf_m * wi[2]))
+            pdf = pdf_m / (4.0 * abs(float(wo @ h)))
+            d_world = wo[0] * t + wo[1] * b + wo[2] * n
+            return d_world, pdf, w, False
+        if m.kind == _SUBSTRATE:
+            # 0.5/0.5 lobe select with random reuse (substrate.rs:33-72)
+            t, b = self._onb(n)
+            wi_w = -np.asarray(d_in_ray)
+            wi = np.asarray([float(wi_w @ t), float(wi_w @ b),
+                             float(wi_w @ n)])
+            if wi[2] <= 0.0:
+                return None
+            sx = rng.random()
+            if sx < 0.5:
+                d_new, _ = self._cosine_hemisphere_uv(n, sx * 2.0,
+                                                      rng.random())
+            else:
+                h, pdf_m = self._mf_sample(m.ggx, m.alpha, (sx - 0.5) * 2.0,
+                                           rng.random())
+                if pdf_m <= 0.0:
+                    return None
+                wo = 2.0 * float(wi @ h) * h - wi
+                if wo[2] <= 0.0:
+                    return None
+                d_new = wo[0] * t + wo[1] * b + wo[2] * n
+            f, pdf = self._atomic_eval_pdf(m, n, d_in_ray, d_new, uv)
+            if pdf <= 0.0:
+                return None
+            return d_new, pdf, f / pdf, False
+        raise NotImplementedError(f"atomic sample kind {m.kind}")
+
+    def _bsdf_sample(self, tri, n, d_in_ray, rng, uv=None):
+        """One BSDF direction sample resolving blends: returns
+        (d_world, pdf_sa, weight, is_delta) or None (killed lane)."""
+        if uv is None:
+            uv = np.zeros(2)
+        m = self.omats[self.mat_id[tri]]
+        if m.kind != _BLEND:
+            return self._atomic_sample(m, n, d_in_ray, rng, uv)
+        w = m.blend_w
+        u = rng.random()
+        chosen = self.omats[m.sub_a if u < w else m.sub_b]
+        res = self._atomic_sample(chosen, n, d_in_ray, rng, uv)
+        if res is None:
             return None
-        return d_new, pdf, f / pdf
+        d_new, pdf_c, w_c, is_delta = res
+        if is_delta:
+            return d_new, pdf_c, w_c, True
+        f_mix, pdf_mix = self._bsdf_eval_pdf(tri, n, d_in_ray, d_new, uv)
+        if pdf_mix <= 0.0:
+            return None
+        return d_new, pdf_mix, f_mix / pdf_mix, False
 
     @staticmethod
     def _uniform_sphere(rng):
@@ -332,8 +780,18 @@ class OracleScene:
                  prev_nee=False, min_depth=0, max_depth=5, mis=True,
                  nee=True):
         """Recursive radiance estimate along (o, d), k edges completed."""
-        tri, t_hit, p_hit = self.intersect(o, d)
+        tri, t_hit, p_hit, bary = self.intersect(o, d)
         L = np.zeros(3)
+
+        # ---- escaped ray: environment emission through the k+1-edge path
+        if tri is None and self.has_env:
+            if k >= min_depth:
+                if prev_delta or not prev_nee or not mis:
+                    w_hit = 1.0
+                else:
+                    w_hit = self._balance(prev_pdf, self._env_pdf_sa(d))
+                L = L + self._env_radiance(d) * w_hit
+            return L
 
         # ---- medium free flight (spectral channel selection, volume.rs)
         thr_med = np.ones(3)
@@ -358,7 +816,7 @@ class OracleScene:
 
         if not scattered:
             if tri is None:
-                return L          # no envmap in oracle scope
+                return L          # no env (handled above), black escape
             p_v = p_hit
             # emission through the directional edge (k+1 edges)
             if self.is_light[tri] and k >= min_depth \
@@ -374,39 +832,51 @@ class OracleScene:
         if not can_expand:
             return L
 
-        is_delta = (not scattered) and self.kind[tri] == 2   # glass
         if scattered:
             f_const = 1.0 / (4.0 * math.pi)   # isotropic phase (value==pdf)
+            mat = None
+            is_glass = False
+            smooth = False
+            uv = None
         else:
+            mat = self.omats[self.mat_id[tri]]
+            is_glass = mat.kind == _GLASS
+            smooth = self.smooth[self.mat_id[tri]]
+            uv = self._uv_at(tri, bary)
             n = self.ng[tri].copy()
             # two-sided: flip toward the incoming side (non-lights only;
             # glass keeps the unflipped geometric frame — wi.z's sign
             # encodes inside/outside)
-            if not is_delta and not self.is_light[tri] \
+            if not is_glass and not self.is_light[tri] \
                     and float(n @ d) > 0.0:
                 n = -n
 
-        # ---- NEE (light strategy), path of k+2 edges; a delta interface
-        # has zero value on any sampled direction, so NEE is skipped there
-        # (LightSamplingStrategy evaluates f=0 for BSDFType::DELTA)
-        if nee and (k + 1) >= min_depth and not is_delta:
+        # ---- NEE (light strategy), path of k+2 edges; smooth materials
+        # (any DELTA component) evaluate f=0 on sampled directions, so NEE
+        # is skipped there (LightSamplingStrategy + BSDFType::is_smooth)
+        if nee and (k + 1) >= min_depth and not (smooth and not scattered):
             ls = self._sample_light(p_v, rng)
             if ls is not None:
-                d_l, dist_l, w_l, pdf_l, p_l = ls
+                d_l = ls["d"]
                 if scattered:
                     f = np.full(3, f_const)
                     pdf_other = f_const
                     p_shadow = p_v
                 else:
-                    f, pdf_other = self._bsdf_eval_pdf(tri, n, d, d_l)
+                    f, pdf_other = self._bsdf_eval_pdf(tri, n, d, d_l, uv)
                     p_shadow = self._offset(p_hit, self.ng[tri], d_l)
-                if float(np.max(f)) > 0.0 and not self.occluded(p_shadow,
-                                                                p_l):
-                    tr_sh = (np.exp(-self.sigma_t * dist_l)
-                             if self.sigma_t is not None else 1.0)
-                    w_nee = (self._balance(pdf_l, pdf_other)
-                             if mis else 1.0)
-                    L = L + thr_med * f * tr_sh * w_l * w_nee
+                if float(np.max(f)) > 0.0:
+                    if ls["dist"] is None:
+                        vis = not self.occluded_ray(p_shadow, d_l)
+                        tr_sh = 1.0       # env + medium is out of scope
+                    else:
+                        vis = not self.occluded(p_shadow, ls["p_l"])
+                        tr_sh = (np.exp(-self.sigma_t * ls["dist"])
+                                 if self.sigma_t is not None else 1.0)
+                    if vis:
+                        w_nee = (self._balance(ls["pdf_sa"], pdf_other)
+                                 if mis else 1.0)
+                        L = L + thr_med * f * tr_sh * ls["weight"] * w_nee
 
         # ---- directional bounce (BSDF at surfaces, phase in the medium)
         if scattered:
@@ -414,15 +884,17 @@ class OracleScene:
             weight = np.ones(3)          # perfect IS: value/pdf = 1
             pdf_dir = f_const
             o_new = p_v
-        elif is_delta:
+            is_delta = False
+        elif is_glass:
             d_new, weight = self._glass_sample(tri, self.ng[tri], d, rng)
             pdf_dir = 1.0                # discrete pdf; MIS never uses it
             o_new = self._offset(p_hit, self.ng[tri], d_new)
+            is_delta = True
         else:
-            res = self._bsdf_sample(tri, n, d, rng)
+            res = self._bsdf_sample(tri, n, d, rng, uv)
             if res is None:
                 return L
-            d_new, pdf_dir, weight = res
+            d_new, pdf_dir, weight, is_delta = res
             o_new = self._offset(p_hit, self.ng[tri], d_new)
         if float(np.max(weight)) <= 0.0:
             return L
@@ -461,3 +933,138 @@ class OracleScene:
                     m2[y, x] += delta * (li - mean[y, x])
         var = m2 / max(spp - 1, 1)       # per-sample variance
         return mean, var / spp           # variance OF the pixel mean
+
+    # ----------------------------------------------------- adjoint transport
+    def camera_sample_direct(self, p):
+        """Splat world point p to the film: (W_e/dist^2, (px, py)) or None —
+        independent transliteration of camera.rs:94-138."""
+        q = self.cam_to_local @ np.asarray([p[0], p[1], p[2], 1.0])
+        ref_p = q[:3] / q[3]
+        if ref_p[2] < 0.0:
+            return None
+        s = self.cam_c2s @ np.asarray([ref_p[0], ref_p[1], ref_p[2], 1.0])
+        sp = s[:3] / s[3]
+        if not (0.0 <= sp[0] <= 1.0 and 0.0 <= sp[1] <= 1.0):
+            return None
+        px, py = sp[0] * self.cam_w, sp[1] * self.cam_h
+        dist = float(np.linalg.norm(ref_p))
+        if dist <= 0.0:
+            return None
+        local_d = ref_p / dist
+        ct = local_d[2]
+        if ct <= 0.0:
+            return None
+        ppx = local_d[0] / ct
+        ppy = local_d[1] / ct
+        if not (self.cam_rect_min[0] <= ppx <= self.cam_rect_max[0]
+                and self.cam_rect_min[1] <= ppy <= self.cam_rect_max[1]):
+            return None
+        size = (self.cam_rect_max[0] - self.cam_rect_min[0]) \
+            * (self.cam_rect_max[1] - self.cam_rect_min[1])
+        importance = (1.0 / size) / ct ** 3
+        return importance / (dist * dist), (px, py)
+
+    def camera_position(self):
+        return self.cam_to_world[:3, 3].copy()
+
+    def render_light(self, width, height, n_paths, seed=0, max_depth=5,
+                     min_depth=0):
+        """Adjoint particle tracing with camera splatting — the independent
+        scalar analog of IntegratorLightTracing, written from
+        light.rs:35-210: paths start on an emitter (flux = Le*pi/pdf_area),
+        the LIGHT vertex splats flux*W_e*cos/pi, each SURFACE vertex with a
+        non-smooth BSDF splats flux*W_e*f(wi, w_cam; Radiance), bounces use
+        Transport::Importance (no eta^2 on glass). Film scaled by
+        W*H/n_paths. Returns the splat image [h, w, 3]."""
+        if self.has_env or self.sigma_t is not None:
+            raise NotImplementedError(
+                "oracle light tracer: area lights, no medium")
+        rng = np.random.default_rng(seed)
+        img = np.zeros((height, width, 3))
+        cam_p = self.camera_position()
+
+        def splat(px, py, val):
+            xi, yi = int(px), int(py)
+            if 0 <= xi < width and 0 <= yi < height \
+                    and np.isfinite(val).all():
+                img[yi, xi] += val
+
+        n_em = len(self.em_tri)
+        probs = self.atom_prob[:n_em] / self.atom_prob[:n_em].sum()
+        for _ in range(n_paths):
+            # ---- emission origin (random_sample_emitter_position)
+            i = rng.choice(n_em, p=probs)
+            tri = int(self.em_tri[i])
+            su = math.sqrt(rng.random())
+            b1, b2 = 1.0 - su, rng.random() * su
+            p0 = self.v0[tri] + b1 * self.e1[tri] + b2 * self.e2[tri]
+            n0 = self.ng[tri]
+            pdf_area = probs[i] / self.area[tri]
+            flux = self.le[tri] * (math.pi / pdf_area)
+
+            # ---- splat the LIGHT vertex (light.rs:137-171): the sampled
+            # emission direction has a solid-angle pdf, so depth-0 counts
+            # when min_depth allows
+            if 0 >= min_depth:
+                d_cam = cam_p - p0
+                dist = float(np.linalg.norm(d_cam))
+                d_cam = d_cam / dist
+                cos_e = float(n0 @ d_cam)
+                if cos_e > 0.0:
+                    ps = self._offset(p0, n0, d_cam)
+                    if not self.occluded(ps, cam_p):
+                        cd = self.camera_sample_direct(p0)
+                        if cd is not None:
+                            w_e, (px, py) = cd
+                            splat(px, py, flux * w_e * cos_e / math.pi)
+
+            # ---- emission direction: cosine about n0, weight 1
+            d, _pdf = self._cosine_hemisphere(n0, rng)
+            o = self._offset(p0, n0, d)
+            thr = np.ones(3)
+            for k in range(1, max_depth if max_depth else 32):
+                tri_h, t_hit, p_hit, bary = self.intersect(o, d)
+                if tri_h is None:
+                    break
+                mat = self.omats[self.mat_id[tri_h]]
+                smooth = self.smooth[self.mat_id[tri_h]]
+                is_glass = mat.kind == _GLASS
+                uv = self._uv_at(tri_h, bary)
+                n = self.ng[tri_h].copy()
+                if not is_glass and not self.is_light[tri_h] \
+                        and float(n @ d) > 0.0:
+                    n = -n
+
+                # ---- camera connection (Transport::Radiance eval;
+                # correction factor == 1 with geometric-frame shading)
+                if not smooth and k >= min_depth:
+                    d_cam = cam_p - p_hit
+                    dist = float(np.linalg.norm(d_cam))
+                    d_cam = d_cam / dist
+                    f, _pdf2 = self._bsdf_eval_pdf(tri_h, n, d, d_cam, uv)
+                    if float(np.max(f)) > 0.0:
+                        ps = self._offset(p_hit, self.ng[tri_h], d_cam)
+                        if not self.occluded(ps, cam_p):
+                            cd = self.camera_sample_direct(p_hit)
+                            if cd is not None:
+                                w_e, (px, py) = cd
+                                splat(px, py, flux * thr * f * w_e)
+
+                # ---- bounce with Transport::Importance
+                if max_depth is not None and k + 1 >= max_depth:
+                    break
+                if is_glass:
+                    d_new, w_b = self._glass_sample(
+                        tri_h, self.ng[tri_h], d, rng,
+                        radiance_transport=False)
+                else:
+                    res = self._bsdf_sample(tri_h, n, d, rng, uv)
+                    if res is None:
+                        break
+                    d_new, _p, w_b, _dlt = res
+                if float(np.max(w_b)) <= 0.0:
+                    break
+                thr = thr * w_b
+                o = self._offset(p_hit, self.ng[tri_h], d_new)
+                d = d_new
+        return img * (width * height / n_paths)

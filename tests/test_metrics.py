@@ -67,3 +67,35 @@ def test_veach_mis_l2_outlier_is_near_delta_noise():
     idx = np.argsort(err.ravel())[::-1][:k]
     lum = np.maximum(ref.mean(-1).ravel()[idx], img.mean(-1).ravel()[idx])
     assert np.median(lum) > 1.0
+
+
+def test_bench_correctness_gate():
+    """bench.py's TPU correctness envelope (VERDICT r4 item 6): the committed
+    reference must pass itself, a statistically-identical render (noise at the
+    measured seed-to-seed floor) must pass, and a deliberately-perturbed
+    render (+5% uniform bias, far above the floor) must FAIL."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import bench
+
+    ref = np.load(os.path.join(os.path.dirname(bench.__file__),
+                               "regress", "bench_ref.npz"))
+    bm, block = ref["blockmean"].astype(np.float64), int(ref["block"])
+    img = np.repeat(np.repeat(bm, block, axis=0), block, axis=1)
+
+    assert bench._correctness_gate(img)["ok"]
+
+    rng = np.random.default_rng(3)
+    noisy = img + rng.normal(0.0, float(ref["floor_l1"]), img.shape)
+    assert bench._correctness_gate(noisy)["ok"]
+
+    res = bench._correctness_gate(img * 1.05)
+    assert not res["ok"] and res["l1_vs_ref"] > 4.0 * res["floor_l1"]
+
+    os.environ["RUSTLIGHT_TPU_BENCH_SELFTEST_PERTURB"] = "0.05"
+    try:
+        assert not bench._correctness_gate(img)["ok"]
+    finally:
+        del os.environ["RUSTLIGHT_TPU_BENCH_SELFTEST_PERTURB"]

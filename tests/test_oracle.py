@@ -10,6 +10,8 @@ A shared wavefront-side estimator bias (the risk this oracle retires) would
 shift every pixel the same way and trip the global test long before the
 outlier one.
 """
+import math
+
 import numpy as np
 import pytest
 
@@ -113,3 +115,133 @@ def test_oracle_glass_cbox():
     host = cornell_box(SIZE, SIZE, mat_overrides={"blocks": glass()})
     _agree("cbox-glass(md=6)", host, max_depth=6, spp_wave=512,
            spp_oracle=96)
+
+
+# --------------------------------------------------------------------------
+# Round-5 scope extension (VERDICT r4 item 3): metal / substrate / blend /
+# textures / envmap, plus the adjoint (light-tracing) path — the estimators
+# that previously had no independent implementation checking them.
+# --------------------------------------------------------------------------
+
+def test_oracle_metal_cbox():
+    """Rough-conductor transport, BOTH microfacet families: Beckmann blocks
+    + GGX right wall (metal.rs:14-177, distribution.rs:25-145,
+    fresnel_conductor of utils.rs:76-96). Exercises half-vector sampling,
+    Smith G1, converted-measure pdfs MIS'd against NEE."""
+    from rustlight_tpu.bsdfs import metal
+    host = cornell_box(SIZE, SIZE, mat_overrides={
+        "blocks": metal(alpha=0.25, dist_ggx=False),
+        "right": metal(ks=(0.9, 0.4, 0.3), alpha=0.35, dist_ggx=True)})
+    _agree("cbox-metal(md=4)", host, max_depth=4, spp_wave=384,
+           spp_oracle=80)
+
+
+def test_oracle_substrate_cbox():
+    """FresnelBlend substrate (substrate.rs:21-225): 0.5/0.5 lobe mix,
+    Schlick fresnel coat over diffuse, the 28/(23 pi) normalization."""
+    from rustlight_tpu.bsdfs import substrate
+    host = cornell_box(SIZE, SIZE, mat_overrides={
+        "blocks": substrate(kd=(0.4, 0.5, 0.6), ks=(0.08, 0.08, 0.08),
+                            alpha=0.3)})
+    _agree("cbox-substrate(md=4)", host, max_depth=4, spp_wave=384,
+           spp_oracle=80)
+
+
+def test_oracle_blend_cbox():
+    """Two-BSDF mixture (blend.rs:9-95): blocks = 0.4 phong + 0.6 diffuse.
+    Lobe selection with random reuse, recombined mixture pdf/weight."""
+    from rustlight_tpu.bsdfs import blend, phong
+    host = cornell_box(SIZE, SIZE, mat_overrides={"blocks": blend(4, 0, 0.4)})
+    host.add_material(phong(kd=(0.1,) * 3, ks=(0.6,) * 3, exponent=30.0,
+                            weight_specular=0.5))
+    _agree("cbox-blend(md=4)", host, max_depth=4, spp_wave=384,
+           spp_oracle=80)
+
+
+def test_oracle_textured_cbox():
+    """Textured diffuse slots (BSDFColor, mod.rs:11-121): checkerboard
+    walls + bitmap right wall through the scene texture atlas — uv
+    interpolation, Rust truncation semantics, v-flip texel lookup."""
+    from rustlight_tpu.bsdfs import MaterialDesc
+    from rustlight_tpu.bsdfs.table import KIND_DIFFUSE, TEX_CHECKER, \
+        TEX_BITMAP
+    rng = np.random.default_rng(11)
+    tex = (0.2 + 0.6 * rng.random((16, 16, 3))).astype(np.float32)
+    host = cornell_box(SIZE, SIZE, mat_overrides={
+        "white": MaterialDesc(kind=KIND_DIFFUSE, kd=(0.7, 0.7, 0.7),
+                              tex_kind=TEX_CHECKER, tex_c1=(0.25, 0.25, 0.3),
+                              tex_scale=(2.0, 2.0)),
+        "right": MaterialDesc(kind=KIND_DIFFUSE, tex_kind=TEX_BITMAP,
+                              tex_img=0)})
+    host.textures = tex[None]
+    _agree("cbox-textured(md=3)", host, max_depth=3, spp_wave=384,
+           spp_oracle=80)
+
+
+def test_oracle_env_glass_sphere():
+    """The envglass-scope configuration (examples/envglass.xml class): a
+    glass sphere + a smooth-metal sphere on a diffuse ground under a
+    TEXTURED environment map — env 2D-CDF NEE with sin(theta) weighting
+    (emitter.rs:300-568), escaped-ray MIS, delta chains through both
+    dielectric and conductor mirrors."""
+    from rustlight_tpu.scene import Scene, make_camera, look_at, \
+        make_sphere, make_quad
+    from rustlight_tpu.bsdfs import glass, metal, diffuse
+    rng = np.random.default_rng(5)
+    # smooth-ish env with a bright patch (exercises the CDF concentration)
+    env = 0.3 + 0.4 * rng.random((12, 24, 3))
+    env[3:5, 6:9] = (12.0, 10.0, 8.0)
+    sc = Scene()
+    mg = sc.add_material(glass())
+    mm = sc.add_material(metal(alpha=0.0))
+    md = sc.add_material(diffuse((0.5, 0.45, 0.4)))
+    sc.add_mesh(make_sphere((-1.2, 1.0, 0), 1.0, material=mg))
+    sc.add_mesh(make_sphere((1.2, 1.0, 0), 1.0, material=mm))
+    sc.add_mesh(make_quad((-20, 0, -20), (20, 0, -20), (20, 0, 20),
+                          (-20, 0, 20), material=md))
+    sc.env_image = env.astype(np.float32)
+    sc.camera = make_camera(SIZE, SIZE, fov=55.0,
+                            to_world=look_at((0, 1.6, -6), (0, 1, 0),
+                                             (0, 1, 0)))
+    _agree("env-glass(md=6)", sc, max_depth=6, spp_wave=512, spp_oracle=96)
+
+
+def test_oracle_constant_env_sphere():
+    """Constant envmap: uniform-sphere NEE + escaped-ray MIS against the
+    closed-form selection pdf 1/4pi (emitter.rs:300-341)."""
+    from rustlight_tpu.models.presets import simple_sphere_scene
+    _agree("const-env(md=3)", simple_sphere_scene(SIZE, SIZE), max_depth=3,
+           spp_wave=384, spp_oracle=80)
+
+
+def test_oracle_light_tracing_adjoint():
+    """The adjoint path (VERDICT r4: 'zero independent validation'): the
+    wavefront light tracer (camera sample_direct W_e splatting,
+    light.rs:35-210 + camera.rs:94-138) against the oracle's independent
+    scalar particle tracer, on a cbox with PHONG blocks so the camera
+    connections evaluate a non-trivial f. Image means must agree within
+    the combined seed-to-seed noise."""
+    from rustlight_tpu.bsdfs import phong
+    from rustlight_tpu.integrators import IntegratorLightTracing
+    from rustlight_tpu.integrators.common import render_splat
+
+    host = cornell_box(SIZE, SIZE, mat_overrides={
+        "blocks": phong(kd=(0.2,) * 3, ks=(0.5,) * 3, exponent=50.0,
+                        weight_specular=0.5)})
+    oracle = OracleScene(host)
+    sd = host.compile()
+
+    wave = [float(np.asarray(
+        render_splat(sd, IntegratorLightTracing(max_depth=4, hard_cap=4),
+                     spp=48, seed=s)["primal"]).mean()) for s in (0, 1, 2)]
+    n_paths = 6000
+    orac = [oracle.render_light(SIZE, SIZE, n_paths, seed=100 + s,
+                                max_depth=4).mean() for s in (0, 1, 2)]
+    mw, mo = np.mean(wave), np.mean(orac)
+    # SE of each 3-seed mean from the seed spread, combined in quadrature
+    se = math.sqrt(np.var(wave, ddof=1) / 3 + np.var(orac, ddof=1) / 3)
+    tol = 6.0 * se + 0.02 * mo
+    assert mw > 1e-3 and mo > 1e-3, (mw, mo)
+    assert abs(mw - mo) < tol, (
+        f"light-tracing adjoint: wavefront {mw:.5f} vs oracle {mo:.5f} "
+        f"(tol {tol:.5f}, seeds {wave} vs {orac})")
