@@ -1110,9 +1110,54 @@ def write_exr(path, img: np.ndarray, half: bool = False,
                 + b"".join(blocks))
 
 
-def read_exr(path) -> np.ndarray:
+def _parse_exr_part_header(data: bytes, pos: int):
+    """Parse one header (attribute list up to its null terminator).
+
+    Returns (hdr dict, new pos); hdr is None for an EMPTY header (the
+    terminator of a multipart header sequence)."""
+    if data[pos] == 0:
+        return None, pos + 1
+    hdr = {"channels": [], "comp": None, "dw": None, "tiles": None,
+           "name": None, "type": None, "chunkCount": None}
+    while data[pos] != 0:
+        nul = data.index(b"\0", pos)
+        name = data[pos:nul]; pos = nul + 1
+        nul = data.index(b"\0", pos)
+        typ = data[pos:nul]; pos = nul + 1
+        (size,) = _struct.unpack_from("<i", data, pos); pos += 4
+        val = data[pos:pos + size]; pos += size
+        if name == b"channels":
+            cp = 0
+            while val[cp] != 0:
+                cn = val.index(b"\0", cp)
+                cname = val[cp:cn].decode(); cp = cn + 1
+                pt, _, _, _ = _struct.unpack_from("<iiii", val, cp); cp += 16
+                hdr["channels"].append((cname, pt))
+        elif name == b"compression":
+            hdr["comp"] = val[0]
+        elif name == b"dataWindow":
+            hdr["dw"] = _struct.unpack("<iiii", val)
+        elif name == b"tiles":
+            hdr["tiles"] = _struct.unpack("<IIB", val[:9])
+        elif name == b"name":
+            hdr["name"] = val.rstrip(b"\0").decode()
+        elif name == b"type":
+            hdr["type"] = val.rstrip(b"\0").decode()
+        elif name == b"chunkCount":
+            (hdr["chunkCount"],) = _struct.unpack("<i", val)
+    return hdr, pos + 1
+
+
+def read_exr(path, part=None) -> np.ndarray:
     """Read a scanline EXR — every compression enum 0–9 (NONE/RLE/ZIPS/ZIP/
     PIZ/PXR24/B44/B44A/DWAA/DWAB).
+
+    Multipart files (version bit 0x1000, OpenEXR >= 2.0: a header sequence
+    terminated by an empty header, one chunk-offset table per part, each
+    chunk prefixed with its i32 part number — ImfMultiPartInputFile) load
+    ONE part: `part` selects by index or by part name; default is the first
+    non-deep part. Deep parts (and deep single-part files, bit 0x800) are
+    rejected loudly, never decoded as garbage.
 
     Caveat (DWAA/DWAB only): the DWA decoder is spec-derived and has never
     been validated against a canonical OpenEXR-written DWA file — no OpenEXR
@@ -1127,39 +1172,70 @@ def read_exr(path) -> np.ndarray:
         raise ValueError("not an EXR file")
     # version field: low byte = 2, flag bits select tiled (0x200),
     # long-names (0x400, header layout unchanged), deep (0x800),
-    # multipart (0x1000). Scanline and tiled single-part files are
-    # supported; deep/multipart must fail loudly, not decode garbage.
+    # multipart (0x1000).
     (version,) = _struct.unpack_from("<I", data, 4)
-    if version & (0x800 | 0x1000):
-        kindbits = [nm for bit, nm in ((0x800, "deep"),
-                                       (0x1000, "multipart"))
-                    if version & bit]
+    if version & 0x800:
         raise NotImplementedError(
-            f"EXR {'/'.join(kindbits)} files unsupported; "
-            "flatten with oiiotool first")
-    pos = 8
-    channels, comp, dw, tiles = [], None, None, None
-    while data[pos] != 0:
-        nul = data.index(b"\0", pos)
-        name = data[pos:nul]; pos = nul + 1
-        nul = data.index(b"\0", pos)
-        typ = data[pos:nul]; pos = nul + 1
-        (size,) = _struct.unpack_from("<i", data, pos); pos += 4
-        val = data[pos:pos + size]; pos += size
-        if name == b"channels":
-            cp = 0
-            while val[cp] != 0:
-                cn = val.index(b"\0", cp)
-                cname = val[cp:cn].decode(); cp = cn + 1
-                pt, _, _, _ = _struct.unpack_from("<iiii", val, cp); cp += 16
-                channels.append((cname, pt))
-        elif name == b"compression":
-            comp = val[0]
-        elif name == b"dataWindow":
-            dw = _struct.unpack("<iiii", val)
-        elif name == b"tiles":
-            tiles = _struct.unpack("<IIB", val[:9])
-    pos += 1  # header terminator
+            "EXR deep files unsupported; flatten with oiiotool first")
+    multipart = bool(version & 0x1000)
+    chunk_prefix = 0
+    part_is_tiled = bool(version & 0x200)
+
+    if multipart:
+        headers, pos = [], 8
+        while True:
+            hdr, pos = _parse_exr_part_header(data, pos)
+            if hdr is None:
+                break
+            headers.append(hdr)
+        if not headers:
+            raise ValueError("multipart EXR with no headers")
+        for h in headers:
+            if h["chunkCount"] is None:
+                raise ValueError(
+                    "multipart EXR part missing required chunkCount")
+        # ---- part selection: index, name, or first non-deep part
+        if part is None:
+            sel = next((i for i, h in enumerate(headers)
+                        if not (h["type"] or "").startswith("deep")), None)
+            if sel is None:
+                raise NotImplementedError(
+                    "EXR multipart: every part is deep; flatten first")
+        elif isinstance(part, str):
+            names = [h["name"] for h in headers]
+            if part not in names:
+                raise ValueError(
+                    f"EXR part {part!r} not found (parts: {names})")
+            sel = names.index(part)
+        else:
+            sel = int(part)
+            if not 0 <= sel < len(headers):
+                raise ValueError(
+                    f"EXR part index {sel} out of range ({len(headers)})")
+        hsel = headers[sel]
+        if (hsel["type"] or "").startswith("deep"):
+            raise NotImplementedError(
+                f"EXR part {hsel['name']!r} is deep; flatten first")
+        # ---- one offset table per part, in header order
+        for i, h in enumerate(headers):
+            if i == sel:
+                table_pos = pos
+            pos += 8 * h["chunkCount"]
+        channels, comp = hsel["channels"], hsel["comp"]
+        dw, tiles = hsel["dw"], hsel["tiles"]
+        n_chunks = hsel["chunkCount"]
+        part_is_tiled = hsel["type"] == "tiledimage"
+        chunk_prefix = 4                     # i32 part number per chunk
+        pos = table_pos
+        sel_part = sel
+    else:
+        hdr, pos = _parse_exr_part_header(data, 8)
+        if hdr is None:
+            raise ValueError("EXR with empty header")
+        channels, comp, dw, tiles = (hdr["channels"], hdr["comp"],
+                                     hdr["dw"], hdr["tiles"])
+        n_chunks = None
+        sel_part = 0
     if comp not in _EXR_LINES_PER_BLOCK:
         raise NotImplementedError(
             f"EXR compression {comp} unsupported (read: NONE/RLE/ZIPS/ZIP/"
@@ -1197,13 +1273,20 @@ def read_exr(path) -> np.ndarray:
                     dtype="<" + dt().dtype.str[1:]).astype(np.float32)
                 p += bw * bpp
 
-    if version & 0x200:                          # single-part tiled
+    if part_is_tiled:                            # tiled (single- or multipart)
         if tiles is None:
             raise ValueError("tiled EXR without a 'tiles' attribute")
         tx, ty, mode = tiles
-        n_chunks = _exr_tile_chunk_count(w, h, tx, ty, mode)
+        if n_chunks is None:
+            n_chunks = _exr_tile_chunk_count(w, h, tx, ty, mode)
         offsets = _struct.unpack_from("<%dQ" % n_chunks, data, pos)
         for off in offsets:
+            if chunk_prefix:
+                (pn,) = _struct.unpack_from("<i", data, off)
+                if pn != sel_part:
+                    raise ValueError(
+                        f"EXR chunk part number {pn} != selected {sel_part}")
+                off += chunk_prefix
             dx, dy, lx, ly, n = _struct.unpack_from("<iiiii", data, off)
             if lx != 0 or ly != 0:
                 continue                         # mip/rip levels: level 0 only
@@ -1215,10 +1298,17 @@ def read_exr(path) -> np.ndarray:
             _scatter(blk, dx * tx, dy * ty, bw, bny)
     else:                                        # scanline
         lpb = _EXR_LINES_PER_BLOCK[comp]
-        n_blocks = (h + lpb - 1) // lpb
-        offsets = _struct.unpack_from("<%dQ" % n_blocks, data, pos)
+        if n_chunks is None:
+            n_chunks = (h + lpb - 1) // lpb
+        offsets = _struct.unpack_from("<%dQ" % n_chunks, data, pos)
         line_bytes = sum(w * (2 if pt == 1 else 4) for _, pt in channels)
         for off in offsets:
+            if chunk_prefix:
+                (pn,) = _struct.unpack_from("<i", data, off)
+                if pn != sel_part:
+                    raise ValueError(
+                        f"EXR chunk part number {pn} != selected {sel_part}")
+                off += chunk_prefix
             y, n = _struct.unpack_from("<ii", data, off)
             ny = min(lpb, y1 - y + 1)
             blk = _decode(data[off + 8:off + 8 + n], w, ny, ny * line_bytes)

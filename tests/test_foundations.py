@@ -1428,22 +1428,27 @@ def test_resize_camera_rederives_projection():
 
 class TestExrVersionFlags:
     def test_deep_multipart_rejected_loudly(self, tmp_path):
-        """Deep (0x800) and multipart (0x1000) version flags must raise
-        instead of misparsing the chunk table; a tiled flag (0x200) with
-        no 'tiles' attribute is a malformed file and raises too."""
+        """Deep (0x800) must raise instead of misparsing the chunk table; a
+        multipart flag (0x1000) on a single-part layout is malformed (its
+        one header lacks the required chunkCount) and raises too; a tiled
+        flag (0x200) with no 'tiles' attribute is also malformed."""
         import struct
         from rustlight_tpu.utils import image as rimage
         p = tmp_path / "ok.exr"
         rimage.write_exr(p, np.ones((4, 4, 3), np.float32))
         raw = bytearray(p.read_bytes())
-        for flag, word in ((0x800, "deep"), (0x1000, "multipart")):
-            (v,) = struct.unpack_from("<I", raw, 4)
-            struct.pack_into("<I", raw, 4, v | flag)
-            q = tmp_path / f"f{flag}.exr"
-            q.write_bytes(bytes(raw))
-            with pytest.raises(NotImplementedError, match=word):
-                rimage.read_exr(q)
-            struct.pack_into("<I", raw, 4, v)   # restore
+        (v,) = struct.unpack_from("<I", raw, 4)
+        struct.pack_into("<I", raw, 4, v | 0x800)
+        q = tmp_path / "f800.exr"
+        q.write_bytes(bytes(raw))
+        with pytest.raises(NotImplementedError, match="deep"):
+            rimage.read_exr(q)
+        struct.pack_into("<I", raw, 4, v | 0x1000)
+        q = tmp_path / "f1000.exr"
+        q.write_bytes(bytes(raw))
+        with pytest.raises(ValueError, match="chunkCount"):
+            rimage.read_exr(q)
+        struct.pack_into("<I", raw, 4, v)   # restore
         (v,) = struct.unpack_from("<I", raw, 4)
         struct.pack_into("<I", raw, 4, v | 0x200)
         q = tmp_path / "tiled_noattr.exr"
@@ -1546,3 +1551,181 @@ class TestExrTiled:
         out = rimage.read_exr(p)
         np.testing.assert_array_equal(out[:, :, 0], img0)
         assert not (out == 99.0).any()
+
+
+class TestExrMultipart:
+    """Multipart single-part read (VERDICT r4 item 9; OpenEXR >= 2.0
+    layout: header sequence terminated by an empty header, a chunkCount
+    attribute per part, one offset table per part, every chunk prefixed
+    with its i32 part number — ImfMultiPartInputFile). The container
+    below is an independent in-test spec writer (same anchoring
+    discipline as the PIZ/B44/DWA encoders): it never calls write_exr."""
+
+    @staticmethod
+    def _attr(name, typ, val):
+        import struct
+        return name + b"\0" + typ + b"\0" + struct.pack("<i", len(val)) + val
+
+    @classmethod
+    def _part_header(cls, name, ptype, channels, comp, w, h, n_chunks):
+        import struct
+        chl = b""
+        for cn, pt in channels:
+            chl += cn.encode() + b"\0" + struct.pack("<iiii", pt, 0, 1, 1)
+        chl += b"\0"
+        hdr = cls._attr(b"channels", b"chlist", chl)
+        hdr += cls._attr(b"compression", b"compression", bytes([comp]))
+        dw = struct.pack("<iiii", 0, 0, w - 1, h - 1)
+        hdr += cls._attr(b"dataWindow", b"box2i", dw)
+        hdr += cls._attr(b"displayWindow", b"box2i", dw)
+        hdr += cls._attr(b"name", b"string", name.encode())
+        hdr += cls._attr(b"type", b"string", ptype.encode())
+        hdr += cls._attr(b"chunkCount", b"int", struct.pack("<i", n_chunks))
+        hdr += cls._attr(b"lineOrder", b"lineOrder", b"\0")
+        hdr += cls._attr(b"pixelAspectRatio", b"float",
+                         struct.pack("<f", 1.0))
+        return hdr + b"\0"
+
+    @classmethod
+    def _mk_multipart(cls, parts, tmp_path, fname):
+        """parts: list of dicts {name, type, channels, comp, w, h,
+        payloads (list of (y_or_none, bytes))}; deep parts pass
+        payloads=[] and get a zero chunkCount."""
+        import struct
+        from rustlight_tpu.utils.image import _EXR_LINES_PER_BLOCK
+        out = b"\x76\x2f\x31\x01" + struct.pack("<i", 2 | 0x1000)
+        for p in parts:
+            out += cls._part_header(p["name"], p["type"], p["channels"],
+                                    p["comp"], p["w"], p["h"],
+                                    len(p["payloads"]))
+        out += b"\0"                          # empty header = sequence end
+        table_base = len(out)
+        n_total = sum(len(p["payloads"]) for p in parts)
+        body_base = table_base + 8 * n_total
+        body = b""
+        tables = []
+        for pi, p in enumerate(parts):
+            lpb = _EXR_LINES_PER_BLOCK.get(p["comp"], 32)
+            offs = []
+            for ci, pl in enumerate(p["payloads"]):
+                offs.append(body_base + len(body))
+                body += struct.pack("<iii", pi, ci * lpb, len(pl)) + pl
+            tables.append(offs)
+        for offs in tables:
+            out += b"".join(struct.pack("<Q", o) for o in offs)
+        out += body
+        fp = tmp_path / fname
+        fp.write_bytes(out)
+        return fp
+
+    @staticmethod
+    def _raw_payloads(img, comp_lpb):
+        """Uncompressed single-channel HALF scanline payloads."""
+        h = img.shape[0]
+        out = []
+        for y0 in range(0, h, comp_lpb):
+            rows = img[y0:y0 + comp_lpb].astype(np.float16)
+            out.append(rows.tobytes())
+        return out
+
+    def test_two_scanline_parts(self, tmp_path):
+        from rustlight_tpu.utils import image as rimage
+        rng = np.random.default_rng(21)
+        a = rng.normal(size=(7, 9)).astype(np.float32)
+        b = rng.normal(size=(5, 9)).astype(np.float32)
+        parts = [
+            dict(name="beauty", type="scanlineimage",
+                 channels=[("G", 1)], comp=0, w=9, h=7,
+                 payloads=self._raw_payloads(a, 1)),
+            dict(name="depth", type="scanlineimage",
+                 channels=[("G", 1)], comp=0, w=9, h=5,
+                 payloads=self._raw_payloads(b, 1)),
+        ]
+        fp = self._mk_multipart(parts, tmp_path, "mp2.exr")
+        # default = first non-deep part
+        np.testing.assert_array_equal(
+            rimage.read_exr(fp)[:, :, 0], a.astype(np.float16))
+        # by index and by name
+        np.testing.assert_array_equal(
+            rimage.read_exr(fp, part=1)[:, :, 0], b.astype(np.float16))
+        np.testing.assert_array_equal(
+            rimage.read_exr(fp, part="depth")[:, :, 0],
+            b.astype(np.float16))
+        np.testing.assert_array_equal(
+            rimage.read_exr(fp, part="beauty")[:, :, 0],
+            a.astype(np.float16))
+
+    def test_deep_part_skipped_and_rejected(self, tmp_path):
+        from rustlight_tpu.utils import image as rimage
+        rng = np.random.default_rng(22)
+        img = rng.normal(size=(4, 6)).astype(np.float32)
+        parts = [
+            dict(name="deeppart", type="deepscanline",
+                 channels=[("G", 1)], comp=0, w=6, h=4, payloads=[]),
+            dict(name="flat", type="scanlineimage",
+                 channels=[("G", 1)], comp=0, w=6, h=4,
+                 payloads=self._raw_payloads(img, 1)),
+        ]
+        fp = self._mk_multipart(parts, tmp_path, "mpdeep.exr")
+        # default selection skips the deep part
+        np.testing.assert_array_equal(
+            rimage.read_exr(fp)[:, :, 0], img.astype(np.float16))
+        # explicitly selecting the deep part raises loudly
+        with pytest.raises(NotImplementedError, match="deep"):
+            rimage.read_exr(fp, part="deeppart")
+        with pytest.raises(NotImplementedError, match="deep"):
+            rimage.read_exr(fp, part=0)
+
+    def test_compressed_parts_and_errors(self, tmp_path):
+        """zip-compressed multipart part (reuses the single-part codec
+        through the shared chunk decoder) + missing-part errors."""
+        import zlib
+        from rustlight_tpu.utils import image as rimage
+        from rustlight_tpu.utils.image import _EXR_LINES_PER_BLOCK
+        rng = np.random.default_rng(23)
+        img = rng.normal(size=(37, 8)).astype(np.float32)
+        lpb = _EXR_LINES_PER_BLOCK[3]
+        payloads = []
+        for y0 in range(0, 37, lpb):
+            raw = img[y0:y0 + lpb].astype(np.float16).tobytes()
+            # EXR-zip predictor: interleave split + delta encode
+            arr = np.frombuffer(raw, np.uint8).astype(np.int16)
+            half = (len(arr) + 1) // 2
+            inter = np.zeros_like(arr)
+            inter[:half], inter[half:] = arr[0::2], arr[1::2]
+            d = np.empty_like(inter)
+            d[0] = inter[0]
+            d[1:] = (inter[1:] - inter[:-1] + 128 + 256) % 256
+            z = zlib.compress(d.astype(np.uint8).tobytes())
+            payloads.append(z if len(z) < len(raw) else raw)
+        parts = [dict(name="z", type="scanlineimage", channels=[("G", 1)],
+                      comp=3, w=8, h=37, payloads=payloads)]
+        fp = self._mk_multipart(parts, tmp_path, "mpz.exr")
+        np.testing.assert_array_equal(
+            rimage.read_exr(fp)[:, :, 0], img.astype(np.float16))
+        with pytest.raises(ValueError, match="not found"):
+            rimage.read_exr(fp, part="nope")
+        with pytest.raises(ValueError, match="out of range"):
+            rimage.read_exr(fp, part=3)
+
+    def test_multipart_fuzz_shapes(self, tmp_path):
+        """Random part counts / shapes / block counts; every part must
+        round-trip under any selection."""
+        from rustlight_tpu.utils import image as rimage
+        rng = np.random.default_rng(24)
+        for trial in range(8):
+            n_parts = int(rng.integers(1, 5))
+            parts, imgs = [], []
+            for pi in range(n_parts):
+                w = int(rng.integers(1, 20))
+                h = int(rng.integers(1, 20))
+                img = rng.normal(size=(h, w)).astype(np.float32)
+                imgs.append(img)
+                parts.append(dict(name=f"p{pi}", type="scanlineimage",
+                                  channels=[("G", 1)], comp=0, w=w, h=h,
+                                  payloads=self._raw_payloads(img, 1)))
+            fp = self._mk_multipart(parts, tmp_path, f"fz{trial}.exr")
+            for pi in range(n_parts):
+                got = rimage.read_exr(fp, part=pi)[:, :, 0]
+                np.testing.assert_array_equal(
+                    got, imgs[pi].astype(np.float16), err_msg=f"t{trial}p{pi}")

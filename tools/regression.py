@@ -69,7 +69,10 @@ def build_tests():
                           techniques=GI_ALGO + ["gradient-path-explicit"]),
         # volumetric: forward path vs adjoint light tracing in the medium
         "cbox_medium": dict(scene=cbox_medium, techniques=["path", "light"]),
-        "veach_mis": dict(scene=veach, techniques=["path"]),
+        # veach's l2 floor is dominated by ~50 near-delta pixels (light
+        # silhouettes + the exponent-5000 highlight); a 4096-spp reference
+        # puts the row inside an ordinary floor (VERDICT r4 item 7)
+        "veach_mis": dict(scene=veach, techniques=["path"], ref_spp=4096),
         # single-scatter estimators compare against a single-scatter ref
         "cbox_medium_single": dict(scene=cbox_medium,
                                    techniques=["point-normal", "path-single",
@@ -195,19 +198,20 @@ def main():
         if args.scenes and tname not in args.scenes:
             continue
         scene_data = spec["scene"]().compile()
+        ref_spp = spec.get("ref_spp", args.ref_spp)
         ref_path = refs / f"{tname}.exr"
         ref_tech = spec.get("ref_tech",
                             "ao" if spec["techniques"] == ["ao"] else "path")
         if args.make_refs or not ref_path.exists():
-            print(f"[{tname}] rendering reference ({args.ref_spp} spp path)...")
-            film = render_one(scene_data, ref_tech, args.ref_spp, seed=777)
+            print(f"[{tname}] rendering reference ({ref_spp} spp path)...")
+            film = render_one(scene_data, ref_tech, ref_spp, seed=777)
             rimage.save(str(ref_path), film["primal"])
         ref = rimage.load(str(ref_path))
         if args.make_floors:
             # an INDEPENDENT equal-spp reference: its metrics against the
             # stored one are the pure-MC noise floor for this scene/ref_spp
             print(f"[{tname}] rendering second reference (noise floor)...")
-            film2 = render_one(scene_data, ref_tech, args.ref_spp, seed=778)
+            film2 = render_one(scene_data, ref_tech, ref_spp, seed=778)
             floors[tname] = {m: metric_scalar(ref, film2["primal"], m)
                              for m in METRICS}
             print(f"[{tname}] floor: {floors[tname]}")
