@@ -33,42 +33,6 @@ def test_falsecolor_shape_and_range():
     assert fc.min() >= 0.0 and fc.max() <= 1.0
 
 
-def test_veach_mis_l2_outlier_is_near_delta_noise():
-    """Pins the explanation of the veach_mis/path l2 ~0.49 regression row
-    (an order of magnitude above the other rows while l1 0.060 and dssim
-    0.044 sit in the pack): the squared error concentrates almost entirely
-    on ~50 of 12288 pixels — directly-visible small-light silhouettes and
-    the exponent-5000 specular highlight, near-delta luminance features
-    where a 32-spp render against a 256-spp self-reference is pure
-    coverage/variance noise. A 3-seed study (seeds 0/1/2: l2 0.485 / 0.514
-    / 0.515, top-50 share 0.943-0.946, clipped l2 0.028-0.029) shows the
-    stored row is typical, symmetric across seeds, and not bias. If this
-    test starts failing, the error mass has MOVED — that is a real drift
-    even if the scalar l2 still passes the gate band."""
-    from pathlib import Path
-    import pytest
-    from rustlight_tpu.utils import image as rimage
-    from rustlight_tpu.utils.metrics import compute_metric
-
-    root = Path(__file__).parent.parent / "regress"
-    ref_p = root / "refs" / "veach_mis.exr"
-    img_p = root / "veach_mis_path.exr"
-    if not (ref_p.exists() and img_p.exists()):
-        pytest.skip("regression artifacts not present")
-    ref = rimage.load(str(ref_p))
-    img = rimage.load(str(img_p))
-    err = compute_metric(ref, img, "l2").mean(-1)
-    flat = np.sort(err.ravel())[::-1]
-    k = 50
-    assert flat[:k].sum() / flat.sum() > 0.85   # top-heavy: delta features
-    assert flat[k:].mean() < 0.05               # clipped l2 is in the pack
-    # the hot pixels live on bright features in ref OR render (fireflies
-    # cut both ways at these spp), not spread over the diffuse field
-    idx = np.argsort(err.ravel())[::-1][:k]
-    lum = np.maximum(ref.mean(-1).ravel()[idx], img.mean(-1).ravel()[idx])
-    assert np.median(lum) > 1.0
-
-
 def test_bench_correctness_gate():
     """bench.py's TPU correctness envelope (VERDICT r4 item 6): the committed
     reference must pass itself, a statistically-identical render (noise at the
