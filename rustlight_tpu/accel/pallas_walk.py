@@ -94,6 +94,10 @@ SPARSE_DEFAULT = os.environ.get("RUSTLIGHT_TPU_SPARSE_VISIT", "0") == "1"
 # opt-in inert-ray compaction (measured negative, see _sort_key): resolved
 # at import for jit-cache hygiene, like SUBTILES_DEFAULT/SPARSE_DEFAULT —
 # a trace-time env read would silently reuse the stale cached trace.
+INCIDENCE_SORT_DEFAULT = os.environ.get(
+    "RUSTLIGHT_TPU_INCIDENCE_SORT", "1") == "1"
+_INC_SORT_MAX_C = int(os.environ.get(
+    "RUSTLIGHT_TPU_INCIDENCE_SORT_MAX_C", "4096"))
 COMPACT_INERT_DEFAULT = os.environ.get(
     "RUSTLIGHT_TPU_COMPACT_INERT", "0") == "1"
 SPARSE_CAP = int(os.environ.get("RUSTLIGHT_TPU_SPARSE_CAP", "16"))
@@ -357,6 +361,61 @@ def _sort_key(wt: WalkTables, o, d, tfar=None):
         for ax in range(3):
             dm = dm | (((qd[:, ax] >> b) & 1) << (3 * b + ax))
     return (octant << 15) | m, dm
+
+
+def _incidence_key(wt: WalkTables, o, d, tnear, tfar):
+    """Set-similarity coherence key (VERDICT r4 item 1): a cheap exact slab
+    pre-pass finds each ray's three lowest-ID overlapped clusters + its
+    overlap count, and rays sort by (id1, id2, id3, count). Measured
+    offline against the exact ray-cluster incidence matrix
+    (tools/perf/grouping_lab.py + the prefix study): divergent 262k-ray
+    tile union 50.9 -> 28.0 visits/tile — matching a full 448-bit
+    incidence-bitset lexsort (28.1) and beating the old "grouping floor"
+    35.97, which greedy packing showed was no floor at all (17.8). The
+    morton sort key cannot see the matrix; this key pays one [N, C] slab
+    sweep (~20 flop/pair, ~2% of one cluster VISIT's triangle work) to
+    look at it directly. Coherent wavefronts measure slightly WORSE than
+    the morton key (9.2 vs 8.4 union), so cost/benefit is decided by the
+    caller flag; scenes beyond RUSTLIGHT_TPU_INCIDENCE_SORT_MAX_C
+    clusters fall back to the morton key.
+
+    ID order (build order) is the locality proxy: treelets are emitted by
+    a spatial binned-SAH sweep, so nearby clusters get nearby IDs and
+    rays sharing their lowest IDs traverse the same region."""
+    c = int(wt.n_real)
+    lo = wt.lo[:, :c]
+    hi = wt.hi[:, :c]
+    n = o.shape[0]
+    # chunk rays so the [chunk, C] scratch stays ~64 MB
+    chunk = max(1024, min(65536, (1 << 26) // max(4 * c, 1)))
+    k1, k2 = [], []
+    bits = max(1, c.bit_length())
+    sh = max(0, bits - 15)
+    for s0 in range(0, n, chunk):
+        e0 = min(s0 + chunk, n)
+        o_c, d_c = o[s0:e0], d[s0:e0]
+        tn_c, tf_c = tnear[s0:e0], tfar[s0:e0]
+        inv = 1.0 / jnp.where(jnp.abs(d_c) > 1e-12, d_c,
+                              jnp.where(d_c >= 0, 1e-12, -1e-12))
+        tmin = jnp.full((e0 - s0, c), -jnp.inf, jnp.float32)
+        tmax = jnp.full((e0 - s0, c), jnp.inf, jnp.float32)
+        for ax in range(3):
+            t0 = (lo[ax][None, :] - o_c[:, ax:ax + 1]) * inv[:, ax:ax + 1]
+            t1 = (hi[ax][None, :] - o_c[:, ax:ax + 1]) * inv[:, ax:ax + 1]
+            tmin = jnp.maximum(tmin, jnp.minimum(t0, t1))
+            tmax = jnp.minimum(tmax, jnp.maximum(t0, t1))
+        ov = ((tmax >= jnp.maximum(tmin, jnp.maximum(tn_c, 0.0)[:, None]))
+              & (tmin <= tf_c[:, None]) & (tf_c > 0.0)[:, None])
+        ids = jnp.where(ov, lax.iota(jnp.int32, c)[None, :], c)
+        id1 = ids.min(1)
+        ids = jnp.where(ids == id1[:, None], c, ids)
+        id2 = ids.min(1)
+        ids = jnp.where(ids == id2[:, None], c, ids)
+        id3 = ids.min(1)
+        cnt = jnp.minimum(ov.sum(1, dtype=jnp.int32), 63)
+        k1.append(((id1 >> sh) << 15) | (id2 >> sh))
+        k2.append(((id3 >> sh) << 6) | cnt)
+    return jnp.concatenate(k1), jnp.concatenate(k2)
 
 
 # cluster id packed into the entry's low mantissa bits: the fast pop path
@@ -1390,11 +1449,12 @@ def _anyhit_kernel_hbm_hier(n_real, n_sup, slo_ref, shi_ref,
 
 @partial(jax.jit, static_argnames=("any_hit", "interpret", "sort_rays",
                                    "wide", "hier", "sub", "sparse",
-                                   "compact_inert"))
+                                   "compact_inert", "inc_sort"))
 def _walk_impl(wt: WalkTables, o, d, tnear, tfar, any_hit: bool,
                interpret: bool = False, sort_rays: bool = True,
                wide: bool = None, hier: bool = None, sub: int = None,
-               sparse: bool = None, compact_inert: bool = None):
+               sparse: bool = None, compact_inert: bool = None,
+               inc_sort: bool = None):
     n = o.shape[0]
     cp = wt.n_clusters
     # packed entry+id pops cap at 2^14 clusters; larger scenes use the
@@ -1423,11 +1483,17 @@ def _walk_impl(wt: WalkTables, o, d, tnear, tfar, any_hit: bool,
     sort_rays = sort_rays and n >= 2 * RAY_TILE and wt.world_lo is not None
     if compact_inert is None:
         compact_inert = COMPACT_INERT_DEFAULT
+    if inc_sort is None:
+        inc_sort = INCIDENCE_SORT_DEFAULT
+    inc_sort = bool(inc_sort) and cp <= _INC_SORT_MAX_C
     if sort_rays:
-        kmaj, kmin = _sort_key(
-            wt, jnp.where(jnp.isfinite(o), o, 0.0),
-            jnp.where(jnp.isfinite(d), d, 0.0),
-            tfar if compact_inert else None)
+        o_safe = jnp.where(jnp.isfinite(o), o, 0.0)
+        d_safe = jnp.where(jnp.isfinite(d), d, 0.0)
+        if inc_sort:
+            kmaj, kmin = _incidence_key(wt, o_safe, d_safe, tnear, tfar)
+        else:
+            kmaj, kmin = _sort_key(
+                wt, o_safe, d_safe, tfar if compact_inert else None)
         lane = lax.iota(jnp.int32, n)
         (_, _, o0, o1, o2, d0, d1, d2, tnear, tfar, lane) = lax.sort(
             (kmaj, kmin, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1],
@@ -1587,23 +1653,25 @@ def walk_supported(wt) -> bool:
 
 def intersect_walk(wt: WalkTables, o, d, tnear=None, tfar=None,
                    interpret: bool = False, wide: bool = None,
-                   hier: bool = None, sub: int = None, sparse: bool = None):
+                   hier: bool = None, sub: int = None, sparse: bool = None,
+                   inc_sort: bool = None):
     n = o.shape[0]
     if tnear is None:
         tnear = jnp.full(n, EPSILON, jnp.float32)
     if tfar is None:
         tfar = jnp.full(n, jnp.inf, jnp.float32)
     return _walk_impl(wt, o, d, tnear, tfar, False, interpret, wide=wide,
-                      hier=hier, sub=sub, sparse=sparse)
+                      hier=hier, sub=sub, sparse=sparse, inc_sort=inc_sort)
 
 
 def occluded_walk(wt: WalkTables, o, d, tnear=None, tfar=None,
                   interpret: bool = False, wide: bool = None,
-                  hier: bool = None, sub: int = None, sparse: bool = None):
+                  hier: bool = None, sub: int = None, sparse: bool = None,
+                  inc_sort: bool = None):
     n = o.shape[0]
     if tnear is None:
         tnear = jnp.full(n, EPSILON, jnp.float32)
     if tfar is None:
         tfar = jnp.full(n, jnp.inf, jnp.float32)
     return _walk_impl(wt, o, d, tnear, tfar, True, interpret, wide=wide,
-                      hier=hier, sub=sub, sparse=sparse)
+                      hier=hier, sub=sub, sparse=sparse, inc_sort=inc_sort)

@@ -98,10 +98,8 @@ class OracleScene:
         # contract: raise loudly on anything outside oracle scope — a
         # silently-ignored emitter would z-test the renderer against a
         # reference that omits those light paths
-        if scene.point_lights or scene.directional_lights \
-                or scene.point_normal_lights:
-            raise NotImplementedError(
-                "oracle: triangle area + environment lights only")
+        if scene.point_normal_lights:
+            raise NotImplementedError("oracle: no point-normal emitters")
 
         mats = scene.materials or []
         self.omats = [_OMat(d) for d in mats]
@@ -186,10 +184,26 @@ class OracleScene:
         else:
             self.bs_radius = 1.0
 
-        # emission-atom selection CDF: triangles (flux x area fraction)
-        # then the env atom last, mirroring the flux-weighted design of
-        # scene/emitters.py:150-185 (an IS choice — unbiased either way)
+        # emission-atom selection CDF: triangles (flux x area fraction),
+        # then point, directional, and env atoms, mirroring the
+        # flux-weighted design of scene/emitters.py:150-185 (an IS choice —
+        # unbiased either way). Point/directional are DELTA lights
+        # (emitter.rs:96-250): NEE-only, never MIS'd against BSDF hits.
         w = list(em_weight)
+        self.point_atoms = []     # (atom index, pos, intensity)
+        self.dir_atoms = []       # (atom index, direction, intensity)
+        for pos, inten in scene.point_lights:
+            self.point_atoms.append(
+                (len(w), np.asarray(pos, np.float64),
+                 np.asarray(inten, np.float64)))
+            w.append(float(np.max(np.asarray(inten) * 4.0 * math.pi)))
+        for dvec, inten in scene.directional_lights:
+            dn = np.asarray(dvec, np.float64)
+            dn = dn / np.linalg.norm(dn)
+            self.dir_atoms.append(
+                (len(w), dn, np.asarray(inten, np.float64)))
+            w.append(float(np.max(np.asarray(inten)))
+                     * math.pi * (self.bs_radius * 1.1) ** 2)
         self.env_atom = -1
         if self.has_env:
             if self.env_img is not None:
@@ -380,6 +394,23 @@ class OracleScene:
         """One NEE sample: dict with keys d, dist (None for env),
         weight = Le/pdf (geometry folded in), pdf_sa, p_l (None for env)."""
         i = rng.choice(len(self.atom_prob), p=self.atom_prob)
+        for ai, pos, inten in self.point_atoms:
+            if i == ai:
+                delta = pos - p_ref
+                dist = float(np.linalg.norm(delta))
+                if dist <= 0.0:
+                    return None
+                d = delta / dist
+                sel = self.atom_prob[ai]
+                return {"d": d, "dist": dist,
+                        "weight": inten / (dist * dist * sel),
+                        "pdf_sa": 0.0, "is_delta": True, "p_l": pos}
+        for ai, dn, inten in self.dir_atoms:
+            if i == ai:
+                sel = self.atom_prob[ai]
+                return {"d": -dn, "dist": None,
+                        "weight": inten / sel,
+                        "pdf_sa": 0.0, "is_delta": True, "p_l": None}
         if i == self.env_atom:
             s = self._sample_env(rng)
             if s is None:
@@ -874,8 +905,10 @@ class OracleScene:
                         tr_sh = (np.exp(-self.sigma_t * ls["dist"])
                                  if self.sigma_t is not None else 1.0)
                     if vis:
-                        w_nee = (self._balance(ls["pdf_sa"], pdf_other)
-                                 if mis else 1.0)
+                        if ls.get("is_delta") or not mis:
+                            w_nee = 1.0     # delta light: only strategy
+                        else:
+                            w_nee = self._balance(ls["pdf_sa"], pdf_other)
                         L = L + thr_med * f * tr_sh * ls["weight"] * w_nee
 
         # ---- directional bounce (BSDF at surfaces, phase in the medium)
@@ -976,9 +1009,10 @@ class OracleScene:
         non-smooth BSDF splats flux*W_e*f(wi, w_cam; Radiance), bounces use
         Transport::Importance (no eta^2 on glass). Film scaled by
         W*H/n_paths. Returns the splat image [h, w, 3]."""
-        if self.has_env or self.sigma_t is not None:
+        if self.has_env or self.sigma_t is not None \
+                or self.point_atoms or self.dir_atoms:
             raise NotImplementedError(
-                "oracle light tracer: area lights, no medium")
+                "oracle light tracer: area lights only, no medium")
         rng = np.random.default_rng(seed)
         img = np.zeros((height, width, 3))
         cam_p = self.camera_position()

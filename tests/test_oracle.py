@@ -245,3 +245,23 @@ def test_oracle_light_tracing_adjoint():
     assert abs(mw - mo) < tol, (
         f"light-tracing adjoint: wavefront {mw:.5f} vs oracle {mo:.5f} "
         f"(tol {tol:.5f}, seeds {wave} vs {orac})")
+
+
+def test_oracle_point_and_directional_lights():
+    """Delta emitters (PointEmitter emitter.rs:187-250, DirectionalLight
+    :96-185): NEE-only atoms with weight I/d^2 resp. I, never MIS'd
+    against BSDF hits. Floor + back wall under one of each."""
+    from rustlight_tpu.scene import Scene, make_camera, look_at, make_quad
+    from rustlight_tpu.bsdfs import diffuse
+    sc = Scene()
+    m = sc.add_material(diffuse((0.6, 0.55, 0.5)))
+    sc.add_mesh(make_quad((-5, 0, -5), (5, 0, -5), (5, 0, 5), (-5, 0, 5),
+                          material=m))
+    sc.add_mesh(make_quad((-5, 0, -5), (-5, 4, -5), (5, 4, -5), (5, 0, -5),
+                          material=m))
+    sc.point_lights.append(((0.0, 3.0, 1.0), (8.0, 7.0, 6.0)))
+    sc.directional_lights.append(((0.3, -1.0, 0.2), (0.6, 0.7, 0.8)))
+    sc.camera = make_camera(SIZE, SIZE, fov=60.0,
+                            to_world=look_at((0, 2.5, 6), (0, 1, 0),
+                                             (0, 1, 0)))
+    _agree("point+dir(md=4)", sc, max_depth=4, spp_wave=512, spp_oracle=96)

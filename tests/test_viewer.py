@@ -132,7 +132,7 @@ def test_orbit_camera_math():
 # ---------------------------------------------------------------------------
 
 _WEB_TRACER_SHA256 = (
-    "755881fd20535e1e4861b9c77b7808929ff254620d1ae49cb28bee6437ada770")
+    "75d077550166803a71de996098eb869504a296b73580e494764ce73062fa057d")
 
 
 def test_web_tracer_js_pinned_to_mirror():
@@ -196,17 +196,24 @@ def test_local_tracer_endpoints(server):
     assert _wait(lambda: viewer._STATE["width"] > 0)  # render loop started
     assert desc["cam"]["width"] == viewer._STATE["width"]
     assert desc["cam"]["height"] == viewer._STATE["height"]
-    assert sum(desc["em_prob"]) == pytest.approx(1.0)
-    assert len(desc["em_tri"]) == len(desc["em_prob"]) > 0
+    assert sum(desc["atom_prob"]) == pytest.approx(1.0)
+    assert len(desc["atoms"]) == len(desc["atom_prob"]) > 0
+    assert len(desc["em_tri"]) > 0
     # the main page links to the client tracer
     assert "/local" in _get(port, "/").decode()
 
 
 def test_scene_export_scope_rejections():
-    """Out-of-scope scenes must 501 loudly, never render the wrong image."""
+    """Out-of-scope scenes must 501 loudly, never render the wrong image.
+    Round-5 scope additions (metal/substrate/blend, point/directional/
+    constant-env) EXPORT; still rejected: media, textured envmaps,
+    textured materials, smooth substrate, glass inside a blend."""
+    import numpy as np
     from rustlight_tpu.models.cbox import cornell_box
     from rustlight_tpu.scene.volume import make_volume
-    from rustlight_tpu.bsdfs import metal
+    from rustlight_tpu.bsdfs import metal, substrate, blend, glass, \
+        MaterialDesc
+    from rustlight_tpu.bsdfs.table import KIND_DIFFUSE, TEX_CHECKER
 
     host = cornell_box(16, 16)
     host.volume = make_volume(sigma_s=(0.01,) * 3, sigma_a=(0.001,) * 3,
@@ -214,15 +221,41 @@ def test_scene_export_scope_rejections():
     with pytest.raises(viewer.WebExportError, match="media"):
         viewer.scene_to_web_json(host)
 
-    host2 = cornell_box(16, 16, mat_overrides={"white": metal()})
-    with pytest.raises(viewer.WebExportError, match="diffuse/phong/glass"):
-        viewer.scene_to_web_json(host2)
+    # metal now EXPORTS (round-5 scope)
+    host2 = cornell_box(16, 16, mat_overrides={"white": metal(alpha=0.2)})
+    desc = viewer.scene_to_web_json(host2)
+    assert 3 in desc["a"]["kind"]
+
+    host3 = cornell_box(16, 16, mat_overrides={
+        "white": substrate(alpha=0.0)})
+    with pytest.raises(viewer.WebExportError, match="smooth substrate"):
+        viewer.scene_to_web_json(host3)
+
+    host4 = cornell_box(16, 16, mat_overrides={"white": blend(4, 0, 0.5)})
+    host4.add_material(glass())
+    with pytest.raises(viewer.WebExportError, match="atomic non-glass"):
+        viewer.scene_to_web_json(host4)
+
+    host5 = cornell_box(16, 16, mat_overrides={
+        "white": MaterialDesc(kind=KIND_DIFFUSE, tex_kind=TEX_CHECKER)})
+    with pytest.raises(viewer.WebExportError, match="constant colors"):
+        viewer.scene_to_web_json(host5)
+
+    host6 = cornell_box(16, 16)
+    host6.env_image = np.ones((4, 8, 3), np.float32)
+    with pytest.raises(viewer.WebExportError, match="constant env"):
+        viewer.scene_to_web_json(host6)
 
 
 @pytest.mark.parametrize("variant,passes,md,spp_o", [
     ("diffuse", 32, 5, 48),
     ("phong", 24, 4, 48),
     ("glass", 24, 6, 48),
+    ("metal", 24, 4, 48),
+    ("substrate", 24, 4, 48),
+    ("blend", 24, 4, 48),
+    ("envglass", 24, 6, 48),
+    ("pointdir", 32, 4, 48),
 ])
 def test_client_tracer_matches_oracle(variant, passes, md, spp_o):
     """z-test the JS transcription against the independent scalar oracle
@@ -230,22 +263,74 @@ def test_client_tracer_matches_oracle(variant, passes, md, spp_o):
     The transcription shares only scene DATA with the oracle — transport,
     RNG, intersection and NEE are implemented three separate times across
     the wavefront renderer, the oracle, and the client tracer. Variants
-    cover the full client material scope: diffuse, Modified-Phong, and
-    the glass delta interface."""
+    cover the full round-5 client scope (VERDICT r4 item 8): diffuse,
+    Modified-Phong, the glass delta interface, rough metal (both NDFs +
+    a smooth-metal mirror), rough substrate, blend mixtures, a constant-
+    env glass/metal sphere scene (the envglass class), and point +
+    directional delta lights."""
     from js_mirror import MirrorScene
     from oracle_pt import OracleScene
     from rustlight_tpu.models.cbox import cornell_box
-    from rustlight_tpu.bsdfs import glass, phong
+    from rustlight_tpu.bsdfs import glass, phong, metal, substrate, blend, \
+        diffuse
     from rustlight_tpu.integrators.path import IntegratorPathTracing
 
     size = 12
-    overrides = {
-        "diffuse": None,
-        "phong": {"blocks": phong(kd=(0.2,) * 3, ks=(0.5,) * 3,
-                                  exponent=50.0, weight_specular=0.5)},
-        "glass": {"blocks": glass()},
-    }[variant]
-    host = cornell_box(size, size, mat_overrides=overrides)
+
+    def scene():
+        if variant == "envglass":
+            from rustlight_tpu.scene import Scene, make_camera, look_at, \
+                make_sphere, make_quad
+            sc = Scene()
+            mg = sc.add_material(glass())
+            mm = sc.add_material(metal(alpha=0.0))
+            mdm = sc.add_material(diffuse((0.5, 0.45, 0.4)))
+            sc.add_mesh(make_sphere((-1.2, 1.0, 0), 1.0, material=mg,
+                                    n_theta=12, n_phi=12))
+            sc.add_mesh(make_sphere((1.2, 1.0, 0), 1.0, material=mm,
+                                    n_theta=12, n_phi=12))
+            sc.add_mesh(make_quad((-20, 0, -20), (20, 0, -20), (20, 0, 20),
+                                  (-20, 0, 20), material=mdm))
+            sc.env_constant = np.asarray([0.8, 0.9, 1.0], np.float32)
+            sc.camera = make_camera(size, size, fov=55.0,
+                                    to_world=look_at((0, 1.6, -6), (0, 1, 0),
+                                                     (0, 1, 0)))
+            return sc
+        if variant == "pointdir":
+            from rustlight_tpu.scene import Scene, make_camera, look_at, \
+                make_quad
+            sc = Scene()
+            m = sc.add_material(diffuse((0.6, 0.55, 0.5)))
+            sc.add_mesh(make_quad((-5, 0, -5), (5, 0, -5), (5, 0, 5),
+                                  (-5, 0, 5), material=m))
+            sc.add_mesh(make_quad((-5, 0, -5), (-5, 4, -5), (5, 4, -5),
+                                  (5, 0, -5), material=m))
+            sc.point_lights.append(((0.0, 3.0, 1.0), (8.0, 7.0, 6.0)))
+            sc.directional_lights.append(((0.3, -1.0, 0.2),
+                                          (0.6, 0.7, 0.8)))
+            sc.camera = make_camera(size, size, fov=60.0,
+                                    to_world=look_at((0, 2.5, 6), (0, 1, 0),
+                                                     (0, 1, 0)))
+            return sc
+        overrides = {
+            "diffuse": None,
+            "phong": {"blocks": phong(kd=(0.2,) * 3, ks=(0.5,) * 3,
+                                      exponent=50.0, weight_specular=0.5)},
+            "glass": {"blocks": glass()},
+            "metal": {"blocks": metal(alpha=0.25, dist_ggx=False),
+                      "right": metal(ks=(0.9, 0.4, 0.3), alpha=0.35,
+                                     dist_ggx=True)},
+            "substrate": {"blocks": substrate(kd=(0.4, 0.5, 0.6),
+                                              ks=(0.08,) * 3, alpha=0.3)},
+            "blend": {"blocks": blend(4, 0, 0.4)},
+        }[variant]
+        sc = cornell_box(size, size, mat_overrides=overrides)
+        if variant == "blend":
+            sc.add_material(phong(kd=(0.1,) * 3, ks=(0.6,) * 3,
+                                  exponent=30.0, weight_specular=0.5))
+        return sc
+
+    host = scene()
     desc = viewer.scene_to_web_json(
         host, IntegratorPathTracing(max_depth=md), seed=3)
     mirror = MirrorScene(desc)

@@ -58,50 +58,93 @@ class WebExportError(RuntimeError):
 def scene_to_web_json(scene, integrator=None, seed=0):
     """Flatten a host Scene into the JSON the in-browser tracer consumes.
 
-    Data-only export (triangle soup + flux-CDF emitter table + camera
-    matrices) — the client reimplements ALL transport independently
-    (tools/web_tracer.js). Scope mirrors the scalar oracle: diffuse
-    materials, triangle area lights, no medium; anything else raises
+    Data-only export (triangle soup + two-slot material table + flux-CDF
+    emitter atoms + camera matrices) — the client reimplements ALL
+    transport independently (tools/web_tracer.js). Round-5 scope (VERDICT
+    r4 item 8): constant-color diffuse / phong / glass / metal
+    (smooth+rough Beckmann/GGX) / rough substrate / blend-of-atomics
+    materials; triangle area + point + directional + constant-environment
+    lights; no medium, no textures, no textured env. Anything else raises
     WebExportError so /api/scene.json can answer 501 loudly instead of
     silently rendering the wrong image.
+
+    Materials export mirrors the renderer's own two-slot blend design
+    (bsdfs/table.py): every triangle carries slot A and slot B atomic
+    parameters plus blend_w; non-blend materials point both slots at
+    themselves with weight 1, so the client has ONE mixture code path.
     """
     if scene.volume is not None:
         raise WebExportError("client tracer: no participating media")
-    if scene.env_constant is not None or scene.env_image is not None:
-        raise WebExportError("client tracer: no environment light")
-    if scene.point_lights or scene.directional_lights \
-            or scene.point_normal_lights:
-        raise WebExportError(
-            "client tracer: triangle area lights only "
-            "(scene has point/directional/point-normal emitters)")
+    if scene.env_image is not None:
+        raise WebExportError("client tracer: constant env only (textured "
+                             "environment maps are out of client scope)")
+    if scene.point_normal_lights:
+        raise WebExportError("client tracer: no point-normal emitters")
     mats = scene.materials or []
-    v0, e1, e2, kd, le = [], [], [], [], []
-    kind, ks, kt, eta, expo, wspec = [], [], [], [], [], []
+
+    def atomic_slot(mat):
+        """Validate + flatten one atomic (non-blend) material."""
+        k = int(mat.kind)
+        if k not in (0, 1, 2, 3, 4):
+            raise WebExportError(
+                "client tracer: diffuse/phong/glass/metal/substrate/blend "
+                f"materials only (kind {k})")
+        if int(getattr(mat, "tex_kind", 0)) != 0:
+            raise WebExportError("client tracer: constant colors only")
+        if k == 4 and float(mat.alpha) <= 0.0:
+            raise WebExportError(
+                "client tracer: smooth substrate (DELTA|DIFFUSE) "
+                "out of scope")
+        return {
+            "kind": k,
+            "kd": np.asarray(mat.kd, np.float64),
+            "ks": np.asarray(mat.ks, np.float64),
+            "eta_c": np.asarray(mat.eta_c, np.float64),
+            "k_c": np.asarray(mat.k_c, np.float64),
+            "alpha": float(mat.alpha),
+            "ggx": bool(mat.dist_ggx),
+            "exponent": float(mat.exponent),
+            "wspec": float(mat.weight_specular),
+        }
+
+    SLOT_COLS = ("kind", "kd", "ks", "eta_c", "k_c", "alpha", "ggx",
+                 "exponent", "wspec")
+    v0, e1, e2, le, kt, eta, blend_w = [], [], [], [], [], [], []
+    slot_a = {c: [] for c in SLOT_COLS}
+    slot_b = {c: [] for c in SLOT_COLS}
     em_tri, em_weight = [], []
+    pts = []
     for mesh in scene.meshes:
         mat = mats[mesh.material]
-        if int(mat.kind) not in (0, 1, 2) \
-                or int(getattr(mat, "tex_kind", 0)) != 0:
-            raise WebExportError(
-                "client tracer: constant diffuse/phong/glass materials only")
+        if int(mat.kind) == 5:                       # blend
+            ma = mats[mat.sub_a]
+            mb = mats[mat.sub_b]
+            if int(ma.kind) in (2, 5) or int(mb.kind) in (2, 5):
+                raise WebExportError(
+                    "client tracer: blend subs must be atomic non-glass")
+            sa, sb = atomic_slot(ma), atomic_slot(mb)
+            bw = float(mat.blend_w)
+        else:
+            sa = sb = atomic_slot(mat)
+            bw = 1.0
         if mesh.emission_kind != 0:
             raise WebExportError("client tracer: constant emission only")
         verts = np.asarray(mesh.vertices, np.float64)
         areas = mesh.triangle_areas().astype(np.float64)
         flux_scalar = float(np.max(mesh.flux()))
         total = max(float(areas.sum()), 1e-30)
+        pts.append(verts)
         for k, (i0, i1, i2) in enumerate(np.asarray(mesh.indices)):
             t = len(v0)
             v0.append(verts[i0])
             e1.append(verts[i1] - verts[i0])
             e2.append(verts[i2] - verts[i0])
-            kd.append(np.asarray(mat.kd, np.float64))
-            kind.append(int(mat.kind))
-            ks.append(np.asarray(mat.ks, np.float64))
+            for c in SLOT_COLS:
+                slot_a[c].append(sa[c])
+                slot_b[c].append(sb[c])
             kt.append(np.asarray(mat.kt, np.float64))
             eta.append(float(mat.eta))
-            expo.append(float(mat.exponent))
-            wspec.append(float(mat.weight_specular))
+            blend_w.append(bw)
             le.append(np.asarray(mesh.emission, np.float64))
             if mesh.is_light:
                 em_tri.append(t)
@@ -110,18 +153,70 @@ def scene_to_web_json(scene, integrator=None, seed=0):
         raise WebExportError(
             "client tracer is the NaiveAcceleration analog: "
             f"{len(v0)} triangles is beyond brute-force scope")
-    if not em_tri:
-        raise WebExportError("client tracer: no emissive triangles")
-    w = np.asarray(em_weight, np.float64)
+
+    # scene bounding-sphere radius: the directional/env flux scale
+    # (scene.rs:53-123)
+    if pts:
+        allp = np.concatenate(pts)
+        ctr = 0.5 * (allp.min(0) + allp.max(0))
+        bs_radius = float(np.linalg.norm(allp - ctr, axis=-1).max())
+    else:
+        bs_radius = 1.0
+
+    # emitter atoms: tri (flux x area frac), point (4pi I), directional
+    # (pi r^2 I), constant env (pi r^2 max) — the flux-CDF design of
+    # scene/emitters.py:150-185
+    atoms, w = [], []
+    for i, t in enumerate(em_tri):
+        atoms.append({"k": 0, "ref": int(t)})
+        w.append(em_weight[i])
+    points, dirs = [], []
+    for pos, inten in scene.point_lights:
+        atoms.append({"k": 1, "ref": len(points)})
+        points.append([np.asarray(pos, np.float64).tolist(),
+                       np.asarray(inten, np.float64).tolist()])
+        w.append(float(np.max(np.asarray(inten) * 4.0 * np.pi)))
+    for dvec, inten in scene.directional_lights:
+        dn = np.asarray(dvec, np.float64)
+        dn = dn / np.linalg.norm(dn)
+        atoms.append({"k": 2, "ref": len(dirs)})
+        dirs.append([dn.tolist(), np.asarray(inten, np.float64).tolist()])
+        w.append(float(np.max(np.asarray(inten)))
+                 * np.pi * (bs_radius * 1.1) ** 2)
+    env_color = None
+    if scene.env_constant is not None:
+        env_color = np.asarray(scene.env_constant, np.float64).tolist()
+        atoms.append({"k": 3, "ref": 0})
+        w.append(float(np.max(scene.env_constant))
+                 * np.pi * (bs_radius * 1.1) ** 2)
+    if not atoms or sum(w) <= 0.0:
+        raise WebExportError("client tracer: no emitters")
+    w = np.asarray(w, np.float64)
+
+    def slot_json(sl):
+        return {
+            "kind": [int(x) for x in sl["kind"]],
+            "kd": np.asarray(sl["kd"]).tolist(),
+            "ks": np.asarray(sl["ks"]).tolist(),
+            "eta_c": np.asarray(sl["eta_c"]).tolist(),
+            "k_c": np.asarray(sl["k_c"]).tolist(),
+            "alpha": [float(x) for x in sl["alpha"]],
+            "ggx": [bool(x) for x in sl["ggx"]],
+            "exponent": [float(x) for x in sl["exponent"]],
+            "wspec": [float(x) for x in sl["wspec"]],
+        }
+
     cam = scene.camera
     return {
         "v0": np.asarray(v0).tolist(), "e1": np.asarray(e1).tolist(),
-        "e2": np.asarray(e2).tolist(), "kd": np.asarray(kd).tolist(),
-        "kind": kind, "ks": np.asarray(ks).tolist(),
-        "kt": np.asarray(kt).tolist(), "eta": eta, "exponent": expo,
-        "weight_specular": wspec,
-        "le": np.asarray(le).tolist(), "em_tri": em_tri,
-        "em_prob": (w / w.sum()).tolist(),
+        "e2": np.asarray(e2).tolist(),
+        "a": slot_json(slot_a), "b": slot_json(slot_b),
+        "blend_w": blend_w,
+        "kt": np.asarray(kt).tolist(), "eta": eta,
+        "le": np.asarray(le).tolist(),
+        "atoms": atoms, "atom_prob": (w / w.sum()).tolist(),
+        "em_tri": em_tri,
+        "points": points, "dirs": dirs, "env_color": env_color,
         "cam": {
             "s2c": np.asarray(cam.sample_to_camera, np.float64).tolist(),
             "to_world": np.asarray(cam.to_world, np.float64).tolist(),
