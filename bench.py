@@ -233,19 +233,21 @@ def _bench_config(metric, scene, width, height, spp, max_depth,
     dt = time.time() - t0
     acc = acc[: pix.shape[0]]
 
-    # Count rays on a measurement pass: per pass, bounce b has alive_b lanes
-    # (trace + NEE shadow per live lane), measured by a dedicated lightweight
-    # loop with the path tracer's own RR/termination behavior.
-    from rustlight_tpu.accel import intersect_rays
-    from rustlight_tpu.scene import generate_rays, fill_hit
+    # Count rays on a measurement pass: per pass, bounce b traces alive_b
+    # rays plus the NEE shadow rays that actually survive the default
+    # visibility-history Russian roulette (path.py nee_rr; skipped shadow
+    # rays are NOT counted — the throughput metric must not be inflated by
+    # rays the estimator no longer traces).
+    from rustlight_tpu.accel import intersect_rays, visible
+    from rustlight_tpu.scene import generate_rays, fill_hit, sample_light
     from rustlight_tpu.bsdfs import bsdf_sample
     from rustlight_tpu.utils.rng import stream_next, stream_next2d
 
     n = pix.shape[0]
+    nee_rr = IntegratorPathTracing(max_depth=max_depth).nee_rr
 
     @jax.jit
     def alive_per_bounce(scene_, pix_):
-        from rustlight_tpu.utils.rng import make_stream as mk
         stream = stream_fold(make_stream(0), 0)
         u_pix, stream = stream_next2d(stream, (n,))
         o, d = generate_rays(scene_.camera, pix_.astype(jnp.float32) + u_pix)
@@ -254,13 +256,23 @@ def _bench_config(metric, scene, width, height, spp, max_depth,
         from rustlight_tpu.utils.vec import channel_max
 
         def body(carry, _):
-            o, d, alive, thr, stream, rays = carry
+            o, d, alive, thr, prev_occ, stream, rays = carry
             rh = intersect_rays(scene_.geom, o, d)
             hit = fill_hit(scene_, o, d, rh)
             lane = alive & hit.valid
-            rays = rays + jnp.sum(alive) + jnp.sum(lane)  # trace + shadow
             u_sel, stream = stream_next(stream, (n,))
             u_pos, stream = stream_next2d(stream, (n,))
+            ls = sample_light(scene_.emitters, scene_.geom, hit.p, u_sel,
+                              u_pos)
+            pre = lane & ls.valid
+            if nee_rr is not None:
+                u_nrr, stream = stream_next(stream, (n,))
+                p_keep = jnp.where(prev_occ, nee_rr, 1.0)
+                pre = pre & (u_nrr < p_keep)
+            p_sh = offset_ray_origin(hit.p, hit.n_g, ls.d)
+            vis = visible(scene_.geom, p_sh, ls.p, mask=pre)
+            prev_occ = jnp.where(pre, ~vis, prev_occ)
+            rays = rays + jnp.sum(alive) + jnp.sum(pre)  # trace + shadow
             u_b, stream = stream_next2d(stream, (n,))
             bs = bsdf_sample(scene_.materials, hit.mat, hit.uv, hit.wi, u_b)
             thr = thr * bs.weight
@@ -271,11 +283,11 @@ def _bench_config(metric, scene, width, height, spp, max_depth,
             thr = thr / jnp.maximum(rr_p, 1e-8)[:, None]
             d2 = to_world(hit.frame, bs.wo)
             o2 = offset_ray_origin(hit.p, hit.n_g, d2)
-            return (o2, d2, alive, thr, stream, rays), None
+            return (o2, d2, alive, thr, prev_occ, stream, rays), None
 
-        init = (o, d, jnp.ones(n, bool), jnp.ones((n, 3)), stream,
-                jnp.zeros((), jnp.float32))
-        (o, d, alive, thr, stream, rays), _ = jax.lax.scan(
+        init = (o, d, jnp.ones(n, bool), jnp.ones((n, 3)),
+                jnp.zeros(n, bool), stream, jnp.zeros((), jnp.float32))
+        (o, d, alive, thr, prev_occ, stream, rays), _ = jax.lax.scan(
             body, init, None, length=max_depth)
         return rays
 

@@ -327,8 +327,16 @@ def _sort_key(wt: WalkTables, o, d, tfar=None):
     the old 3 to 5 bits/axis halves the coherent tile union (16.8 -> 8.4)
     and leaves the divergent union bit-identical (50.87, which matches the
     instrumented kernel's measured 51.4 visits/tile); direction-major and
-    6D-interleaved orders measured strictly worse, and an oracle grouping
-    floor (35.97) caps any further sort-side win at 1.4x.
+    6D-interleaved orders measured strictly worse. Round 5: the incidence
+    key (_incidence_key, default for <= _INC_SORT_MAX_C clusters) reads
+    the ray-cluster matrix directly and reaches union 28.0 — the
+    sort-achievable ceiling (a full 448-bit incidence-bitset lexsort
+    measures 28.1; the old "grouping floor" 35.97 was an artifact of its
+    first-ID surrogate); the remaining gap to greedy tile PACKING (17.8,
+    tools/perf/grouping_lab.py) requires assignment rather than ordering
+    and is not reachable by any key. This morton key remains the fallback
+    for huge scenes and the better choice for coherent wavefronts
+    (union 8.4 vs the incidence key's 9.2).
 
     When `tfar` is given, inert rays (tfar <= 0: dead wavefront lanes,
     masked shadow rays) take the TOP key bit, compacting them into
