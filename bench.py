@@ -6,11 +6,14 @@ shadow rays / wall-clock), rendered with the persistent-wavefront loop
 roulette; see IntegratorPathTracing.compute_block). Two configs ride in
 it:
   1. cbox 512^2 128 spp (the BASELINE config; dense MXU intersector) —
-     the top-level metric,
+     the top-level metric, with the round-5 correctness gate (8x8
+     block-means vs a committed TPU reference within 4x the measured
+     seed floor; "ok": false + exit 1 on violation),
   2. 122k-tri sphere grid 256^2 8 spp depth 5 (the production Pallas
-     tile-walk intersector on divergent wavefronts; the large-scene
-     metric the round-2 verdict asked the bench to track) — nested at
-     detail.grid122k.
+     tile-walk intersector on divergent wavefronts) — detail.grid122k,
+  3. 516k-tri grid path (detail.grid516k) and the 4.9M-tri wide-mode AO
+     frontier (detail.grid4p9M) — the rows VERDICT r4 item 5 asked the
+     driver record to track.
 
 vs_baseline is measured against the BASELINE.json target of >= 100 Mrays/s
 aggregate on a v5e-8, i.e. 12.5 Mrays/s per chip. Ray count is the actual
@@ -244,7 +247,7 @@ def _bench_config(metric, scene, width, height, spp, max_depth,
     from rustlight_tpu.utils.rng import stream_next, stream_next2d
 
     n = pix.shape[0]
-    nee_rr = IntegratorPathTracing(max_depth=max_depth).nee_rr
+    nee_rr = IntegratorPathTracing(max_depth=max_depth)._nee_rr_for(scene)
 
     @jax.jit
     def alive_per_bounce(scene_, pix_):

@@ -96,8 +96,11 @@ SPARSE_DEFAULT = os.environ.get("RUSTLIGHT_TPU_SPARSE_VISIT", "0") == "1"
 # a trace-time env read would silently reuse the stale cached trace.
 INCIDENCE_SORT_DEFAULT = os.environ.get(
     "RUSTLIGHT_TPU_INCIDENCE_SORT", "1") == "1"
+# cap: the [N, C] slab pre-pass is linear in C; at 16k clusters it still
+# wins big (4.9M-tri AO 0.96 -> 0.54 s, 1.76x, identical mean), so the
+# default admits the multi-M-tri wide-mode scenes too
 _INC_SORT_MAX_C = int(os.environ.get(
-    "RUSTLIGHT_TPU_INCIDENCE_SORT_MAX_C", "4096"))
+    "RUSTLIGHT_TPU_INCIDENCE_SORT_MAX_C", "32768"))
 COMPACT_INERT_DEFAULT = os.environ.get(
     "RUSTLIGHT_TPU_COMPACT_INERT", "0") == "1"
 SPARSE_CAP = int(os.environ.get("RUSTLIGHT_TPU_SPARSE_CAP", "16"))

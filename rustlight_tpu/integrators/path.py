@@ -112,12 +112,29 @@ class IntegratorPathTracing(Integrator):
         # tiles rather than scattering across them. None = off.
         if nee_rr == "default":
             import os as _os
-            env = _os.environ.get("RUSTLIGHT_TPU_NEE_RR", "0.25")
-            nee_rr = float(env) if env not in ("", "0", "off") else None
+            env = _os.environ.get("RUSTLIGHT_TPU_NEE_RR", "auto")
+            if env in ("", "0", "off"):
+                nee_rr = None
+            elif env == "auto":
+                # tier-aware: the RR only SAVES time on the tile-walk
+                # accel (skipped rays vacate tiles); the dense-MXU tier
+                # traces full wavefronts regardless, so small scenes
+                # would pay the variance for zero wall win — resolved
+                # per scene in _nee_rr_for
+                nee_rr = "auto"
+            else:
+                nee_rr = float(env)
         self.nee_rr = nee_rr
         # safety bound for the while_loop when max_depth is None (RR terminates
         # lanes geometrically; 64 bounces leaves ~1e-? of energy for albedo .95)
         self.hard_cap = hard_cap if max_depth is None else min(hard_cap, max_depth)
+
+    def _nee_rr_for(self, scene):
+        """Effective NEE-RR survival prob for this scene (None = off)."""
+        if self.nee_rr == "auto":
+            return 0.25 if getattr(scene.geom, "walk", None) is not None \
+                else None
+        return self.nee_rr
 
     def _naive_bounce(self, scene, hit, smooth, u_bsdf, bs):
         """STRATEGY_NAIVE: cosine-hemisphere sampling on the wi side, weight
@@ -151,6 +168,7 @@ class IntegratorPathTracing(Integrator):
         u_pix, stream = stream_next2d(stream, (n,))
         o, d = generate_rays(scene.camera, pix.astype(jnp.float32) + u_pix)
 
+        nee_rr = self._nee_rr_for(scene)
         use_nee = self.strategy in (STRATEGY_ALL, STRATEGY_EMITTER)
         mis_on = self.strategy == STRATEGY_ALL
         keep_bsdf_hits = self.strategy in (STRATEGY_ALL, STRATEGY_BSDF,
@@ -306,9 +324,9 @@ class IntegratorPathTracing(Integrator):
                     offset_ray_origin(hit.p, hit.n_g, ls.d))
                 pre_ok = (can_expand & (scattered | (lane_surface & (~smooth)))
                           & ls.valid & ((k + 1) >= self.min_depth))
-                if self.nee_rr is not None:
+                if nee_rr is not None:
                     u_nrr, stream = stream_next(stream, (n,))
-                    p_keep = jnp.where(s.prev_occ, self.nee_rr, 1.0)
+                    p_keep = jnp.where(s.prev_occ, nee_rr, 1.0)
                     pre_ok = pre_ok & (u_nrr < p_keep)
                     nee_scale = (1.0 / p_keep)[:, None]
                 else:
@@ -445,6 +463,7 @@ class IntegratorPathTracing(Integrator):
         SUM over spp samples, [n, 3]."""
         n = pix.shape[0]
         pixf = pix.astype(jnp.float32)
+        nee_rr = self._nee_rr_for(scene)
         use_nee = self.strategy in (STRATEGY_ALL, STRATEGY_EMITTER)
         mis_on = self.strategy == STRATEGY_ALL
         keep_bsdf_hits = self.strategy in (STRATEGY_ALL, STRATEGY_BSDF,
@@ -577,9 +596,9 @@ class IntegratorPathTracing(Integrator):
                     offset_ray_origin(hit.p, hit.n_g, ls.d))
                 pre_ok = (can_expand & (scattered | (lane_surface & (~smooth)))
                           & ls.valid & ((depth + 1) >= self.min_depth))
-                if self.nee_rr is not None:
+                if nee_rr is not None:
                     u_nrr, stream = stream_next(stream, (n,))
-                    p_keep = jnp.where(prev_occ, self.nee_rr, 1.0)
+                    p_keep = jnp.where(prev_occ, nee_rr, 1.0)
                     pre_ok = pre_ok & (u_nrr < p_keep)
                     nee_scale = (1.0 / p_keep)[:, None]
                 else:

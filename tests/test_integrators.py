@@ -396,8 +396,14 @@ def test_nee_rr_unbiased_and_off_is_identity():
     the un-RR'd estimator within combined MC noise in BOTH loop bodies
     (the 1/p compensation keeps expectation exact: p depends only on
     already-observed visibility)."""
-    from rustlight_tpu.models import cornell_box
+    from rustlight_tpu.models import cornell_box, sphere_grid
     sc = cornell_box(24, 24).compile()
+
+    # tier-aware default: RR only engages where it saves wall (walk tier)
+    integ = IntegratorPathTracing(max_depth=5)
+    assert integ._nee_rr_for(sc) is None
+    assert integ._nee_rr_for(
+        sphere_grid(122_000, 16, 16).compile()) == 0.25
 
     base = render(sc, IntegratorPathTracing(max_depth=5, nee_rr=None),
                   spp=96, seed=0, persistent=False)["primal"]
