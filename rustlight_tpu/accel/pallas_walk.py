@@ -1501,7 +1501,21 @@ def _walk_impl(wt: WalkTables, o, d, tnear, tfar, any_hit: bool,
         o_safe = jnp.where(jnp.isfinite(o), o, 0.0)
         d_safe = jnp.where(jnp.isfinite(d), d, 0.0)
         if inc_sort:
-            kmaj, kmin = _incidence_key(wt, o_safe, d_safe, tnear, tfar)
+            # per-wavefront selection: point-origin wavefronts (pinhole
+            # camera / point-light rays — every live origin identical)
+            # measure BETTER under the morton key (coherent union 8.4 vs
+            # the incidence key's 9.2, and they skip the [N, C] slab
+            # pre-pass); spread-origin wavefronts (bounce/shadow/AO) take
+            # the incidence key. lax.cond evaluates only the taken branch.
+            live = (tfar > 0.0)[:, None]
+            o_live = jnp.where(live, o_safe, o_safe[:1])
+            spread = jnp.max(jnp.max(o_live, 0) - jnp.min(o_live, 0))
+            ext = jnp.max(wt.world_hi - wt.world_lo)
+            kmaj, kmin = lax.cond(
+                spread > 1e-5 * ext,
+                lambda: _incidence_key(wt, o_safe, d_safe, tnear, tfar),
+                lambda: _sort_key(wt, o_safe, d_safe,
+                                  tfar if compact_inert else None))
         else:
             kmaj, kmin = _sort_key(
                 wt, o_safe, d_safe, tfar if compact_inert else None)
