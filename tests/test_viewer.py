@@ -369,3 +369,35 @@ def test_mulberry32_known_vectors():
     r2 = mulberry32(7)
     m = np.mean([r2() for _ in range(20000)])
     assert abs(m - 0.5) < 0.01
+
+
+def test_web_tracer_js_no_duplicate_methods():
+    """A duplicated method name in a JS class silently keeps the LAST
+    definition — a transcription-invisible hazard (the Python mirror would
+    raise or shadow differently). Statically reject duplicates."""
+    import re
+    js = (Path(viewer.__file__).parent / "web_tracer.js").read_text()
+    start = js.index("class WebScene")
+    depth, i = 0, js.index("{", start)
+    j = i
+    while j < len(js):
+        depth += {"{": 1, "}": -1}.get(js[j], 0)
+        j += 1
+        if depth == 0:
+            break
+    body = js[i:j]
+    seen, dups = set(), []
+    # method headers at class level: name(args) {
+    lvl, k = 0, 0
+    for m in re.finditer(r"([A-Za-z_$][\w$]*)\s*\([^)]*\)\s*\{", body):
+        pre = body[:m.start()]
+        lvl = pre.count("{") - pre.count("}")
+        if lvl != 1:
+            continue                      # nested function/block
+        name = m.group(1)
+        if name in ("if", "for", "while", "switch", "catch", "function"):
+            continue
+        if name in seen:
+            dups.append(name)
+        seen.add(name)
+    assert not dups, f"duplicate WebScene methods: {dups}"
