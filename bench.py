@@ -258,7 +258,7 @@ def _bench_config(metric, scene, width, height, spp, max_depth,
         from rustlight_tpu.utils.frame import to_world
         from rustlight_tpu.utils.vec import channel_max
 
-        def body(carry, _):
+        def body(carry, k):
             o, d, alive, thr, prev_occ, stream, rays = carry
             rh = intersect_rays(scene_.geom, o, d)
             hit = fill_hit(scene_, o, d, rh)
@@ -267,7 +267,9 @@ def _bench_config(metric, scene, width, height, spp, max_depth,
             u_pos, stream = stream_next2d(stream, (n,))
             ls = sample_light(scene_.emitters, scene_.geom, hit.p, u_sel,
                               u_pos)
-            pre = lane & ls.valid
+            # the real loop's pre_ok gates on can_expand: no NEE at the
+            # final bounce (those lanes shoot inert tfar=0 rays)
+            pre = lane & ls.valid & (k + 1 < max_depth)
             if nee_rr is not None:
                 u_nrr, stream = stream_next(stream, (n,))
                 p_keep = jnp.where(prev_occ, nee_rr, 1.0)
@@ -291,7 +293,7 @@ def _bench_config(metric, scene, width, height, spp, max_depth,
         init = (o, d, jnp.ones(n, bool), jnp.ones((n, 3)),
                 jnp.zeros(n, bool), stream, jnp.zeros((), jnp.float32))
         (o, d, alive, thr, prev_occ, stream, rays), _ = jax.lax.scan(
-            body, init, None, length=max_depth)
+            body, init, jnp.arange(max_depth))
         return rays
 
     rays_per_pass = float(alive_per_bounce(scene, pix))

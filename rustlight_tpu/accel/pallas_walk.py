@@ -397,8 +397,9 @@ def _incidence_key(wt: WalkTables, o, d, tnear, tfar):
     lo = wt.lo[:, :c]
     hi = wt.hi[:, :c]
     n = o.shape[0]
-    # chunk rays so the [chunk, C] scratch stays ~64 MB
-    chunk = max(1024, min(65536, (1 << 26) // max(4 * c, 1)))
+    # chunk rays so the [chunk, C] scratch stays ~64 MB (the floor must
+    # stay below 2^26/(4*_INC_SORT_MAX_C) or large-C scenes overshoot it)
+    chunk = max(128, min(65536, (1 << 26) // max(4 * c, 1)))
     k1, k2 = [], []
     bits = max(1, c.bit_length())
     sh = max(0, bits - 15)
@@ -1508,7 +1509,10 @@ def _walk_impl(wt: WalkTables, o, d, tnear, tfar, any_hit: bool,
             # pre-pass); spread-origin wavefronts (bounce/shadow/AO) take
             # the incidence key. lax.cond evaluates only the taken branch.
             live = (tfar > 0.0)[:, None]
-            o_live = jnp.where(live, o_safe, o_safe[:1])
+            # fill dead lanes with the FIRST LIVE origin (lane 0 itself may
+            # be inert with a sanitized garbage origin)
+            ref_o = o_safe[jnp.argmax(tfar > 0.0)]
+            o_live = jnp.where(live, o_safe, ref_o[None, :])
             spread = jnp.max(jnp.max(o_live, 0) - jnp.min(o_live, 0))
             ext = jnp.max(wt.world_hi - wt.world_lo)
             kmaj, kmin = lax.cond(

@@ -1232,6 +1232,18 @@ def read_exr(path, part=None) -> np.ndarray:
         hdr, pos = _parse_exr_part_header(data, 8)
         if hdr is None:
             raise ValueError("EXR with empty header")
+        if part is not None:
+            # single-part: honor explicit selection instead of silently
+            # returning the only image under a mismatched name/index
+            if isinstance(part, str):
+                if part != hdr["name"]:
+                    raise ValueError(
+                        f"EXR part {part!r} not found "
+                        f"(single-part file, name {hdr['name']!r})")
+            elif int(part) != 0:
+                raise ValueError(
+                    f"EXR part index {int(part)} out of range "
+                    "(single-part file)")
         channels, comp, dw, tiles = (hdr["channels"], hdr["comp"],
                                      hdr["dw"], hdr["tiles"])
         n_chunks = None

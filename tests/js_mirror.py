@@ -555,22 +555,23 @@ class MirrorScene:
         return wo[0] * t + wo[1] * b + wo[2] * ng, weight
 
     # ---------------------------------------------------------- transport
-    def radiance(self, o, d, rng, k, prev_pdf, prev_delta):
+    def radiance(self, o, d, rng, k, prev_pdf, prev_delta, prev_nee):
         tri, t_hit = self.intersect(o, d)
         L = np.zeros(3)
         if tri < 0:
             # escaped: constant environment through the k+1-edge path
             if self.env_color is not None and k >= self.min_depth:
-                w = 1.0 if prev_delta else _balance(prev_pdf,
-                                                    self.env_pdf_sa())
+                w = (1.0 if (prev_delta or not prev_nee)
+                     else _balance(prev_pdf, self.env_pdf_sa()))
                 L = L + self.env_color * w
             return L
         p_hit = o + d * t_hit
         ng = self.ng[tri]
         if self.is_light[tri] and k >= self.min_depth \
                 and -float(ng @ d) > 0.0:
-            w = 1.0 if prev_delta else _balance(
-                prev_pdf, self.light_pdf_sa(tri, o, p_hit, d))
+            w = (1.0 if (prev_delta or not prev_nee)
+                 else _balance(prev_pdf, self.light_pdf_sa(tri, o, p_hit,
+                                                           d)))
             L = L + self.le[tri] * w
         can_expand = self.max_depth is None or k + 1 < self.max_depth
         if not can_expand:
@@ -610,7 +611,8 @@ class MirrorScene:
         if float(np.max(weight)) <= 0.0:
             return L
         o_new = self.offset(p_hit, ng, d_new)
-        ln = self.radiance(o_new, d_new, rng, k + 1, pdf_dir, next_delta)
+        ln = self.radiance(o_new, d_new, rng, k + 1, pdf_dir, next_delta,
+                           not smooth)
         return L + weight * ln
 
     # --------------------------------------------------------------- film
@@ -621,7 +623,7 @@ class MirrorScene:
             for x in range(x0, xe):
                 rng = pixel_rng(x, y, pass_, self.seed)
                 o, d = self.camera_ray(x + rng(), y + rng())
-                li = self.radiance(o, d, rng, 0, 1.0, True)
+                li = self.radiance(o, d, rng, 0, 1.0, True, False)
                 idx = y * self.width + x
                 if np.isfinite(li).all() and (li >= 0).all():
                     self.img[idx] += li

@@ -308,9 +308,10 @@ class OracleScene:
             return m.kd
         su = uv * m.tex_scale + m.tex_offset
         if m.tex_kind == _TEX_CHECKER:
-            # Rust `as i32` truncation + signed % (mod.rs:55-62)
-            x = 2 * (int(su[0] * 2.0) % 2) - 1
-            y = 2 * (int(su[1] * 2.0) % 2) - 1
+            # Rust `as i32` truncation + C-style signed % (mod.rs:55-62);
+            # python's % is floor-mod, so use math.fmod (sign of dividend)
+            x = 2 * int(math.fmod(int(su[0] * 2.0), 2)) - 1
+            y = 2 * int(math.fmod(int(su[1] * 2.0), 2)) - 1
             return m.kd if x * y == 1 else m.tex_c1
         if m.tex_kind == _TEX_GRID:
             gx = su[0] - math.floor(su[0])
@@ -932,8 +933,13 @@ class OracleScene:
         if float(np.max(weight)) <= 0.0:
             return L
 
+        # prev_nee: whether NEE was actually POSSIBLE at this vertex (the
+        # wavefront's nee_possible, path.py:536) — at a smooth (delta-lobed)
+        # vertex NEE is skipped, so a non-delta continuation's emitter hit
+        # must get weight 1, not a balance against a strategy that never ran
+        nee_possible = nee and (scattered or not smooth)
         L_next = self.radiance(o_new, d_new, rng, k=k + 1, prev_pdf=pdf_dir,
-                               prev_delta=is_delta, prev_nee=nee,
+                               prev_delta=is_delta, prev_nee=nee_possible,
                                min_depth=min_depth, max_depth=max_depth,
                                mis=mis, nee=nee)
         return L + thr_med * weight * L_next

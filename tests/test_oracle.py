@@ -265,3 +265,38 @@ def test_oracle_point_and_directional_lights():
                             to_world=look_at((0, 2.5, 6), (0, 1, 0),
                                              (0, 1, 0)))
     _agree("point+dir(md=4)", sc, max_depth=4, spp_wave=512, spp_oracle=96)
+
+
+def smooth_blend_scene(size=SIZE):
+    """A floor of blend(smooth metal, diffuse) under a LARGE overhead
+    light: with NEE skipped on the smooth blend, ALL of the floor's light
+    arrives via BSDF-sampled emitter hits, and the big light makes
+    pdf_light comparable to the bounce pdf — the configuration where a
+    missing prev_nee state (weighting those hits by balance() instead of
+    1) darkens the image ~40% (measured: buggy-oracle z = 66 vs fixed
+    z = 1.2)."""
+    from rustlight_tpu.scene import Scene, make_camera, look_at, make_quad
+    from rustlight_tpu.bsdfs import blend, metal, diffuse
+    sc = Scene()
+    sc.add_material(diffuse((0.7, 0.7, 0.7)))        # 0: the diffuse sub
+    mb = sc.add_material(blend(3, 0, 0.5))           # 1: the floor blend
+    lm = sc.add_material(diffuse((0, 0, 0)))         # 2: light surface
+    sc.add_material(metal(alpha=0.0))                # 3: the delta sub
+    sc.add_mesh(make_quad((-2, 0, -2), (2, 0, -2), (2, 0, 2), (-2, 0, 2),
+                          material=mb))
+    sc.add_mesh(make_quad((-4, 3, -4), (4, 3, -4), (4, 3, 4), (-4, 3, 4),
+                          material=lm, emission=(3, 3, 3)))
+    sc.camera = make_camera(size, size, fov=50.0,
+                            to_world=look_at((0, 2.0, -4.5), (0, 0, 0),
+                                             (0, 1, 0)))
+    return sc
+
+
+def test_oracle_smooth_blend_big_light():
+    """Blend with a DELTA sub (smooth metal + diffuse): the whole material
+    is 'smooth' (NEE skipped, mod.rs:139-161), so a non-delta-sampled
+    continuation's emitter hit must carry MIS weight 1 — the prev_nee
+    state the round-5 review found missing from the oracle's recursion
+    (the wavefront renderer always had it, path.py nee_possible)."""
+    _agree("smoothblend(md=3)", smooth_blend_scene(), max_depth=3,
+           spp_wave=512, spp_oracle=96)

@@ -132,7 +132,7 @@ def test_orbit_camera_math():
 # ---------------------------------------------------------------------------
 
 _WEB_TRACER_SHA256 = (
-    "75d077550166803a71de996098eb869504a296b73580e494764ce73062fa057d")
+    "9e9f3c60fcd9b9352a3468b42b83f2d5081a7380c98ae92b6c53318114d5bfad")
 
 
 def test_web_tracer_js_pinned_to_mirror():
@@ -256,6 +256,7 @@ def test_scene_export_scope_rejections():
     ("blend", 24, 4, 48),
     ("envglass", 24, 6, 48),
     ("pointdir", 32, 4, 48),
+    ("blenddelta", 32, 3, 64),
 ])
 def test_client_tracer_matches_oracle(variant, passes, md, spp_o):
     """z-test the JS transcription against the independent scalar oracle
@@ -278,6 +279,12 @@ def test_client_tracer_matches_oracle(variant, passes, md, spp_o):
     size = 12
 
     def scene():
+        if variant == "blenddelta":
+            # the prev_nee MIS-state scene (see test_oracle.py
+            # smooth_blend_scene): a missing prev_nee in the client
+            # tracer darkens this render ~40%
+            from test_oracle import smooth_blend_scene
+            return smooth_blend_scene(size)
         if variant == "envglass":
             from rustlight_tpu.scene import Scene, make_camera, look_at, \
                 make_sphere, make_quad

@@ -619,14 +619,19 @@ class WebScene {
              wo[0] * t[2] + wo[1] * b[2] + wo[2] * ng[2]], weight];
   }
 
-  /* Recursive radiance along (o, d) with k edges completed. */
-  radiance(o, d, rng, k, prevPdf, prevDelta) {
+  /* Recursive radiance along (o, d) with k edges completed. prevNee =
+   * NEE was actually POSSIBLE at the previous vertex (path.py's
+   * nee_possible): at a smooth vertex NEE is skipped, so a non-delta
+   * continuation's emitter/env hit gets weight 1 — no balance against a
+   * strategy that never ran. */
+  radiance(o, d, rng, k, prevPdf, prevDelta, prevNee) {
     const [tri, tHit] = this.intersect(o, d, Infinity);
     const L = [0, 0, 0];
     if (tri < 0) {
       // escaped: constant environment through the k+1-edge path
       if (this.envColor !== null && k >= this.minDepth) {
-        const w = prevDelta ? 1.0 : balance(prevPdf, this.envPdfSa());
+        const w = (prevDelta || !prevNee) ? 1.0
+          : balance(prevPdf, this.envPdfSa());
         L[0] += this.envColor[0] * w;
         L[1] += this.envColor[1] * w;
         L[2] += this.envColor[2] * w;
@@ -637,7 +642,7 @@ class WebScene {
                   o[2] + d[2] * tHit];
     const ng = this.ng[tri];
     if (this.isLight[tri] && k >= this.minDepth && -dot(ng, d) > 0) {
-      const w = prevDelta ? 1.0
+      const w = (prevDelta || !prevNee) ? 1.0
         : balance(prevPdf, this.lightPdfSa(tri, o, pHit, d));
       const le = this.le[tri];
       L[0] += le[0] * w; L[1] += le[1] * w; L[2] += le[2] * w;
@@ -685,7 +690,8 @@ class WebScene {
     }
     if (Math.max(weight[0], weight[1], weight[2]) <= 0) return L;
     const oNew = this.offset(pHit, ng, dNew);
-    const Ln = this.radiance(oNew, dNew, rng, k + 1, pdfDir, nextDelta);
+    const Ln = this.radiance(oNew, dNew, rng, k + 1, pdfDir, nextDelta,
+                             !smooth);
     L[0] += weight[0] * Ln[0];
     L[1] += weight[1] * Ln[1];
     L[2] += weight[2] * Ln[2];
@@ -700,7 +706,7 @@ class WebScene {
       for (let x = x0; x < xe; x++) {
         const rng = pixelRng(x, y, pass, this.seed);
         const [o, d] = this.cameraRay(x + rng(), y + rng());
-        const li = this.radiance(o, d, rng, 0, 1.0, true);
+        const li = this.radiance(o, d, rng, 0, 1.0, true, false);
         const idx = y * this.width + x;
         if (isFinite(li[0]) && isFinite(li[1]) && isFinite(li[2]) &&
             li[0] >= 0 && li[1] >= 0 && li[2] >= 0) {
