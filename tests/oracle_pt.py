@@ -123,16 +123,21 @@ class OracleScene:
             self.textures = np.asarray(scene.textures, np.float64)
 
         v0, e1, e2, le, mat_id, vuv = [], [], [], [], [], []
+        em_kind, em_scale, em_tex, is_light = [], [], [], []
         em_tri, em_weight = [], []
         for mesh in scene.meshes:
-            if mesh.emission_kind != 0:
-                raise NotImplementedError("oracle: constant emission only")
             verts = np.asarray(mesh.vertices, np.float64)
             areas = mesh.triangle_areas().astype(np.float64)
-            flux_scalar = float(np.max(mesh.flux()))
+            flux_scalar = float(np.max(mesh.flux(scene.textures)))
             total = max(float(areas.sum()), 1e-30)
             uvs = (np.asarray(mesh.uvs, np.float64)
                    if mesh.uvs is not None else None)
+            ek = int(getattr(mesh, "emission_kind", 0))
+            if ek == 2 and (self.textures is None
+                            or not 0 <= mesh.emission_tex
+                            < len(self.textures)):
+                raise NotImplementedError(
+                    "oracle: textured emission needs a scene atlas slot")
             for k, (i0, i1, i2) in enumerate(np.asarray(mesh.indices)):
                 t = len(v0)
                 v0.append(verts[i0])
@@ -140,6 +145,10 @@ class OracleScene:
                 e2.append(verts[i2] - verts[i0])
                 mat_id.append(int(mesh.material))
                 le.append(np.asarray(mesh.emission, np.float64))
+                em_kind.append(ek)
+                em_scale.append(float(mesh.emission_scale))
+                em_tex.append(int(mesh.emission_tex))
+                is_light.append(bool(mesh.is_light))
                 vuv.append(np.stack([uvs[i0], uvs[i1], uvs[i2]])
                            if uvs is not None else np.zeros((3, 2)))
                 if mesh.is_light:
@@ -157,7 +166,10 @@ class OracleScene:
         self.mat_id = np.asarray(mat_id, np.int64)
         self.vuv = np.asarray(vuv)
         self.le = np.asarray(le)
-        self.is_light = np.linalg.norm(self.le, axis=-1) > 0.0
+        self.em_kind = np.asarray(em_kind, np.int64)
+        self.em_scale = np.asarray(em_scale)
+        self.em_tex = np.asarray(em_tex, np.int64)
+        self.is_light = np.asarray(is_light, bool)
         self.em_tri = np.asarray(em_tri, np.int64)
 
         # ---- environment light (emitter.rs:300-568)
@@ -332,6 +344,23 @@ class OracleScene:
         yi = min(int((1.0 - fv) * th), th - 1)
         return img[yi, xi]
 
+    def _emission_eval(self, tri, uv):
+        """uv-dependent Le (Mesh::emit, geometry.rs:184-206): 0 constant,
+        1 HSV ramp scale*[x, 1-x, 0] over u mod 1, 2 texture atlas."""
+        k = self.em_kind[tri]
+        if k == 0:
+            return self.le[tri]
+        if k == 1:
+            x = math.fmod(abs(uv[0]), 1.0)
+            return self.em_scale[tri] * np.asarray([x, 1.0 - x, 0.0])
+        img = self.textures[self.em_tex[tri]]
+        th, tw = img.shape[:2]
+        fu = uv[0] - math.floor(uv[0])
+        fv = uv[1] - math.floor(uv[1])
+        xi = min(int(fu * tw), tw - 1)
+        yi = min(int((1.0 - fv) * th), th - 1)
+        return img[yi, xi] * self.em_scale[tri]
+
     # ------------------------------------------------------------ emitters
     def _env_radiance(self, d):
         if not self.has_env:
@@ -437,7 +466,8 @@ class OracleScene:
             return None
         g = cos_l / (dist * dist)
         pdf_area = self.pdf_area[tri]
-        weight = self.le[tri] * (g / pdf_area)
+        le_pt = self._emission_eval(tri, self._uv_at(tri, (b1, b2)))
+        weight = le_pt * (g / pdf_area)
         pdf_sa = pdf_area * dist * dist / cos_l
         return {"d": d, "dist": dist, "weight": weight, "pdf_sa": pdf_sa,
                 "p_l": p_l}
@@ -858,7 +888,8 @@ class OracleScene:
                 else:
                     pl = self._light_pdf_sa(tri, o, p_hit, self.ng[tri], d)
                     w_hit = self._balance(prev_pdf, pl)
-                L = L + thr_med * self.le[tri] * w_hit
+                le_hit = self._emission_eval(tri, self._uv_at(tri, bary))
+                L = L + thr_med * le_hit * w_hit
 
         can_expand = (max_depth is None) or (k + 1 < max_depth)
         if not can_expand:
@@ -1040,7 +1071,8 @@ class OracleScene:
             p0 = self.v0[tri] + b1 * self.e1[tri] + b2 * self.e2[tri]
             n0 = self.ng[tri]
             pdf_area = probs[i] / self.area[tri]
-            flux = self.le[tri] * (math.pi / pdf_area)
+            le0 = self._emission_eval(tri, self._uv_at(tri, (b1, b2)))
+            flux = le0 * (math.pi / pdf_area)
 
             # ---- splat the LIGHT vertex (light.rs:137-171): the sampled
             # emission direction has a solid-angle pdf, so depth-0 counts

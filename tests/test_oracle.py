@@ -300,3 +300,22 @@ def test_oracle_smooth_blend_big_light():
     (the wavefront renderer always had it, path.py nee_possible)."""
     _agree("smoothblend(md=3)", smooth_blend_scene(), max_depth=3,
            spp_wave=512, spp_oracle=96)
+
+
+@pytest.mark.parametrize("kind", [1, 2])
+def test_oracle_uv_emission(kind):
+    """EmissionType::{HSV,Texture} (geometry.rs:99-104, 184-206):
+    uv-dependent emission through NEE sampling AND BSDF-hit evaluation,
+    z-tested against the wavefront renderer — the third independent
+    implementation beyond the renderer's own forward-vs-adjoint check."""
+    host = cornell_box(SIZE, SIZE)
+    for m in host.meshes:
+        if m.is_light:
+            m.emission_kind = kind
+            m.emission_scale = 15.0
+            m.emission_tex = 0
+    if kind == 2:
+        yy, xx = np.mgrid[0:16, 0:16].astype(np.float32) / 15.0
+        host.textures = np.stack([xx, yy, 0.5 * (1 - xx)], -1)[None]
+    _agree(f"uv-emission(kind={kind})", host, max_depth=3, spp_wave=384,
+           spp_oracle=80)
