@@ -32,6 +32,16 @@ permutation before the walk and A/B on-chip; if even greedy-union stays
 near the committed floor, the floor stands and the headroom claim is
 revised with this lab as evidence.
 
+Outcome (committed in regress/grouping_lab.json): the (id1,id2,id3,size)
+key matched the full-bitset sort (28.0 vs 28.1) and shipped as
+pallas_walk._incidence_key (divergent trace 1.47x). The greedy-union
+order was ALSO validated on-chip by pre-permuting rays into the real
+kernel: 105.6 -> 75.7 ms (1.40x over the shipped sort, matching the
+17.8-vs-28 union ratio) — the visit-count cost model holds at the
+assignment bound, so an on-chip packing pass (not a sort) is the
+quantified next lever; the host greedy itself takes ~8 min, far too
+slow to ship.
+
 Run:  python tools/perf/grouping_lab.py          (CPU-only)
 """
 import json
