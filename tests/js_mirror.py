@@ -78,6 +78,12 @@ class _Slot:
         self.ggx = list(d["ggx"])
         self.exponent = list(d["exponent"])
         self.wspec = list(d["wspec"])
+        self.tex_kind = list(d["tex_kind"])
+        self.tex_c1 = np.asarray(d["tex_c1"], np.float64)
+        self.tex_scale = np.asarray(d["tex_scale"], np.float64)
+        self.tex_offset = np.asarray(d["tex_offset"], np.float64)
+        self.tex_lw = list(d["tex_lw"])
+        self.tex_img = list(d["tex_img"])
 
 
 class MirrorScene:
@@ -92,6 +98,9 @@ class MirrorScene:
         self.a = _Slot(desc["a"])
         self.b = _Slot(desc["b"])
         self.blend_w = list(desc["blend_w"])
+        self.vuv = np.asarray(desc["vuv"], np.float64)
+        tx = desc.get("textures")
+        self.textures = None if tx is None else np.asarray(tx, np.float64)
         self.kt = np.asarray(desc["kt"], np.float64)
         self.eta = list(desc["eta"])
         self.le = np.asarray(desc["le"], np.float64)
@@ -161,21 +170,57 @@ class MirrorScene:
         hit = ok & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1) \
             & (t > _EPS_ABS) & (t < tmax)
         if not hit.any():
-            return -1, tmax
+            return -1, tmax, 0.0, 0.0
         t = np.where(hit, t, np.inf)
         tri = int(np.argmin(t))
-        return tri, float(t[tri])
+        return tri, float(t[tri]), float(u[tri]), float(v[tri])
+
+    def uv_at(self, tri, b1, b2):
+        w = self.vuv[tri]
+        w0 = 1.0 - b1 - b2
+        return w0 * w[0] + b1 * w[1] + b2 * w[2]
+
+    def albedo(self, sl: _Slot, tri, uv):
+        """Diffuse-slot color at uv (BSDFColor, mod.rs:11-121): constant /
+        bitmap / checkerboard (Rust as-i32 truncation + C-style signed %,
+        via math.fmod) / grid."""
+        tk = sl.tex_kind[tri]
+        if tk == 0:
+            return sl.kd[tri]
+        sc, of = sl.tex_scale[tri], sl.tex_offset[tri]
+        su = [uv[0] * sc[0] + of[0], uv[1] * sc[1] + of[1]]
+        if tk == 2:                         # checkerboard
+            x = 2 * int(math.fmod(int(su[0] * 2.0), 2)) - 1
+            y = 2 * int(math.fmod(int(su[1] * 2.0), 2)) - 1
+            return sl.kd[tri] if x * y == 1 else sl.tex_c1[tri]
+        if tk == 3:                         # grid
+            gx = su[0] - math.floor(su[0])
+            gy = su[1] - math.floor(su[1])
+            if gx > 0.5:
+                gx -= 1.0
+            if gy > 0.5:
+                gy -= 1.0
+            lw = sl.tex_lw[tri]
+            return (sl.kd[tri] if (abs(gx) < lw or abs(gy) < lw)
+                    else sl.tex_c1[tri])
+        img = self.textures[sl.tex_img[tri]]
+        th, tw = img.shape[:2]
+        fu = uv[0] - math.floor(uv[0])
+        fv = uv[1] - math.floor(uv[1])
+        xi = min(int(fu * tw), tw - 1)
+        yi = min(int((1.0 - fv) * th), th - 1)
+        return img[yi, xi]
 
     def occluded(self, p0, p1) -> bool:
         d = p1 - p0
         dist = float(np.linalg.norm(d))
         if dist <= 0.0:
             return True
-        tri, _ = self.intersect(p0, d / dist, dist * (1.0 - 1e-4))
+        tri = self.intersect(p0, d / dist, dist * (1.0 - 1e-4))[0]
         return tri >= 0
 
     def occluded_ray(self, p0, d) -> bool:
-        tri, _ = self.intersect(p0, d, np.inf)
+        tri = self.intersect(p0, d, np.inf)[0]
         return tri >= 0
 
     def offset(self, p, n, d):
@@ -344,14 +389,14 @@ class MirrorScene:
         return self.mf_g1(ggx, alpha, wi, m) * self.mf_g1(ggx, alpha, wo, m)
 
     # ---------------------- two-slot BSDF layer -------------------------
-    def atomic_eval_pdf(self, sl: _Slot, tri, n, d_in_ray, d_out):
+    def atomic_eval_pdf(self, sl: _Slot, tri, n, d_in_ray, d_out, uv):
         cos_o = float(n @ d_out)
         wi_w = -np.asarray(d_in_ray)
         cos_i = float(n @ wi_w)
         if cos_o <= 0.0 or cos_i <= 0.0:
             return np.zeros(3), 0.0
         kind = sl.kind[tri]
-        kd = sl.kd[tri]
+        kd = self.albedo(sl, tri, uv)
         if kind == 0:
             return kd / math.pi * cos_o, cos_o / math.pi
         if kind == 1:
@@ -410,21 +455,21 @@ class MirrorScene:
             return f, 0.5 * (wo[2] / math.pi + pdf_spec)
         return np.zeros(3), 0.0                 # glass slot: delta-only
 
-    def bsdf_eval_pdf(self, tri, n, d_in_ray, d_out):
+    def bsdf_eval_pdf(self, tri, n, d_in_ray, d_out, uv):
         w = self.blend_w[tri]
-        fa, pa = self.atomic_eval_pdf(self.a, tri, n, d_in_ray, d_out)
+        fa, pa = self.atomic_eval_pdf(self.a, tri, n, d_in_ray, d_out, uv)
         if w >= 1.0:
             return fa, pa
-        fb, pb = self.atomic_eval_pdf(self.b, tri, n, d_in_ray, d_out)
+        fb, pb = self.atomic_eval_pdf(self.b, tri, n, d_in_ray, d_out, uv)
         return w * fa + (1.0 - w) * fb, w * pa + (1.0 - w) * pb
 
-    def atomic_sample(self, sl: _Slot, tri, n, d_in_ray, rng):
+    def atomic_sample(self, sl: _Slot, tri, n, d_in_ray, rng, uv):
         kind = sl.kind[tri]
         if kind == 0:
             d_new, pdf = self.cosine_hemisphere(n, rng)
             if pdf <= 0.0:
                 return None
-            return d_new, pdf, sl.kd[tri].copy(), False
+            return d_new, pdf, self.albedo(sl, tri, uv).copy(), False
         if kind == 1:
             e, ws = sl.exponent[tri], sl.wspec[tri]
             u, v = rng(), rng()
@@ -443,7 +488,7 @@ class MirrorScene:
             else:
                 u = (u - ws) / (1.0 - ws)
                 d_new, _ = self.cosine_hemisphere_uv(n, u, v)
-            f, pdf = self.atomic_eval_pdf(sl, tri, n, d_in_ray, d_new)
+            f, pdf = self.atomic_eval_pdf(sl, tri, n, d_in_ray, d_new, uv)
             if pdf <= 0.0:
                 return None
             return d_new, pdf, f / pdf, False
@@ -498,25 +543,25 @@ class MirrorScene:
                 if wo[2] <= 0.0:
                     return None
                 d_new = wo[0] * t + wo[1] * b + wo[2] * n
-            f, pdf = self.atomic_eval_pdf(sl, tri, n, d_in_ray, d_new)
+            f, pdf = self.atomic_eval_pdf(sl, tri, n, d_in_ray, d_new, uv)
             if pdf <= 0.0:
                 return None
             return d_new, pdf, f / pdf, False
         return None
 
-    def bsdf_sample(self, tri, n, d_in_ray, rng):
+    def bsdf_sample(self, tri, n, d_in_ray, rng, uv):
         w = self.blend_w[tri]
         if w >= 1.0:
-            return self.atomic_sample(self.a, tri, n, d_in_ray, rng)
+            return self.atomic_sample(self.a, tri, n, d_in_ray, rng, uv)
         u = rng()
         sl = self.a if u < w else self.b
-        res = self.atomic_sample(sl, tri, n, d_in_ray, rng)
+        res = self.atomic_sample(sl, tri, n, d_in_ray, rng, uv)
         if res is None:
             return None
         d_new, _pdf_c, _w_c, is_delta = res
         if is_delta:
             return res
-        f_mix, pdf_mix = self.bsdf_eval_pdf(tri, n, d_in_ray, d_new)
+        f_mix, pdf_mix = self.bsdf_eval_pdf(tri, n, d_in_ray, d_new, uv)
         if pdf_mix <= 0.0:
             return None
         return d_new, pdf_mix, f_mix / pdf_mix, False
@@ -556,7 +601,7 @@ class MirrorScene:
 
     # ---------------------------------------------------------- transport
     def radiance(self, o, d, rng, k, prev_pdf, prev_delta, prev_nee):
-        tri, t_hit = self.intersect(o, d)
+        tri, t_hit, bu, bv = self.intersect(o, d)
         L = np.zeros(3)
         if tri < 0:
             # escaped: constant environment through the k+1-edge path
@@ -578,6 +623,7 @@ class MirrorScene:
             return L
 
         # glass keeps the UNFLIPPED geometric frame (wi.z sign = in/out)
+        uv = self.uv_at(tri, bu, bv)
         is_glass = self.a.kind[tri] == 2
         smooth = self.smooth[tri]
         n = ng.copy()
@@ -587,7 +633,7 @@ class MirrorScene:
         if k + 1 >= self.min_depth and not smooth:
             ls = self.sample_light(p_hit, rng)
             if ls is not None:
-                f, pdf_other = self.bsdf_eval_pdf(tri, n, d, ls["d"])
+                f, pdf_other = self.bsdf_eval_pdf(tri, n, d, ls["d"], uv)
                 if float(np.max(f)) > 0.0:
                     p_shadow = self.offset(p_hit, ng, ls["d"])
                     vis = (not self.occluded_ray(p_shadow, ls["d"])
@@ -604,7 +650,7 @@ class MirrorScene:
             pdf_dir = 1.0
             next_delta = True
         else:
-            res = self.bsdf_sample(tri, n, d, rng)
+            res = self.bsdf_sample(tri, n, d, rng, uv)
             if res is None:
                 return L
             d_new, pdf_dir, weight, next_delta = res

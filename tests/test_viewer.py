@@ -132,7 +132,7 @@ def test_orbit_camera_math():
 # ---------------------------------------------------------------------------
 
 _WEB_TRACER_SHA256 = (
-    "9e9f3c60fcd9b9352a3468b42b83f2d5081a7380c98ae92b6c53318114d5bfad")
+    "55fe0705990c46d47f79632717171297450ad88533679a7ff8a0839b53e28497")
 
 
 def test_web_tracer_js_pinned_to_mirror():
@@ -236,10 +236,25 @@ def test_scene_export_scope_rejections():
     with pytest.raises(viewer.WebExportError, match="atomic non-glass"):
         viewer.scene_to_web_json(host4)
 
+    # textures now EXPORT (checker/grid/bitmap with a bounded atlas)
     host5 = cornell_box(16, 16, mat_overrides={
         "white": MaterialDesc(kind=KIND_DIFFUSE, tex_kind=TEX_CHECKER)})
-    with pytest.raises(viewer.WebExportError, match="constant colors"):
-        viewer.scene_to_web_json(host5)
+    desc5 = viewer.scene_to_web_json(host5)
+    assert 2 in desc5["a"]["tex_kind"]
+
+    from rustlight_tpu.bsdfs.table import TEX_BITMAP
+    host5b = cornell_box(16, 16, mat_overrides={
+        "white": MaterialDesc(kind=KIND_DIFFUSE, tex_kind=TEX_BITMAP,
+                              tex_img=0)})
+    with pytest.raises(viewer.WebExportError, match="atlas slot"):
+        viewer.scene_to_web_json(host5b)       # no scene atlas
+
+    host5c = cornell_box(16, 16, mat_overrides={
+        "white": MaterialDesc(kind=KIND_DIFFUSE, tex_kind=TEX_BITMAP,
+                              tex_img=0)})
+    host5c.textures = np.ones((1, 640, 640, 3), np.float32)
+    with pytest.raises(viewer.WebExportError, match="atlas too large"):
+        viewer.scene_to_web_json(host5c)
 
     host6 = cornell_box(16, 16)
     host6.env_image = np.ones((4, 8, 3), np.float32)
@@ -257,6 +272,7 @@ def test_scene_export_scope_rejections():
     ("envglass", 24, 6, 48),
     ("pointdir", 32, 4, 48),
     ("blenddelta", 32, 3, 64),
+    ("textured", 32, 3, 48),
 ])
 def test_client_tracer_matches_oracle(variant, passes, md, spp_o):
     """z-test the JS transcription against the independent scalar oracle
@@ -279,6 +295,22 @@ def test_client_tracer_matches_oracle(variant, passes, md, spp_o):
     size = 12
 
     def scene():
+        if variant == "textured":
+            from rustlight_tpu.bsdfs import MaterialDesc
+            from rustlight_tpu.bsdfs.table import KIND_DIFFUSE, \
+                TEX_CHECKER, TEX_BITMAP
+            rng = np.random.default_rng(11)
+            tex = (0.2 + 0.6 * rng.random((16, 16, 3))).astype(np.float32)
+            sc = cornell_box(size, size, mat_overrides={
+                "white": MaterialDesc(kind=KIND_DIFFUSE,
+                                      kd=(0.7, 0.7, 0.7),
+                                      tex_kind=TEX_CHECKER,
+                                      tex_c1=(0.25, 0.25, 0.3),
+                                      tex_scale=(2.0, 2.0)),
+                "right": MaterialDesc(kind=KIND_DIFFUSE,
+                                      tex_kind=TEX_BITMAP, tex_img=0)})
+            sc.textures = tex[None]
+            return sc
         if variant == "blenddelta":
             # the prev_nee MIS-state scene (see test_oracle.py
             # smooth_blend_scene): a missing prev_nee in the client

@@ -72,6 +72,9 @@ def scene_to_web_json(scene, integrator=None, seed=0):
     (bsdfs/table.py): every triangle carries slot A and slot B atomic
     parameters plus blend_w; non-blend materials point both slots at
     themselves with weight 1, so the client has ONE mixture code path.
+    The diffuse slot's texture (constant / checker / grid / bitmap,
+    BSDFColor mod.rs:11-121) exports too, with per-corner uvs and the
+    scene atlas (bounded: big atlases are beyond JSON-export scope).
     """
     if scene.volume is not None:
         raise WebExportError("client tracer: no participating media")
@@ -89,8 +92,12 @@ def scene_to_web_json(scene, integrator=None, seed=0):
             raise WebExportError(
                 "client tracer: diffuse/phong/glass/metal/substrate/blend "
                 f"materials only (kind {k})")
-        if int(getattr(mat, "tex_kind", 0)) != 0:
-            raise WebExportError("client tracer: constant colors only")
+        tk = int(getattr(mat, "tex_kind", 0))
+        if tk == 1 and not (scene.textures is not None
+                            and 0 <= int(mat.tex_img)
+                            < len(scene.textures)):
+            raise WebExportError("client tracer: bitmap texture without "
+                                 "a scene atlas slot")
         if k == 4 and float(mat.alpha) <= 0.0:
             raise WebExportError(
                 "client tracer: smooth substrate (DELTA|DIFFUSE) "
@@ -105,11 +112,21 @@ def scene_to_web_json(scene, integrator=None, seed=0):
             "ggx": bool(mat.dist_ggx),
             "exponent": float(mat.exponent),
             "wspec": float(mat.weight_specular),
+            "tex_kind": tk,
+            "tex_c1": np.asarray(getattr(mat, "tex_c1", (0, 0, 0)),
+                                 np.float64),
+            "tex_scale": np.asarray(getattr(mat, "tex_scale", (1, 1)),
+                                    np.float64),
+            "tex_offset": np.asarray(getattr(mat, "tex_offset", (0, 0)),
+                                     np.float64),
+            "tex_lw": float(getattr(mat, "tex_lw", 0.1)),
+            "tex_img": int(getattr(mat, "tex_img", -1)),
         }
 
     SLOT_COLS = ("kind", "kd", "ks", "eta_c", "k_c", "alpha", "ggx",
-                 "exponent", "wspec")
-    v0, e1, e2, le, kt, eta, blend_w = [], [], [], [], [], [], []
+                 "exponent", "wspec", "tex_kind", "tex_c1", "tex_scale",
+                 "tex_offset", "tex_lw", "tex_img")
+    v0, e1, e2, le, kt, eta, blend_w, vuv = [], [], [], [], [], [], [], []
     slot_a = {c: [] for c in SLOT_COLS}
     slot_b = {c: [] for c in SLOT_COLS}
     em_tri, em_weight = [], []
@@ -134,11 +151,15 @@ def scene_to_web_json(scene, integrator=None, seed=0):
         flux_scalar = float(np.max(mesh.flux()))
         total = max(float(areas.sum()), 1e-30)
         pts.append(verts)
+        uvs = (np.asarray(mesh.uvs, np.float64)
+               if mesh.uvs is not None else None)
         for k, (i0, i1, i2) in enumerate(np.asarray(mesh.indices)):
             t = len(v0)
             v0.append(verts[i0])
             e1.append(verts[i1] - verts[i0])
             e2.append(verts[i2] - verts[i0])
+            vuv.append(np.stack([uvs[i0], uvs[i1], uvs[i2]])
+                       if uvs is not None else np.zeros((3, 2)))
             for c in SLOT_COLS:
                 slot_a[c].append(sa[c])
                 slot_b[c].append(sb[c])
@@ -204,7 +225,22 @@ def scene_to_web_json(scene, integrator=None, seed=0):
             "ggx": [bool(x) for x in sl["ggx"]],
             "exponent": [float(x) for x in sl["exponent"]],
             "wspec": [float(x) for x in sl["wspec"]],
+            "tex_kind": [int(x) for x in sl["tex_kind"]],
+            "tex_c1": np.asarray(sl["tex_c1"]).tolist(),
+            "tex_scale": np.asarray(sl["tex_scale"]).tolist(),
+            "tex_offset": np.asarray(sl["tex_offset"]).tolist(),
+            "tex_lw": [float(x) for x in sl["tex_lw"]],
+            "tex_img": [int(x) for x in sl["tex_img"]],
         }
+
+    textures = None
+    if scene.textures is not None and any(
+            tk != 0 for tk in slot_a["tex_kind"] + slot_b["tex_kind"]):
+        atlas = np.asarray(scene.textures, np.float64)
+        if atlas.size > 4 * 256 * 256 * 3:
+            raise WebExportError(
+                "client tracer: texture atlas too large for JSON export")
+        textures = atlas.tolist()
 
     cam = scene.camera
     return {
@@ -212,6 +248,7 @@ def scene_to_web_json(scene, integrator=None, seed=0):
         "e2": np.asarray(e2).tolist(),
         "a": slot_json(slot_a), "b": slot_json(slot_b),
         "blend_w": blend_w,
+        "vuv": np.asarray(vuv).tolist(), "textures": textures,
         "kt": np.asarray(kt).tolist(), "eta": eta,
         "le": np.asarray(le).tolist(),
         "atoms": atoms, "atom_prob": (w / w.sum()).tolist(),

@@ -62,6 +62,8 @@ class WebScene {
     // (whole-material only) / 3 metal / 4 substrate; blend_w mixes a and b
     this.a = desc.a; this.b = desc.b;
     this.blendW = desc.blend_w;
+    this.vuv = desc.vuv;                 // [T][3][2] per-corner uvs
+    this.textures = desc.textures == null ? null : desc.textures;
     this.kt = desc.kt; this.eta = desc.eta;
     this.ng = new Array(T); this.area = new Array(T);
     this.isLight = new Array(T);
@@ -136,7 +138,7 @@ class WebScene {
 
   /* Closest hit, Moller-Trumbore over every triangle (NaiveAcceleration). */
   intersect(o, d, tmax) {
-    let best = -1; let bestT = tmax;
+    let best = -1; let bestT = tmax; let bu = 0; let bv = 0;
     for (let i = 0; i < this.n; i++) {
       const e1 = this.e1[i]; const e2 = this.e2[i]; const v0 = this.v0[i];
       const px = d[1] * e2[2] - d[2] * e2[1];
@@ -154,9 +156,48 @@ class WebScene {
       const v = (d[0] * qx + d[1] * qy + d[2] * qz) * inv;
       if (v < 0 || u + v > 1) continue;
       const t = (e2[0] * qx + e2[1] * qy + e2[2] * qz) * inv;
-      if (t > EPS_ABS && t < bestT) { bestT = t; best = i; }
+      if (t > EPS_ABS && t < bestT) { bestT = t; best = i; bu = u; bv = v; }
     }
-    return [best, bestT];
+    return [best, bestT, bu, bv];
+  }
+
+  uvAt(tri, b1, b2) {
+    const w = this.vuv[tri];
+    const w0 = 1.0 - b1 - b2;
+    return [w0 * w[0][0] + b1 * w[1][0] + b2 * w[2][0],
+            w0 * w[0][1] + b1 * w[1][1] + b2 * w[2][1]];
+  }
+
+  /* Diffuse-slot color at uv (BSDFColor, mod.rs:11-121): constant /
+   * bitmap / checkerboard (Rust as-i32 truncation + C-style signed %,
+   * which JS % matches) / grid. */
+  albedo(sl, tri, uv) {
+    const tk = sl.tex_kind[tri];
+    if (tk === 0) return sl.kd[tri];
+    const sc = sl.tex_scale[tri]; const of = sl.tex_offset[tri];
+    const su = [uv[0] * sc[0] + of[0], uv[1] * sc[1] + of[1]];
+    if (tk === 2) {                      // checkerboard
+      const x = 2 * (Math.trunc(su[0] * 2.0) % 2) - 1;
+      const y = 2 * (Math.trunc(su[1] * 2.0) % 2) - 1;
+      return x * y === 1 ? sl.kd[tri] : sl.tex_c1[tri];
+    }
+    if (tk === 3) {                      // grid
+      let gx = su[0] - Math.floor(su[0]);
+      let gy = su[1] - Math.floor(su[1]);
+      if (gx > 0.5) gx -= 1.0;
+      if (gy > 0.5) gy -= 1.0;
+      const lw = sl.tex_lw[tri];
+      return (Math.abs(gx) < lw || Math.abs(gy) < lw)
+        ? sl.kd[tri] : sl.tex_c1[tri];
+    }
+    // bitmap: repeat wrap, v up (pixel_uv, structure.rs:434-453)
+    const img = this.textures[sl.tex_img[tri]];
+    const th = img.length; const tw = img[0].length;
+    const fu = uv[0] - Math.floor(uv[0]);
+    const fv = uv[1] - Math.floor(uv[1]);
+    const xi = Math.min(Math.trunc(fu * tw), tw - 1);
+    const yi = Math.min(Math.trunc((1.0 - fv) * th), th - 1);
+    return img[yi][xi];
   }
 
   occluded(p0, p1) {
@@ -370,13 +411,13 @@ class WebScene {
    * in world directions; delta archetypes (glass slot, smooth metal)
    * evaluate to zero here. phong.rs:66-121, metal.rs:110-155,
    * substrate.rs:150-205. */
-  atomicEvalPdf(sl, tri, n, dInRay, dOut) {
+  atomicEvalPdf(sl, tri, n, dInRay, dOut, uv) {
     const cosO = dot(n, dOut);
     const wiW = [-dInRay[0], -dInRay[1], -dInRay[2]];
     const cosI = dot(n, wiW);
     if (cosO <= 0 || cosI <= 0) return [[0, 0, 0], 0.0];
     const kind = sl.kind[tri];
-    const kd = sl.kd[tri];
+    const kd = this.albedo(sl, tri, uv);
     if (kind === 0) {
       return [[kd[0] / Math.PI * cosO, kd[1] / Math.PI * cosO,
                kd[2] / Math.PI * cosO], cosO / Math.PI];
@@ -452,22 +493,22 @@ class WebScene {
   }
 
   /* (f, pdf) resolving the two-slot mixture (blend.rs:9-95). */
-  bsdfEvalPdf(tri, n, dInRay, dOut) {
+  bsdfEvalPdf(tri, n, dInRay, dOut, uv) {
     const w = this.blendW[tri];
-    const [fa, pa] = this.atomicEvalPdf(this.a, tri, n, dInRay, dOut);
+    const [fa, pa] = this.atomicEvalPdf(this.a, tri, n, dInRay, dOut, uv);
     if (w >= 1.0) return [fa, pa];
-    const [fb, pb] = this.atomicEvalPdf(this.b, tri, n, dInRay, dOut);
+    const [fb, pb] = this.atomicEvalPdf(this.b, tri, n, dInRay, dOut, uv);
     return [[w * fa[0] + (1 - w) * fb[0], w * fa[1] + (1 - w) * fb[1],
              w * fa[2] + (1 - w) * fb[2]], w * pa + (1 - w) * pb];
   }
 
   /* [d, pdf, weight, isDelta] or null for one atomic slot. */
-  atomicSample(sl, tri, n, dInRay, rng) {
+  atomicSample(sl, tri, n, dInRay, rng, uv) {
     const kind = sl.kind[tri];
     if (kind === 0) {
       const [dNew, pdf] = this.cosineHemisphere(n, rng);
       if (pdf <= 0) return null;
-      return [dNew, pdf, sl.kd[tri].slice(), false];
+      return [dNew, pdf, this.albedo(sl, tri, uv).slice(), false];
     }
     if (kind === 1) {
       const e = sl.exponent[tri]; const ws = sl.wspec[tri];
@@ -492,7 +533,7 @@ class WebScene {
         u = (u - ws) / (1.0 - ws);
         [dNew] = this.cosineHemisphereUv(n, u, v);
       }
-      const [f, pdf] = this.atomicEvalPdf(sl, tri, n, dInRay, dNew);
+      const [f, pdf] = this.atomicEvalPdf(sl, tri, n, dInRay, dNew, uv);
       if (pdf <= 0) return null;
       return [dNew, pdf, [f[0] / pdf, f[1] / pdf, f[2] / pdf], false];
     }
@@ -554,7 +595,7 @@ class WebScene {
                 wo[0] * t[1] + wo[1] * b[1] + wo[2] * n[1],
                 wo[0] * t[2] + wo[1] * b[2] + wo[2] * n[2]];
       }
-      const [f, pdf] = this.atomicEvalPdf(sl, tri, n, dInRay, dNew);
+      const [f, pdf] = this.atomicEvalPdf(sl, tri, n, dInRay, dNew, uv);
       if (pdf <= 0) return null;
       return [dNew, pdf, [f[0] / pdf, f[1] / pdf, f[2] / pdf], false];
     }
@@ -564,16 +605,16 @@ class WebScene {
   /* [d, pdf, weight, isDelta] or null, resolving blends: lobe select by
    * blend_w with random reuse skipped (fresh draw), mixture pdf/weight
    * recombined for non-delta samples (blend.rs:9-95). */
-  bsdfSample(tri, n, dInRay, rng) {
+  bsdfSample(tri, n, dInRay, rng, uv) {
     const w = this.blendW[tri];
-    if (w >= 1.0) return this.atomicSample(this.a, tri, n, dInRay, rng);
+    if (w >= 1.0) return this.atomicSample(this.a, tri, n, dInRay, rng, uv);
     const u = rng();
     const sl = u < w ? this.a : this.b;
-    const res = this.atomicSample(sl, tri, n, dInRay, rng);
+    const res = this.atomicSample(sl, tri, n, dInRay, rng, uv);
     if (res === null) return null;
     const [dNew, , , isDelta] = res;
     if (isDelta) return res;
-    const [fMix, pdfMix] = this.bsdfEvalPdf(tri, n, dInRay, dNew);
+    const [fMix, pdfMix] = this.bsdfEvalPdf(tri, n, dInRay, dNew, uv);
     if (pdfMix <= 0) return null;
     return [dNew, pdfMix,
             [fMix[0] / pdfMix, fMix[1] / pdfMix, fMix[2] / pdfMix], false];
@@ -625,7 +666,7 @@ class WebScene {
    * continuation's emitter/env hit gets weight 1 — no balance against a
    * strategy that never ran. */
   radiance(o, d, rng, k, prevPdf, prevDelta, prevNee) {
-    const [tri, tHit] = this.intersect(o, d, Infinity);
+    const [tri, tHit, bu, bv] = this.intersect(o, d, Infinity);
     const L = [0, 0, 0];
     if (tri < 0) {
       // escaped: constant environment through the k+1-edge path
@@ -651,6 +692,7 @@ class WebScene {
     if (!canExpand) return L;
 
     // glass keeps the UNFLIPPED geometric frame (wi.z sign = inside/out)
+    const uv = this.uvAt(tri, bu, bv);
     const isGlass = this.a.kind[tri] === 2;
     const smooth = this.smooth[tri];
     let n = ng;
@@ -662,7 +704,7 @@ class WebScene {
     if (k + 1 >= this.minDepth && !smooth) {
       const ls = this.sampleLight(pHit, rng);
       if (ls !== null) {
-        const [f, pdfOther] = this.bsdfEvalPdf(tri, n, d, ls.d);
+        const [f, pdfOther] = this.bsdfEvalPdf(tri, n, d, ls.d, uv);
         if (Math.max(f[0], f[1], f[2]) > 0) {
           const pShadow = this.offset(pHit, ng, ls.d);
           const vis = ls.dist === null ? !this.occludedRay(pShadow, ls.d)
@@ -684,7 +726,7 @@ class WebScene {
       pdfDir = 1.0;                 // discrete pdf; MIS never uses it
       nextDelta = true;
     } else {
-      const res = this.bsdfSample(tri, n, d, rng);
+      const res = this.bsdfSample(tri, n, d, rng, uv);
       if (res === null) return L;
       [dNew, pdfDir, weight, nextDelta] = res;
     }
