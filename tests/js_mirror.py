@@ -126,6 +126,23 @@ class MirrorScene:
                      for dn, i in (desc.get("dirs") or [])]
         ec = desc.get("env_color")
         self.env_color = None if ec is None else np.asarray(ec, np.float64)
+        # textured envmap (emitter.rs:300-568): luminance*sin(theta) 2D CDF
+        ei = desc.get("env_img")
+        self.env_img = None if ei is None else np.asarray(ei, np.float64)
+        if self.env_img is not None:
+            eh, ew = self.env_img.shape[:2]
+            sw = np.sin((np.arange(eh) + 0.5) * math.pi / eh)[:, None]
+            lum = np.asarray([0.2126, 0.7152, 0.0722])
+            self.env_lum = (self.env_img @ lum) * sw
+            row = self.env_lum.sum(1)
+            tot = max(float(row.sum()), 1e-300)
+            self.env_marg_cdf = np.cumsum(row) / tot
+            cnd = np.cumsum(self.env_lum, axis=1)
+            rs = cnd[:, -1:]
+            self.env_cond_cdf = np.where(
+                rs > 0, cnd / np.maximum(rs, 1e-300),
+                (np.arange(ew) + 1.0) / ew)
+            self.env_int = tot / (eh * ew)
         self.atom_cdf = np.cumsum(self.atom_prob)
         self.env_prob = 0.0
         for i, at in enumerate(self.atoms):
@@ -271,14 +288,39 @@ class MirrorScene:
             dn, inten = self.dirs[at["ref"]]
             return {"d": -dn, "dist": None, "p_l": None, "is_delta": True,
                     "pdf_sa": 0.0, "weight": inten / prob}
-        # constant env: uniform sphere, pdf = prob / 4pi
-        z = 1.0 - 2.0 * rng()
-        r = math.sqrt(max(1.0 - z * z, 0.0))
-        phi = 2.0 * math.pi * rng()
-        d = np.array([r * math.cos(phi), r * math.sin(phi), z])
-        pdf_sa = prob / (4.0 * math.pi)
+        if self.env_img is None:
+            # constant env: uniform sphere, pdf = prob / 4pi
+            z = 1.0 - 2.0 * rng()
+            r = math.sqrt(max(1.0 - z * z, 0.0))
+            phi = 2.0 * math.pi * rng()
+            d = np.array([r * math.cos(phi), r * math.sin(phi), z])
+            pdf_sa = prob / (4.0 * math.pi)
+            return {"d": d, "dist": None, "p_l": None, "is_delta": False,
+                    "pdf_sa": pdf_sa, "weight": self.env_color / pdf_sa}
+        # textured env: marginal row CDF then in-row conditional + jitter
+        eh, ew = self.env_img.shape[:2]
+        uy = rng()
+        yi = 0
+        while yi < eh - 1 and uy > self.env_marg_cdf[yi]:
+            yi += 1
+        ux = rng()
+        xi = 0
+        while xi < ew - 1 and ux > self.env_cond_cdf[yi][xi]:
+            xi += 1
+        x = xi + rng()
+        y = yi + rng()
+        phi = 2.0 * math.pi * x / ew
+        theta = math.pi * y / eh
+        st, ct = math.sin(theta), math.cos(theta)
+        if st <= 0.0:
+            return None
+        d = np.array([st * math.cos(phi), st * math.sin(phi), ct])
+        cell = self.env_lum[yi, xi] / max(self.env_int, 1e-300)
+        pdf_sa = prob * cell / (2.0 * math.pi * math.pi * st)
+        if pdf_sa <= 0.0:
+            return None
         return {"d": d, "dist": None, "p_l": None, "is_delta": False,
-                "pdf_sa": pdf_sa, "weight": self.env_color / pdf_sa}
+                "pdf_sa": pdf_sa, "weight": self.env_img[yi, xi] / pdf_sa}
 
     def light_pdf_sa(self, tri, p_ref, p_hit, d) -> float:
         cos_l = -float(self.ng[tri] @ d)
@@ -287,8 +329,33 @@ class MirrorScene:
         return float(self.pdf_area[tri]
                      * np.sum((p_hit - p_ref) ** 2) / cos_l)
 
-    def env_pdf_sa(self) -> float:
-        return self.env_prob / (4.0 * math.pi)
+    def env_radiance(self, d):
+        if self.env_img is None:
+            return self.env_color
+        theta = math.acos(max(-1.0, min(1.0, d[2])))
+        phi = math.atan2(d[1], d[0])
+        if phi < 0.0:
+            phi += 2.0 * math.pi
+        eh, ew = self.env_img.shape[:2]
+        xi = min(int(phi / (2.0 * math.pi) * ew), ew - 1)
+        yi = min(int(theta / math.pi * eh), eh - 1)
+        return self.env_img[yi, xi]
+
+    def env_pdf_sa(self, d=None) -> float:
+        if self.env_img is None:
+            return self.env_prob / (4.0 * math.pi)
+        theta = math.acos(max(-1.0, min(1.0, d[2])))
+        phi = math.atan2(d[1], d[0])
+        if phi < 0.0:
+            phi += 2.0 * math.pi
+        eh, ew = self.env_img.shape[:2]
+        xi = min(int(phi / (2.0 * math.pi) * ew), ew - 1)
+        yi = min(int(theta / math.pi * eh), eh - 1)
+        cell = self.env_lum[yi, xi] / max(self.env_int, 1e-300)
+        st = math.sin(theta)
+        if st <= 0.0:
+            return 0.0
+        return self.env_prob * cell / (2.0 * math.pi * math.pi * st)
 
     def onb(self, n):
         a = np.zeros(3)
@@ -604,11 +671,12 @@ class MirrorScene:
         tri, t_hit, bu, bv = self.intersect(o, d)
         L = np.zeros(3)
         if tri < 0:
-            # escaped: constant environment through the k+1-edge path
-            if self.env_color is not None and k >= self.min_depth:
+            # escaped: environment emission through the k+1-edge path
+            if (self.env_color is not None or self.env_img is not None) \
+                    and k >= self.min_depth:
                 w = (1.0 if (prev_delta or not prev_nee)
-                     else _balance(prev_pdf, self.env_pdf_sa()))
-                L = L + self.env_color * w
+                     else _balance(prev_pdf, self.env_pdf_sa(d)))
+                L = L + self.env_radiance(d) * w
             return L
         p_hit = o + d * t_hit
         ng = self.ng[tri]

@@ -132,7 +132,7 @@ def test_orbit_camera_math():
 # ---------------------------------------------------------------------------
 
 _WEB_TRACER_SHA256 = (
-    "55fe0705990c46d47f79632717171297450ad88533679a7ff8a0839b53e28497")
+    "1b5679d9b26d0d6dfe60541d3dcba836bb798c74f677c64bce8cc2e7a87fdec4")
 
 
 def test_web_tracer_js_pinned_to_mirror():
@@ -256,10 +256,16 @@ def test_scene_export_scope_rejections():
     with pytest.raises(viewer.WebExportError, match="atlas too large"):
         viewer.scene_to_web_json(host5c)
 
+    # textured env now EXPORTS (bounded); oversized maps still 501
     host6 = cornell_box(16, 16)
     host6.env_image = np.ones((4, 8, 3), np.float32)
-    with pytest.raises(viewer.WebExportError, match="constant env"):
-        viewer.scene_to_web_json(host6)
+    desc6 = viewer.scene_to_web_json(host6)
+    assert desc6["env_img"] is not None
+
+    host6b = cornell_box(16, 16)
+    host6b.env_image = np.ones((512, 512, 3), np.float32)
+    with pytest.raises(viewer.WebExportError, match="too large"):
+        viewer.scene_to_web_json(host6b)
 
 
 @pytest.mark.parametrize("variant,passes,md,spp_o", [
@@ -273,6 +279,7 @@ def test_scene_export_scope_rejections():
     ("pointdir", 32, 4, 48),
     ("blenddelta", 32, 3, 64),
     ("textured", 32, 3, 48),
+    ("envtex", 24, 6, 48),
 ])
 def test_client_tracer_matches_oracle(variant, passes, md, spp_o):
     """z-test the JS transcription against the independent scalar oracle
@@ -317,6 +324,29 @@ def test_client_tracer_matches_oracle(variant, passes, md, spp_o):
             # tracer darkens this render ~40%
             from test_oracle import smooth_blend_scene
             return smooth_blend_scene(size)
+        if variant == "envtex":
+            # textured-env version of the envglass scene: 2D-CDF env NEE
+            # with the bright-patch concentration + escaped-ray MIS
+            from rustlight_tpu.scene import Scene, make_camera, look_at, \
+                make_sphere, make_quad
+            rng = np.random.default_rng(5)
+            env = 0.3 + 0.4 * rng.random((12, 24, 3))
+            env[3:5, 6:9] = (12.0, 10.0, 8.0)
+            sc = Scene()
+            mg = sc.add_material(glass())
+            mm = sc.add_material(metal(alpha=0.0))
+            mdm = sc.add_material(diffuse((0.5, 0.45, 0.4)))
+            sc.add_mesh(make_sphere((-1.2, 1.0, 0), 1.0, material=mg,
+                                    n_theta=12, n_phi=12))
+            sc.add_mesh(make_sphere((1.2, 1.0, 0), 1.0, material=mm,
+                                    n_theta=12, n_phi=12))
+            sc.add_mesh(make_quad((-20, 0, -20), (20, 0, -20), (20, 0, 20),
+                                  (-20, 0, 20), material=mdm))
+            sc.env_image = env.astype(np.float32)
+            sc.camera = make_camera(size, size, fov=55.0,
+                                    to_world=look_at((0, 1.6, -6),
+                                                     (0, 1, 0), (0, 1, 0)))
+            return sc
         if variant == "envglass":
             from rustlight_tpu.scene import Scene, make_camera, look_at, \
                 make_sphere, make_quad

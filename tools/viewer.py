@@ -78,9 +78,10 @@ def scene_to_web_json(scene, integrator=None, seed=0):
     """
     if scene.volume is not None:
         raise WebExportError("client tracer: no participating media")
-    if scene.env_image is not None:
-        raise WebExportError("client tracer: constant env only (textured "
-                             "environment maps are out of client scope)")
+    if scene.env_image is not None \
+            and np.asarray(scene.env_image).size > 256 * 256 * 3:
+        raise WebExportError(
+            "client tracer: environment map too large for JSON export")
     if scene.point_normal_lights:
         raise WebExportError("client tracer: no point-normal emitters")
     mats = scene.materials or []
@@ -205,7 +206,17 @@ def scene_to_web_json(scene, integrator=None, seed=0):
         w.append(float(np.max(np.asarray(inten)))
                  * np.pi * (bs_radius * 1.1) ** 2)
     env_color = None
-    if scene.env_constant is not None:
+    env_img = None
+    if scene.env_image is not None:
+        env_img = np.asarray(scene.env_image, np.float64)
+        h_e = env_img.shape[0]
+        sin_w = np.sin((np.arange(h_e) + 0.5) * np.pi / h_e)[:, None]
+        lum = env_img @ np.asarray([0.2126, 0.7152, 0.0722])
+        atoms.append({"k": 3, "ref": 0})
+        w.append(np.pi * (bs_radius * 1.1) ** 2
+                 * float((lum * sin_w).mean()))
+        env_img = env_img.tolist()
+    elif scene.env_constant is not None:
         env_color = np.asarray(scene.env_constant, np.float64).tolist()
         atoms.append({"k": 3, "ref": 0})
         w.append(float(np.max(scene.env_constant))
@@ -254,6 +265,7 @@ def scene_to_web_json(scene, integrator=None, seed=0):
         "atoms": atoms, "atom_prob": (w / w.sum()).tolist(),
         "em_tri": em_tri,
         "points": points, "dirs": dirs, "env_color": env_color,
+        "env_img": env_img,
         "cam": {
             "s2c": np.asarray(cam.sample_to_camera, np.float64).tolist(),
             "to_world": np.asarray(cam.to_world, np.float64).tolist(),

@@ -86,6 +86,37 @@ class WebScene {
     this.points = desc.points || [];
     this.dirs = desc.dirs || [];
     this.envColor = desc.env_color == null ? null : desc.env_color;
+    // textured envmap (emitter.rs:300-568): luminance*sin(theta) 2D CDF
+    this.envImg = desc.env_img == null ? null : desc.env_img;
+    if (this.envImg !== null) {
+      const eh = this.envImg.length; const ew = this.envImg[0].length;
+      this.envLum = new Array(eh);
+      this.envMargCdf = new Float64Array(eh);
+      this.envCondCdf = new Array(eh);
+      let tot = 0;
+      for (let y = 0; y < eh; y++) {
+        const sw = Math.sin((y + 0.5) * Math.PI / eh);
+        const row = new Float64Array(ew);
+        let rs = 0;
+        for (let x = 0; x < ew; x++) {
+          const p = this.envImg[y][x];
+          row[x] = (0.2126 * p[0] + 0.7152 * p[1] + 0.0722 * p[2]) * sw;
+          rs += row[x];
+        }
+        this.envLum[y] = row;
+        const cond = new Float64Array(ew);
+        let acc = 0;
+        for (let x = 0; x < ew; x++) {
+          acc += row[x];
+          cond[x] = rs > 0 ? acc / rs : (x + 1) / ew;
+        }
+        this.envCondCdf[y] = cond;
+        tot += rs;
+        this.envMargCdf[y] = tot;
+      }
+      for (let y = 0; y < eh; y++) this.envMargCdf[y] /= Math.max(tot, 1e-300);
+      this.envInt = tot / (eh * ew);
+    }
     this.atomCdf = new Array(this.atoms.length);
     this.envProb = 0.0;
     let acc = 0;
@@ -271,13 +302,36 @@ class WebScene {
                weight: [inten[0] / prob, inten[1] / prob,
                         inten[2] / prob] };
     }
-    // constant env: uniform sphere, pdf = prob / 4pi
-    const z = 1.0 - 2.0 * rng();
-    const r = Math.sqrt(Math.max(1.0 - z * z, 0.0));
-    const phi = 2.0 * Math.PI * rng();
-    const d = [r * Math.cos(phi), r * Math.sin(phi), z];
-    const pdfSa = prob / (4.0 * Math.PI);
-    const e = this.envColor;
+    if (this.envImg === null) {
+      // constant env: uniform sphere, pdf = prob / 4pi
+      const z = 1.0 - 2.0 * rng();
+      const r = Math.sqrt(Math.max(1.0 - z * z, 0.0));
+      const phi = 2.0 * Math.PI * rng();
+      const d = [r * Math.cos(phi), r * Math.sin(phi), z];
+      const pdfSa = prob / (4.0 * Math.PI);
+      const e = this.envColor;
+      return { d, dist: null, pL: null, isDelta: false, pdfSa,
+               weight: [e[0] / pdfSa, e[1] / pdfSa, e[2] / pdfSa] };
+    }
+    // textured env: marginal row CDF then in-row conditional, texel jitter
+    const eh = this.envImg.length; const ew = this.envImg[0].length;
+    const uy = rng();
+    let yi = 0;
+    while (yi < eh - 1 && uy > this.envMargCdf[yi]) yi++;
+    const ux = rng();
+    let xi = 0;
+    while (xi < ew - 1 && ux > this.envCondCdf[yi][xi]) xi++;
+    const x = xi + rng();
+    const y = yi + rng();
+    const phi = 2.0 * Math.PI * x / ew;
+    const theta = Math.PI * y / eh;
+    const st = Math.sin(theta); const ct = Math.cos(theta);
+    if (st <= 0) return null;
+    const d = [st * Math.cos(phi), st * Math.sin(phi), ct];
+    const cell = this.envLum[yi][xi] / Math.max(this.envInt, 1e-300);
+    const pdfSa = prob * cell / (2.0 * Math.PI * Math.PI * st);
+    if (pdfSa <= 0) return null;
+    const e = this.envImg[yi][xi];
     return { d, dist: null, pL: null, isDelta: false, pdfSa,
              weight: [e[0] / pdfSa, e[1] / pdfSa, e[2] / pdfSa] };
   }
@@ -290,7 +344,30 @@ class WebScene {
     return this.pdfArea[tri] * (dx * dx + dy * dy + dz * dz) / cosL;
   }
 
-  envPdfSa() { return this.envProb / (4.0 * Math.PI); }
+  envRadiance(d) {
+    if (this.envImg === null) return this.envColor;
+    const theta = Math.acos(Math.max(-1, Math.min(1, d[2])));
+    let phi = Math.atan2(d[1], d[0]);
+    if (phi < 0) phi += 2.0 * Math.PI;
+    const eh = this.envImg.length; const ew = this.envImg[0].length;
+    const xi = Math.min(Math.trunc(phi / (2.0 * Math.PI) * ew), ew - 1);
+    const yi = Math.min(Math.trunc(theta / Math.PI * eh), eh - 1);
+    return this.envImg[yi][xi];
+  }
+
+  envPdfSa(d) {
+    if (this.envImg === null) return this.envProb / (4.0 * Math.PI);
+    const theta = Math.acos(Math.max(-1, Math.min(1, d[2])));
+    let phi = Math.atan2(d[1], d[0]);
+    if (phi < 0) phi += 2.0 * Math.PI;
+    const eh = this.envImg.length; const ew = this.envImg[0].length;
+    const xi = Math.min(Math.trunc(phi / (2.0 * Math.PI) * ew), ew - 1);
+    const yi = Math.min(Math.trunc(theta / Math.PI * eh), eh - 1);
+    const cell = this.envLum[yi][xi] / Math.max(this.envInt, 1e-300);
+    const st = Math.sin(theta);
+    if (st <= 0) return 0.0;
+    return this.envProb * cell / (2.0 * Math.PI * Math.PI * st);
+  }
 
   onb(n) {
     // ONB about n: Gram-Schmidt off the smallest component
@@ -669,13 +746,13 @@ class WebScene {
     const [tri, tHit, bu, bv] = this.intersect(o, d, Infinity);
     const L = [0, 0, 0];
     if (tri < 0) {
-      // escaped: constant environment through the k+1-edge path
-      if (this.envColor !== null && k >= this.minDepth) {
+      // escaped: environment emission through the k+1-edge path
+      if ((this.envColor !== null || this.envImg !== null)
+          && k >= this.minDepth) {
         const w = (prevDelta || !prevNee) ? 1.0
-          : balance(prevPdf, this.envPdfSa());
-        L[0] += this.envColor[0] * w;
-        L[1] += this.envColor[1] * w;
-        L[2] += this.envColor[2] * w;
+          : balance(prevPdf, this.envPdfSa(d));
+        const e = this.envRadiance(d);
+        L[0] += e[0] * w; L[1] += e[1] * w; L[2] += e[2] * w;
       }
       return L;
     }
