@@ -98,7 +98,8 @@ class MirrorScene:
         self.a = _Slot(desc["a"])
         self.b = _Slot(desc["b"])
         self.blend_w = list(desc["blend_w"])
-        self.vuv = np.asarray(desc["vuv"], np.float64)
+        vv = desc.get("vuv")
+        self.vuv = None if vv is None else np.asarray(vv, np.float64)
         tx = desc.get("textures")
         self.textures = None if tx is None else np.asarray(tx, np.float64)
         self.kt = np.asarray(desc["kt"], np.float64)
@@ -193,6 +194,8 @@ class MirrorScene:
         return tri, float(t[tri]), float(u[tri]), float(v[tri])
 
     def uv_at(self, tri, b1, b2):
+        if self.vuv is None:               # untextured export ships no uvs
+            return np.zeros(2)
         w = self.vuv[tri]
         w0 = 1.0 - b1 - b2
         return w0 * w[0] + b1 * w[1] + b2 * w[2]

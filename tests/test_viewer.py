@@ -132,7 +132,7 @@ def test_orbit_camera_math():
 # ---------------------------------------------------------------------------
 
 _WEB_TRACER_SHA256 = (
-    "1b5679d9b26d0d6dfe60541d3dcba836bb798c74f677c64bce8cc2e7a87fdec4")
+    "747f92a8f88a2ac02437bddc36b21eb7701e844fc3da5e7488bc16a98149351b")
 
 
 def test_web_tracer_js_pinned_to_mirror():

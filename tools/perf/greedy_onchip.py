@@ -4,7 +4,9 @@ the rays, run the production walk kernel with sort_rays=False, and compare
 against the shipped incidence sort. Quantifies the wall-clock prize of the
 28 -> 17.8 visits/tile assignment gap."""
 import sys, time
-sys.path.insert(0, "tools/perf")
+from pathlib import Path
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent.parent))
 import numpy as np
 import jax, jax.numpy as jnp
 from sortkey_lab import ray_cluster_hits, tile_union

@@ -94,6 +94,8 @@ def scene_to_web_json(scene, integrator=None, seed=0):
                 "client tracer: diffuse/phong/glass/metal/substrate/blend "
                 f"materials only (kind {k})")
         tk = int(getattr(mat, "tex_kind", 0))
+        if tk not in (0, 1, 2, 3):
+            raise WebExportError(f"client tracer: unknown tex_kind {tk}")
         if tk == 1 and not (scene.textures is not None
                             and 0 <= int(mat.tex_img)
                             < len(scene.textures)):
@@ -211,7 +213,7 @@ def scene_to_web_json(scene, integrator=None, seed=0):
         env_img = np.asarray(scene.env_image, np.float64)
         h_e = env_img.shape[0]
         sin_w = np.sin((np.arange(h_e) + 0.5) * np.pi / h_e)[:, None]
-        lum = env_img @ np.asarray([0.2126, 0.7152, 0.0722])
+        lum = env_img @ np.asarray([0.212671, 0.715160, 0.072169])
         atoms.append({"k": 3, "ref": 0})
         w.append(np.pi * (bs_radius * 1.1) ** 2
                  * float((lum * sin_w).mean()))
@@ -244,9 +246,11 @@ def scene_to_web_json(scene, integrator=None, seed=0):
             "tex_img": [int(x) for x in sl["tex_img"]],
         }
 
+    any_tex = any(tk != 0
+                  for tk in slot_a["tex_kind"] + slot_b["tex_kind"])
     textures = None
     if scene.textures is not None and any(
-            tk != 0 for tk in slot_a["tex_kind"] + slot_b["tex_kind"]):
+            tk == 1 for tk in slot_a["tex_kind"] + slot_b["tex_kind"]):
         atlas = np.asarray(scene.textures, np.float64)
         if atlas.size > 4 * 256 * 256 * 3:
             raise WebExportError(
@@ -259,7 +263,8 @@ def scene_to_web_json(scene, integrator=None, seed=0):
         "e2": np.asarray(e2).tolist(),
         "a": slot_json(slot_a), "b": slot_json(slot_b),
         "blend_w": blend_w,
-        "vuv": np.asarray(vuv).tolist(), "textures": textures,
+        "vuv": np.asarray(vuv).tolist() if any_tex else None,
+        "textures": textures,
         "kt": np.asarray(kt).tolist(), "eta": eta,
         "le": np.asarray(le).tolist(),
         "atoms": atoms, "atom_prob": (w / w.sum()).tolist(),

@@ -193,6 +193,7 @@ class WebScene {
   }
 
   uvAt(tri, b1, b2) {
+    if (this.vuv == null) return [0, 0];   // untextured export ships no uvs
     const w = this.vuv[tri];
     const w0 = 1.0 - b1 - b2;
     return [w0 * w[0][0] + b1 * w[1][0] + b2 * w[2][0],
