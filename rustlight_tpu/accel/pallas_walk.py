@@ -332,14 +332,16 @@ def _sort_key(wt: WalkTables, o, d, tfar=None):
     instrumented kernel's measured 51.4 visits/tile); direction-major and
     6D-interleaved orders measured strictly worse. Round 5: the incidence
     key (_incidence_key, default for <= _INC_SORT_MAX_C clusters) reads
-    the ray-cluster matrix directly and reaches union 28.0 — the
-    sort-achievable ceiling (a full 448-bit incidence-bitset lexsort
-    measures 28.1; the old "grouping floor" 35.97 was an artifact of its
-    first-ID surrogate); the remaining gap to greedy tile PACKING (17.8,
-    tools/perf/grouping_lab.py) requires assignment rather than ordering
-    and is not reachable by any key. This morton key remains the fallback
-    for huge scenes and the better choice for coherent wavefronts
-    (union 8.4 vs the incidence key's 9.2).
+    the ray-cluster matrix directly — final form sorts by the CENTROID of
+    each ray's overlapped cluster centers (union 25.25; the earlier
+    three-lowest-ID form hit 28.0, a 448-bit bitset lexsort 28.1, and
+    the old "grouping floor" 35.97 was an artifact of its first-ID
+    surrogate); the remaining gap to greedy tile PACKING (17.8, worth a
+    measured 1.40x, tools/perf/grouping_lab.py) requires assignment
+    rather than ordering and is not reachable by any key. This morton
+    key remains the fallback for huge scenes and for point-origin
+    wavefronts (entry-pass-bound: the centroid key's lower union buys no
+    wall there and the slab pre-pass isn't free).
 
     When `tfar` is given, inert rays (tfar <= 0: dead wavefront lanes,
     masked shadow rays) take the TOP key bit, compacting them into
@@ -375,34 +377,41 @@ def _sort_key(wt: WalkTables, o, d, tfar=None):
 
 
 def _incidence_key(wt: WalkTables, o, d, tnear, tfar):
-    """Set-similarity coherence key (VERDICT r4 item 1): a cheap exact slab
-    pre-pass finds each ray's three lowest-ID overlapped clusters + its
-    overlap count, and rays sort by (id1, id2, id3, count). Measured
+    """Set-similarity coherence key (VERDICT r4 item 1, round-5 final
+    form): a cheap exact slab pre-pass computes each ray's overlapped-
+    cluster COUNT and the weighted CENTROID of its overlapped clusters'
+    centers (one [N, C] sweep + one [N, C] x [C, 3] matmul); rays sort by
+    (direction octant | 6-bit/axis centroid morton | count). Measured
     offline against the exact ray-cluster incidence matrix
-    (tools/perf/grouping_lab.py + the prefix study): divergent 262k-ray
-    tile union 50.9 -> 28.0 visits/tile — matching a full 448-bit
-    incidence-bitset lexsort (28.1) and beating the old "grouping floor"
-    35.97, which greedy packing showed was no floor at all (17.8). The
-    morton sort key cannot see the matrix; this key pays one [N, C] slab
-    sweep (~20 flop/pair, ~2% of one cluster VISIT's triangle work) to
-    look at it directly. Coherent wavefronts measure slightly WORSE than
-    the morton key (9.2 vs 8.4 union), so cost/benefit is decided by the
-    caller flag; scenes beyond RUSTLIGHT_TPU_INCIDENCE_SORT_MAX_C
-    clusters fall back to the morton key.
-
-    ID order (build order) is the locality proxy: treelets are emitted by
-    a spatial binned-SAH sweep, so nearby clusters get nearby IDs and
-    rays sharing their lowest IDs traverse the same region."""
+    (tools/perf/grouping_lab.py + the centroid study): divergent 262k-ray
+    tile union 50.9 (morton) -> 28.0 (three-lowest-ID key, the previous
+    form) -> 25.25 (this key); coherent 8.43 (morton) -> 6.99 — the
+    centroid key beats the morton key on BOTH wavefront classes, because
+    the segment midpoint of the traversed cluster run is a geometric
+    locality signal no origin/direction quantization can see. Earlier
+    bounds for context: a full 448-bit incidence-bitset lexsort measures
+    28.1, and greedy tile PACKING reaches 17.8 (union) / 1.40x (wall,
+    measured on-chip by pre-permuting the greedy order) — assignment
+    rather than ordering, unreachable by any key; an on-chip packing
+    pass is the quantified future lever. The morton key remains the
+    fallback above _INC_SORT_MAX_C clusters (the pre-pass is O(N*C))."""
     c = int(wt.n_real)
     lo = wt.lo[:, :c]
     hi = wt.hi[:, :c]
+    ctr_t = 0.5 * (lo + hi)                      # [3, C]
+    wlo = jnp.min(lo, axis=1)
+    span = jnp.maximum(jnp.max(hi, axis=1) - wlo, 1e-9)
     n = o.shape[0]
-    # chunk rays so the [chunk, C] scratch stays ~64 MB (the floor must
-    # stay below 2^26/(4*_INC_SORT_MAX_C) or large-C scenes overshoot it)
-    chunk = max(128, min(65536, (1 << 26) // max(4 * c, 1)))
+    # chunk rays so the [chunk, C] scratch stays ~256 MB: big enough that
+    # a 16k-cluster scene needs ~16 chunks (the python chunk loop unrolls
+    # into the HLO, so chunk count is compile-time cost), small enough
+    # that a few live [chunk, C] f32 intermediates fit HBM comfortably.
+    # The floor must stay below 2^28/(4*_INC_SORT_MAX_C).
+    chunk = max(512, min(65536, (1 << 28) // max(4 * c, 1)))
     k1, k2 = [], []
-    bits = max(1, c.bit_length())
-    sh = max(0, bits - 15)
+    octant = ((d[:, 0] > 0).astype(jnp.int32) * 4
+              + (d[:, 1] > 0).astype(jnp.int32) * 2
+              + (d[:, 2] > 0).astype(jnp.int32))
     for s0 in range(0, n, chunk):
         e0 = min(s0 + chunk, n)
         o_c, d_c = o[s0:e0], d[s0:e0]
@@ -418,15 +427,17 @@ def _incidence_key(wt: WalkTables, o, d, tnear, tfar):
             tmax = jnp.minimum(tmax, jnp.maximum(t0, t1))
         ov = ((tmax >= jnp.maximum(tmin, jnp.maximum(tn_c, 0.0)[:, None]))
               & (tmin <= tf_c[:, None]) & (tf_c > 0.0)[:, None])
-        ids = jnp.where(ov, lax.iota(jnp.int32, c)[None, :], c)
-        id1 = ids.min(1)
-        ids = jnp.where(ids == id1[:, None], c, ids)
-        id2 = ids.min(1)
-        ids = jnp.where(ids == id2[:, None], c, ids)
-        id3 = ids.min(1)
-        cnt = jnp.minimum(ov.sum(1, dtype=jnp.int32), 63)
-        k1.append(((id1 >> sh) << 15) | (id2 >> sh))
-        k2.append(((id3 >> sh) << 6) | cnt)
+        ovf = ov.astype(jnp.float32)
+        cnt = jnp.sum(ovf, axis=1)
+        cen = (ovf @ ctr_t.T) / jnp.maximum(cnt, 1.0)[:, None]   # [nc, 3]
+        q = jnp.clip(((cen - wlo[None, :]) / span[None, :] * 64.0)
+                     .astype(jnp.int32), 0, 63)
+        cm = jnp.zeros((e0 - s0,), jnp.int32)
+        for b in range(6):
+            for ax in range(3):
+                cm = cm | (((q[:, ax] >> b) & 1) << (3 * b + ax))
+        k1.append((octant[s0:e0] << 18) | cm)
+        k2.append(jnp.minimum(cnt, 63.0).astype(jnp.int32))
     return jnp.concatenate(k1), jnp.concatenate(k2)
 
 
