@@ -402,24 +402,18 @@ def _incidence_key(wt: WalkTables, o, d, tnear, tfar):
     wlo = jnp.min(lo, axis=1)
     span = jnp.maximum(jnp.max(hi, axis=1) - wlo, 1e-9)
     n = o.shape[0]
-    # chunk rays so the [chunk, C] scratch stays ~256 MB: big enough that
-    # a 16k-cluster scene needs ~16 chunks (the python chunk loop unrolls
-    # into the HLO, so chunk count is compile-time cost), small enough
-    # that a few live [chunk, C] f32 intermediates fit HBM comfortably.
-    # The floor must stay below 2^28/(4*_INC_SORT_MAX_C).
-    chunk = max(512, min(65536, (1 << 28) // max(4 * c, 1)))
-    k1, k2 = [], []
     octant = ((d[:, 0] > 0).astype(jnp.int32) * 4
               + (d[:, 1] > 0).astype(jnp.int32) * 2
               + (d[:, 2] > 0).astype(jnp.int32))
-    for s0 in range(0, n, chunk):
-        e0 = min(s0 + chunk, n)
-        o_c, d_c = o[s0:e0], d[s0:e0]
-        tn_c, tf_c = tnear[s0:e0], tfar[s0:e0]
+
+    def block_key(args):
+        """Key for one [B, ...] ray block (B = chunk or n)."""
+        o_c, d_c, tn_c, tf_c = args
         inv = 1.0 / jnp.where(jnp.abs(d_c) > 1e-12, d_c,
                               jnp.where(d_c >= 0, 1e-12, -1e-12))
-        tmin = jnp.full((e0 - s0, c), -jnp.inf, jnp.float32)
-        tmax = jnp.full((e0 - s0, c), jnp.inf, jnp.float32)
+        b = o_c.shape[0]
+        tmin = jnp.full((b, c), -jnp.inf, jnp.float32)
+        tmax = jnp.full((b, c), jnp.inf, jnp.float32)
         for ax in range(3):
             t0 = (lo[ax][None, :] - o_c[:, ax:ax + 1]) * inv[:, ax:ax + 1]
             t1 = (hi[ax][None, :] - o_c[:, ax:ax + 1]) * inv[:, ax:ax + 1]
@@ -429,16 +423,35 @@ def _incidence_key(wt: WalkTables, o, d, tnear, tfar):
               & (tmin <= tf_c[:, None]) & (tf_c > 0.0)[:, None])
         ovf = ov.astype(jnp.float32)
         cnt = jnp.sum(ovf, axis=1)
-        cen = (ovf @ ctr_t.T) / jnp.maximum(cnt, 1.0)[:, None]   # [nc, 3]
+        cen = (ovf @ ctr_t.T) / jnp.maximum(cnt, 1.0)[:, None]   # [b, 3]
         q = jnp.clip(((cen - wlo[None, :]) / span[None, :] * 64.0)
                      .astype(jnp.int32), 0, 63)
-        cm = jnp.zeros((e0 - s0,), jnp.int32)
-        for b in range(6):
+        cm = jnp.zeros((b,), jnp.int32)
+        for bb in range(6):
             for ax in range(3):
-                cm = cm | (((q[:, ax] >> b) & 1) << (3 * b + ax))
-        k1.append((octant[s0:e0] << 18) | cm)
-        k2.append(jnp.minimum(cnt, 63.0).astype(jnp.int32))
-    return jnp.concatenate(k1), jnp.concatenate(k2)
+                cm = cm | (((q[:, ax] >> bb) & 1) << (3 * bb + ax))
+        return cm, jnp.minimum(cnt, 63.0).astype(jnp.int32)
+
+    # chunk rays so the [chunk, C] scratch stays ~64 MB; chunks run under
+    # lax.map so the COMPILED body is one chunk regardless of chunk count
+    # (an unrolled python loop at 16k clusters compiled pathologically
+    # slowly on the remote compile service)
+    chunk = max(512, min(65536, (1 << 26) // max(4 * c, 1)))
+    if n <= chunk:
+        cm, cnt = block_key((o, d, tnear, tfar))
+    else:
+        pad = (-n) % chunk
+        def padded(x, fill):
+            return jnp.concatenate(
+                [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)], 0)                 if pad else x
+        o_p = padded(o, 0.0).reshape(-1, chunk, 3)
+        d_p = padded(d, 1.0).reshape(-1, chunk, 3)
+        tn_p = padded(tnear, jnp.inf).reshape(-1, chunk)
+        tf_p = padded(tfar, 0.0).reshape(-1, chunk)
+        cm, cnt = lax.map(block_key, (o_p, d_p, tn_p, tf_p))
+        cm = cm.reshape(-1)[:n]
+        cnt = cnt.reshape(-1)[:n]
+    return (octant << 18) | cm, cnt
 
 
 # cluster id packed into the entry's low mantissa bits: the fast pop path
