@@ -49,16 +49,40 @@ def _probe_devices(timeout_s: float = 240.0) -> str:
         return "backend probe hung (wedged device tunnel)"
 
 
+_PARTIAL = {}      # rows measured so far; the watchdog emits these
+
+
 def main():
     import threading
 
     # deadline watchdog: the device probe can pass while a later dispatch
     # wedges (observed axon failure mode) — the bench must still emit its
-    # one JSON line rather than hang the driver forever. A daemon timer
-    # prints an error row and hard-exits if the measurements overrun.
+    # one JSON line rather than hang the driver forever. The headline
+    # (cbox) is measured FIRST, so an overrun mid-way through the
+    # large-scene rows still reports the measured headline with an error
+    # note instead of a zero row (cold compiles of the large-scene walk
+    # programs can take ~10 min each on the remote compile service).
     deadline = float(os.environ.get("RUSTLIGHT_TPU_BENCH_DEADLINE", 3300))
 
     def _overrun():
+        head = _PARTIAL.get("cbox")
+        if head is not None:
+            row = {"metric": "cbox_path_128spp_throughput",
+                   "value": head["value"], "unit": "Mrays/s/chip",
+                   "vs_baseline": round(head["value"] / 12.5, 3),
+                   "detail": {k: v for k, v in head.items()
+                              if k not in ("metric", "value", "unit")},
+                   "error": f"deadline {deadline:.0f}s hit before the "
+                            "remaining large-scene rows compiled "
+                            "(partial results)"}
+            for k in ("grid122k", "grid516k", "grid4p9M"):
+                if k in _PARTIAL:
+                    row["detail"][k] = _PARTIAL[k]
+            if "correctness" in _PARTIAL:
+                row["detail"]["correctness"] = _PARTIAL["correctness"]
+                row["ok"] = bool(_PARTIAL["correctness"].get("ok", True))
+            print(json.dumps(row), flush=True)
+            os._exit(0 if row.get("ok", True) else 1)
         print(json.dumps({
             "metric": "cbox_path_128spp_throughput",
             "value": 0.0,
@@ -97,20 +121,35 @@ def main():
     # round-2/4 verdicts asked the bench to track (the production Pallas
     # tile-walk kernel at 122k, the 516k mid-frontier, and the 4.9M-tri
     # wide-HBM-walk frontier) ride inside it as detail.grid122k/.grid516k/
-    # .grid4p9M. Measure the large scenes first (quiet), then print the
-    # headline line with everything embedded.
+    # .grid4p9M. The HEADLINE (cbox + its correctness gate) is measured
+    # first so a deadline overrun during the large-scene compiles still
+    # reports it (see _overrun); the combined line prints at the end.
+    head, check = _bench_config("cbox_path_128spp_throughput",
+                                cornell_box(512, 512).compile(),
+                                512, 512, 128, 6, emit=False, gate=True)
+    _PARTIAL["cbox"] = head
+    _PARTIAL["correctness"] = check
     grid = _bench_config("grid122k_path_8spp_throughput",
                          sphere_grid(122_000, 256, 256).compile(),
                          256, 256, 8, 5, emit=False)
+    _PARTIAL["grid122k"] = grid
     big = _bench_config("grid516k_path_8spp_throughput",
                         sphere_grid(516_000, 256, 256).compile(),
                         256, 256, 8, 5, emit=False)
+    _PARTIAL["grid516k"] = big
     huge = _bench_ao_4p9m()
-    ok = _bench_config("cbox_path_128spp_throughput",
-                       cornell_box(512, 512).compile(), 512, 512, 128, 6,
-                       extra={"grid122k": grid, "grid516k": big,
-                              "grid4p9M": huge},
-                       gate=True)
+    _PARTIAL["grid4p9M"] = huge
+    ok = bool(check.get("ok", True))
+    detail = {k: v for k, v in head.items()
+              if k not in ("metric", "value", "unit")}
+    detail.update({"grid122k": grid, "grid516k": big, "grid4p9M": huge,
+                   "correctness": check})
+    print(json.dumps({
+        "metric": "cbox_path_128spp_throughput",
+        "value": head["value"], "unit": "Mrays/s/chip",
+        "vs_baseline": round(head["value"] / 12.5, 3),
+        "detail": detail, "ok": ok,
+    }))
     if not ok:
         sys.exit(1)
 
@@ -312,27 +351,19 @@ def _bench_config(metric, scene, width, height, spp, max_depth,
     }
     if extra:
         detail.update(extra)
-    ok = True
+    row = {"metric": metric, "value": round(mrays, 3),
+           "unit": "Mrays/s/chip", **detail}
     if gate:
         img = np.asarray(acc, np.float64).reshape(height, width, 3) / spp
         check = _correctness_gate(img)
-        ok = bool(check.get("ok", True))
-        detail["correctness"] = check
-    row = {
-        "metric": metric,
-        "value": round(mrays, 3),
-        "unit": "Mrays/s/chip",
-        "vs_baseline": round(mrays / 12.5, 3),
-        "detail": detail,
-    }
-    if gate:
-        row["ok"] = ok
+        return row, check
     if emit:
-        print(json.dumps(row))
-    if gate:
-        return ok
-    return {"metric": metric, "value": round(mrays, 3),
-            "unit": "Mrays/s/chip", **detail}
+        print(json.dumps({
+            "metric": metric, "value": round(mrays, 3),
+            "unit": "Mrays/s/chip",
+            "vs_baseline": round(mrays / 12.5, 3), "detail": detail,
+        }))
+    return row
 
 
 if __name__ == "__main__":
